@@ -1,0 +1,285 @@
+"""Relational core: the join + aggregation surface of the reference
+(SURVEY §2.4 J1-J5, §2.5 A1-A5) expressed on the driver testdata.
+
+Each query function takes (spark, sf_dir) -> DataFrame; ORACLE holds the
+DuckDB-equivalent SQL keyed by the same name. Column aliases match exactly
+(the driver sorts columns by name before value-hashing).
+
+Scale notes (100 TB posture):
+  - fact-fact joins (orders x lineitem) are plain equi-joins -> shuffled
+    hash/sort-merge on the join key; AQE picks and splits skew.
+  - dim joins (region/nation/customer/part/supplier) are explicitly
+    broadcast — at any scale the dims stay small relative to facts
+    (mirrors the reference's HBase/Redis lookup joins J3/J7-J9, e.g.
+    app/dws/DwsTradeSkuOrderWindow.java:167-254, re-expressed as one
+    logical broadcast enrich).
+  - aggregations are declarative groupBy.agg -> partial (map-side) +
+    final hash aggregation; no driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.money import dec, dsum
+from gmall_flink_spark.sources.tables import table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowless scan-aggregate (A1/A3 analog: per-key counter + decimal
+    money sums, cf. app/dws/DwsTradeSkuOrderWindow.java:149-166)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fact join + dim filter + top-k (J1 streaming inner equi-join
+    batch twin, cf. app/dwd/DwdTradeOrderDetail.java:122-167)."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1999-01-01"))
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1999-01-01"))
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way snowflake join, dims broadcast (J7 dim-chain analog: the
+    sku->spu->tm->c3->c2->c1 enrichment chain of
+    app/dws/DwsTradeSkuOrderWindow.java:167-254 collapsed into declarative
+    broadcast joins)."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(sup.s_nationkey == cust.c_nationkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("line_ct"))
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def left_join_null_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a sparse right side (J2 batch twin: the
+    order_detail LEFT JOIN activity/coupon null-padding of
+    app/dwd/DwdTradeOrderDetail.java:168-169)."""
+    orders = table(spark, sf_dir, "orders")
+    big = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 48)
+    joined = orders.join(big, orders.o_orderkey == big.l_orderkey, "left")
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.count("l_orderkey").alias("matched_ct"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("null_ct"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def enrich_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup-join enrichment (J3 `FOR SYSTEM_TIME AS OF` vs HBase dim,
+    cf. app/dwd/DwdInterationCommentInfo.java:64-78): fact rows enriched
+    from two broadcast dims, grouped on enriched attributes."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
+        .agg(
+            dsum("l_extendedprice", "ext_price"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+        .orderBy("brand", "supp_nation")
+    )
+
+
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (J5: `od.rt BETWEEN pi.rt - 15 MIN AND
+    pi.rt + 5 SEC`, app/dwd/DwdTradePayDetailSuc.java:100-127): for every
+    purchase, the same user's click/view events in the 15 minutes before
+    (+5s slack after)."""
+    ev = table(spark, sf_dir, "events")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").alias("p_ts"),
+    )
+    clk = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = pur.join(
+        clk,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 SECONDS")),
+        "inner",
+    )
+    return (
+        joined.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.countDistinct("p_event").alias("purchase_ct"),
+            F.countDistinct("c_event").alias("click_ct"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (free in Spark; SURVEY §2.4 notes semi/anti come for
+    free): customers with no recent (>=2000) orders, counted per nation."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("idle_ct"))
+        .orderBy("nationkey")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "left_join_null_path": left_join_null_path,
+    "enrich_dim_chain": enrich_dim_chain,
+    "interval_join_events": interval_join_events,
+    "anti_join_idle_customers": anti_join_idle_customers,
+}
+
+_DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+ORACLE = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_DISC}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM({_DISC} * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               CAST(SUM({_DISC}) AS DOUBLE) AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "q5_region_revenue": f"""
+        SELECT r_name AS region_name, n_name AS nation_name,
+               CAST(SUM({_DISC}) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE s_nationkey = c_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY r_name, n_name
+        ORDER BY region_name, nation_name
+    """,
+    "left_join_null_path": """
+        SELECT o_orderstatus,
+               COUNT(*) AS row_ct,
+               COUNT(l_orderkey) AS matched_ct,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ct
+        FROM orders
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) big
+          ON o_orderkey = big.l_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    "enrich_dim_chain": """
+        SELECT p_brand AS brand, n_name AS supp_nation,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ext_price,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY p_brand, n_name
+        ORDER BY brand, supp_nation
+    """,
+    "interval_join_events": """
+        SELECT p.user_id AS user_id,
+               COUNT(*) AS pair_ct,
+               COUNT(DISTINCT p.event_id) AS purchase_ct,
+               COUNT(DISTINCT c.event_id) AS click_ct
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL '15 minutes'
+         AND c.ts <= p.ts + INTERVAL '5 seconds'
+        GROUP BY p.user_id
+        ORDER BY user_id
+    """,
+    "anti_join_idle_customers": """
+        SELECT c_nationkey AS nationkey, COUNT(*) AS idle_ct
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey
+        ORDER BY nationkey
+    """,
+}

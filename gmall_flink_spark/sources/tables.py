@@ -1,0 +1,51 @@
+"""Batch table readers over the driver-generated parquet testdata.
+
+Stand-in roles per FIXTURES.md §6: orders/lineitem = order facts,
+customer = user dim, part/supplier = product dims, nation/region =
+geo dims, events = stream table, documents/embeddings = LLM-pipeline
+tables.
+
+Reads are plain ``spark.read.parquet`` so Catalyst gets native column
+pruning + predicate pushdown into the scan (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``); no eager caching — at 100 TB the scan
+must stream, and AQE handles partition sizing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS), read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
+        # exactly what DuckDB does when it loads TIMESTAMP_NS.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
