@@ -1,0 +1,108 @@
+"""Deduplication & per-key stateful operators (SURVEY §2.6 D1-D9).
+
+These are the reference's signature moves — Flink keyed ValueState patterns
+(keep-first filters, first-event-per-day UV detectors, first-ever "new user"
+flags, 7-day returning-visitor detection). Each is defined here as its
+*batch twin*: a declarative window-function transformation that is
+oracle-checkable and that Structured Streaming replicates with
+``dropDuplicatesWithinWatermark`` / ``applyInPandasWithState``
+(see gmall_flink_spark.streaming.stateful for the streaming forms).
+
+Scale posture: every op is a window function over a hash-partitioned key —
+one shuffle on the key, no driver-side state, no per-row Python. Skewed keys
+are AQE's problem (skew-join/partition splitting), not ours.
+
+Reference citations:
+  D1 keep-first filter      app/lab/DwsLeftJoinDuplication02First.java:44-71
+  D2 keep-first w/ TTL      app/dws/DwsTradeSkuOrderWindow.java:112-148
+  D3 keep-last (timer)      app/lab/DwsLeftJoinDuplication03Last.java:54-79
+  D4 first-event-per-day    app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:79-128
+  D5 first-per-day+ever     app/dws/DwsTradeOrderWindow.java:62-91
+  D6 7-day returning user   app/dws/DwsUserUserLoginWindow.java:74-121
+  D8 is_new repair          app/dwd/DwdTrafficBaseLogSplit.java:63-97
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__rn"
+
+
+def _cols(cs: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """D1/D2: keep the first row per key under a total order.
+
+    ``order_by`` must be a total order within each key group (append a
+    unique id as tie-break) or results are nondeterministic.
+    """
+    w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order_by))
+    return df.withColumn(_RN, F.row_number().over(w)).where(F.col(_RN) == 1).drop(_RN)
+
+
+def keep_last(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]) -> DataFrame:
+    """D3: keep the last row per key (reference emits on a +5s timer; the
+    batch twin is simply the max under the order)."""
+    w = Window.partitionBy(*_cols(keys)).orderBy(*[c.desc() for c in _cols(order_by)])
+    return df.withColumn(_RN, F.row_number().over(w)).where(F.col(_RN) == 1).drop(_RN)
+
+
+def first_per_day(
+    df: DataFrame, key: str, ts: str = "ts", order_by: Sequence[Column | str] | None = None
+) -> DataFrame:
+    """D4/D7: the first event of each key on each day, with a ``cur_date``
+    column. This is the exact-UV detector: downstream ``groupBy(cur_date)
+    .count()`` equals count-distinct-key-per-day."""
+    day = F.date_format(ts, "yyyy-MM-dd")
+    df = df.withColumn("cur_date", day)
+    return keep_first(df, [key, "cur_date"], list(order_by or [ts]))
+
+
+def with_first_seen(df: DataFrame, key: str, ts: str = "ts") -> DataFrame:
+    """D5/D8 building block: attach ``first_date`` = the key's first-ever
+    active day (unbounded min over the key — the batch twin of the
+    reference's forever-lived ValueState<firstDate>)."""
+    w = Window.partitionBy(key)
+    return df.withColumn("first_date", F.min(F.date_format(ts, "yyyy-MM-dd")).over(w))
+
+
+def daily_new_flags(df: DataFrame, key: str, ts: str = "ts") -> DataFrame:
+    """D5: one row per key per day with ``is_first_ever`` — the
+    order/payment "unique user + new user" detector."""
+    daily = df.select(F.col(key), F.date_format(ts, "yyyy-MM-dd").alias("cur_date")).distinct()
+    w = Window.partitionBy(key)
+    return daily.withColumn(
+        "is_first_ever",
+        (F.col("cur_date") == F.min("cur_date").over(w)).cast("int"),
+    )
+
+
+def returning_flags(df: DataFrame, key: str, ts: str = "ts", gap_days: int = 7) -> DataFrame:
+    """D6: one row per key per active day with ``is_back`` = 1 when the
+    previous active day is >= gap_days earlier (the 7-day returning-visitor
+    rule; reference keeps lastVisitDate in keyed state)."""
+    daily = df.select(F.col(key), F.to_date(ts).alias("cur_date")).distinct()
+    w = Window.partitionBy(key).orderBy("cur_date")
+    prev = F.lag("cur_date").over(w)
+    return daily.withColumn(
+        "is_back",
+        F.when(prev.isNotNull() & (F.datediff("cur_date", prev) >= gap_days), 1).otherwise(0),
+    ).withColumn("cur_date", F.date_format("cur_date", "yyyy-MM-dd"))
+
+
+def repair_is_new(df: DataFrame, key: str, ts: str, claimed: Column) -> DataFrame:
+    """D8: fix an unreliable client-sent ``is_new`` flag against the key's
+    true first-seen day: a claimed 1 on a later day is rewritten to 0; the
+    flag is 1 only on the key's genuine first day when claimed."""
+    df = with_first_seen(df, key, ts)
+    cur = F.date_format(ts, "yyyy-MM-dd")
+    return df.withColumn(
+        "is_new_fixed",
+        F.when((claimed == 1) & (cur == F.col("first_date")), 1).otherwise(0),
+    )

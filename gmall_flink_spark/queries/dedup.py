@@ -1,0 +1,206 @@
+"""Oracle-checked queries for the dedup/stateful suite (SURVEY §2.6) over
+the `events` stream table: user_id plays the reference's mid/user_id key,
+event time spans 30 days so first-per-day, first-ever and 7-day-return
+paths all fire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.money import dsum
+from gmall_flink_spark.operators.dedup import (
+    daily_new_flags,
+    first_per_day,
+    keep_first,
+    keep_last,
+    repair_is_new,
+    returning_flags,
+)
+from gmall_flink_spark.sources.tables import table
+
+_TS_STR = "yyyy-MM-dd HH:mm:ss"
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: first event per user (order: ts, event_id tie-break)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        keep_first(ev, ["user_id"], ["ts", "event_id"])
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", _TS_STR).alias("ts_str"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: latest event per user (reference: timer-based keep-last)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        keep_last(ev, ["user_id"], ["ts", "event_id"])
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", _TS_STR).alias("ts_str"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def uv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: exact daily UV via first-event-per-day detection."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        first_per_day(ev, "user_id", "ts", ["ts", "event_id"])
+        .groupBy("cur_date")
+        .agg(F.count(F.lit(1)).alias("uv_ct"))
+        .orderBy("cur_date")
+    )
+
+
+def uv_new_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: daily unique users + first-ever (new) users."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        daily_new_flags(ev, "user_id", "ts")
+        .groupBy("cur_date")
+        .agg(
+            F.count(F.lit(1)).alias("uu_ct"),
+            F.sum("is_first_ever").alias("new_ct"),
+        )
+        .orderBy("cur_date")
+    )
+
+
+def returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: daily unique users + returners (>=7-day gap)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        returning_flags(ev, "user_id", "ts", gap_days=7)
+        .groupBy("cur_date")
+        .agg(
+            F.count(F.lit(1)).alias("uu_ct"),
+            F.sum("is_back").alias("back_ct"),
+        )
+        .orderBy("cur_date")
+    )
+
+
+def is_new_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: repair a deliberately unreliable is_new flag (claimed = even
+    event_id) against each user's true first-seen day."""
+    ev = table(spark, sf_dir, "events")
+    claimed = (F.col("event_id") % 2 == 0).cast("int")
+    fixed = repair_is_new(ev.withColumn("claimed", claimed), "user_id", "ts", F.col("claimed"))
+    return (
+        fixed.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("cur_date"))
+        .agg(
+            F.sum("claimed").alias("claimed_ct"),
+            F.sum("is_new_fixed").alias("fixed_ct"),
+        )
+        .orderBy("cur_date")
+    )
+
+
+def dedup_per_type_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 composition: keep-first per (user, event_type), then aggregate —
+    the 'dedup the retraction storm, then sum money' DWS pattern
+    (app/dws/DwsTradeSkuOrderWindow.java:112-166)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("user_ct"),
+            dsum("value", "first_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "dedup_keep_first": dedup_keep_first,
+    "dedup_keep_last": dedup_keep_last,
+    "uv_daily": uv_daily,
+    "uv_new_daily": uv_new_daily,
+    "returning_users_daily": returning_users_daily,
+    "is_new_repair": is_new_repair,
+    "dedup_per_type_spend": dedup_per_type_spend,
+}
+
+ORACLE = {
+    "dedup_keep_first": """
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        ORDER BY user_id
+    """,
+    "dedup_keep_last": """
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """,
+    "uv_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS cur_date,
+               COUNT(DISTINCT user_id) AS uv_ct
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
+    "uv_new_daily": """
+        WITH daily AS (
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS cur_date FROM events
+        ), flagged AS (
+            SELECT cur_date,
+                   CASE WHEN cur_date = MIN(cur_date) OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS is_first_ever
+            FROM daily
+        )
+        SELECT cur_date, COUNT(*) AS uu_ct, SUM(is_first_ever) AS new_ct
+        FROM flagged GROUP BY cur_date ORDER BY cur_date
+    """,
+    "returning_users_daily": """
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), flagged AS (
+            SELECT d,
+                   CASE WHEN date_diff('day',
+                            LAG(d) OVER (PARTITION BY user_id ORDER BY d), d) >= 7
+                        THEN 1 ELSE 0 END AS is_back
+            FROM daily
+        )
+        SELECT strftime(d, '%Y-%m-%d') AS cur_date,
+               COUNT(*) AS uu_ct, SUM(is_back) AS back_ct
+        FROM flagged GROUP BY d ORDER BY d
+    """,
+    "is_new_repair": """
+        WITH ev AS (
+            SELECT *,
+                   CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS claimed,
+                   strftime(ts, '%Y-%m-%d') AS cur_date,
+                   MIN(strftime(ts, '%Y-%m-%d')) OVER (PARTITION BY user_id) AS first_date
+            FROM events
+        )
+        SELECT cur_date,
+               SUM(claimed) AS claimed_ct,
+               SUM(CASE WHEN claimed = 1 AND cur_date = first_date THEN 1 ELSE 0 END) AS fixed_ct
+        FROM ev GROUP BY cur_date ORDER BY cur_date
+    """,
+    "dedup_per_type_spend": """
+        WITH firsts AS (
+            SELECT * FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1
+        )
+        SELECT event_type, COUNT(*) AS user_ct,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS first_value_sum
+        FROM firsts GROUP BY event_type ORDER BY event_type
+    """,
+}

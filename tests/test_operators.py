@@ -1,0 +1,77 @@
+"""Operator-level unit tests on tiny inline DataFrames (SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.operators.dedup import (
+    daily_new_flags,
+    keep_first,
+    keep_last,
+    repair_is_new,
+    returning_flags,
+)
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(spark):
+    rows = [
+        # (event_id, user, ts)
+        (1, "a", _ts(1, 1)),
+        (2, "a", _ts(1, 2)),
+        (3, "a", _ts(9, 1)),   # 8-day gap -> returning
+        (4, "b", _ts(2, 1)),
+        (5, "b", _ts(5, 1)),   # 3-day gap -> not returning
+        (6, "b", _ts(5, 1)),   # exact ts tie -> event_id breaks it
+    ]
+    return spark.createDataFrame(rows, "event_id long, user string, ts timestamp")
+
+
+def test_keep_first_and_last(spark):
+    ev = _events(spark)
+    first = {r.user: r.event_id for r in keep_first(ev, ["user"], ["ts", "event_id"]).collect()}
+    assert first == {"a": 1, "b": 4}
+    last = {r.user: r.event_id for r in keep_last(ev, ["user"], ["ts", "event_id"]).collect()}
+    assert last == {"a": 3, "b": 6}
+
+
+def test_daily_new_flags(spark):
+    ev = _events(spark)
+    got = {
+        (r.user, r.cur_date): r.is_first_ever
+        for r in daily_new_flags(ev, "user", "ts").collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): 1,
+        ("a", "2024-01-09"): 0,
+        ("b", "2024-01-02"): 1,
+        ("b", "2024-01-05"): 0,
+    }
+
+
+def test_returning_flags_gap(spark):
+    ev = _events(spark)
+    got = {
+        (r.user, r.cur_date): r.is_back
+        for r in returning_flags(ev, "user", "ts", gap_days=7).collect()
+    }
+    # a returns after 8 days; b's 3-day gap is not a "return"
+    assert got[("a", "2024-01-09")] == 1
+    assert got[("a", "2024-01-01")] == 0
+    assert got[("b", "2024-01-05")] == 0
+
+
+def test_repair_is_new(spark):
+    ev = _events(spark).withColumn("claimed", F.lit(1))
+    fixed = repair_is_new(ev, "user", "ts", F.col("claimed"))
+    got = {(r.user, r.event_id): r.is_new_fixed for r in fixed.collect()}
+    # claimed=1 everywhere, but only genuine first-day rows keep the flag
+    assert got[("a", 1)] == 1 and got[("a", 2)] == 1  # both on first day
+    assert got[("a", 3)] == 0                          # later day -> repaired
+    assert got[("b", 4)] == 1
+    assert got[("b", 5)] == 0
