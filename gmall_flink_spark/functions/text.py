@@ -1,0 +1,88 @@
+"""Text functions (SURVEY §2.10 U2 + BASELINE north-star text analysis).
+
+The reference's only table function is the IK Chinese-segmentation UDTF
+(util/SplitKeywordUDTF.java:19-34). Per SURVEY §7.3 risk #4 we pin a
+deterministic tokenizer (single-space split, empties dropped) so results are
+reproducible across engines; a real segmenter (e.g. jieba) is pluggable
+behind the same explode-based surface.
+
+Everything here is JVM-side built-ins (split/filter/md5/conv) — no Python
+UDFs — so whole-stage codegen covers the hot path and the same expressions
+run unchanged in Structured Streaming.
+
+Portable hashing contract (shared with the DuckDB oracle):
+    md5_long(x, seed) = int64(first 15 hex chars of md5(seed ~ '|' ~ x))
+DuckDB equivalent: ('0x' || substr(md5(seed || '|' || x), 1, 15))::BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: deterministic stopword list (vocabulary-appropriate for the testdata).
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+#: marker words per language for the n-gram-free language-ID heuristic;
+#: deterministic argmax with lexicographic tie-break.
+LANG_MARKERS = {
+    "de": ("window", "group", "merge"),
+    "en": ("the", "a", "fast"),
+    "es": ("data", "table", "row"),
+    "fr": ("query", "filter", "join"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+
+def tokenize(text: Column | str) -> Column:
+    """U2 tokenizer: split on single spaces, drop empties (pinned
+    deterministic replacement for the IK analyzer)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def stopword_count(tokens: Column) -> Column:
+    return F.size(F.filter(tokens, lambda x: x.isin(*STOPWORDS)))
+
+
+def distinct_token_count(tokens: Column) -> Column:
+    return F.size(F.array_distinct(tokens))
+
+
+def lang_score(tokens: Column, lang: str) -> Column:
+    """Marker-hit count for one language."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens, lambda x: x.isin(*markers)))
+
+
+def predict_lang(tokens: Column) -> Column:
+    """Deterministic language-ID: argmax marker hits, ties broken by
+    language code order (greatest-of chain keeps the first maximum)."""
+    pred = F.lit(None).cast("string")
+    best = F.lit(-1)
+    for lang in sorted(LANG_MARKERS):  # later langs must strictly beat
+        s = lang_score(tokens, lang)
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return pred
+
+
+def fingerprint(text: Column | str, prefix_tokens: int | None = None) -> Column:
+    """Document fingerprint: md5 over the space-normalized token stream
+    (optionally only the first N tokens — prefix fingerprint for clustering
+    near-identical heads)."""
+    toks = tokenize(text)
+    if prefix_tokens is not None:
+        toks = F.slice(toks, 1, prefix_tokens)
+    return F.md5(F.array_join(toks, " "))
+
+
+def md5_long(x: Column, seed: int | Column = 0) -> Column:
+    """Portable 60-bit hash (see module docstring contract)."""
+    seed_c = F.lit(seed) if isinstance(seed, int) else seed
+    h = F.md5(F.concat(seed_c.cast("string"), F.lit("|"), x))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")

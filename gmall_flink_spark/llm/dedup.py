@@ -1,0 +1,126 @@
+"""Large-scale document deduplication (BASELINE north-star ops).
+
+Four families, all built from declarative DataFrame ops with the portable
+md5-based hash (functions/text.md5_long), so every stage is oracle-checkable
+and shuffle-aware:
+
+  exact        hash-groupBy on a fingerprint (one shuffle on the hash)
+  minhash-LSH  shingle→minhash→band→bucket-join: candidate generation is
+               a groupBy on (band, signature) — near-dup search without a
+               quadratic cross join; the classic MMDS ch.3 construction
+  ngram        inverted-index join on shingles; exact jaccard via integer
+               arithmetic (no FP thresholds)
+  simhash      per-bit signed tally of token hashes → 16-bit signature
+
+Scale posture: everything is groupBy/join on hash keys. At 100 TB the
+minhash path is the one that matters: its cost is O(docs × shingles × k)
+map-side plus one shuffle per stage; candidate verification touches only
+bucket-colliding pairs. No stage collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.text import md5_long, tokenize
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded)."""
+    toked = doc_tokens(docs)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+    )
+    return (
+        toked.where(F.size("toks") >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    return doc_tokens(docs).select("doc_id", F.explode(F.array_distinct("toks")).alias("shingle"))
+
+
+def minhash_signatures(units: DataFrame, k: int = 12) -> DataFrame:
+    """One minhash value per (doc, seed): min over the doc's shingles of the
+    seeded portable hash. ``units`` = (doc_id, shingle) exploded frame."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        units.select("doc_id", "shingle", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(md5_long(F.col("shingle"), F.col("seed"))).alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int) -> DataFrame:
+    """Band the signature matrix: band signature = the band's minhashes in
+    seed order, joined into one string key."""
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    sig = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+            lambda s: s["mh"].cast("string"),
+        ),
+        ",",
+    )
+    return banded.groupBy("doc_id", "band").agg(sig.alias("band_sig"))
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any band bucket."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(units: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact jaccard for doc pairs sharing >= 1 shingle (inverted-index
+    join); optionally restricted to given candidate pairs. Counts stay
+    integers — thresholds compare ``scale*inter >= q*union`` exactly."""
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = units.alias("a"), units.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc simhash: for each bit b, tally ±1 over distinct tokens by the
+    parity of an independent seeded hash; bit set iff tally > 0. Built from
+    groupBy sums only — one shuffle, portable to SQL."""
+    toks = distinct_tokens(docs)
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    tallies = (
+        toks.select("doc_id", "shingle", b)
+        .withColumn("vote", (md5_long(F.col("shingle"), F.col("b")) % 2 * 2 - 1))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("tally"))
+    )
+    bit = F.when(F.col("tally") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(F.lit(0))
+    return tallies.groupBy("doc_id").agg(F.sum(bit).alias("simhash"))

@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (BASELINE north-star ops).
+
+Two paths:
+  brute-force  broadcast the (small) query set against every vector; dot
+               product via zip_with + aggregate — JVM-side, no Python.
+  IVF          assign every vector to its nearest centroid (a broadcast
+               argmax), then search only the query's cluster — the shuffle
+               partitioning IS the index; at 100 TB the cluster id becomes
+               the table's partition key so a query touches one partition.
+
+Determinism: dot products fold left-to-right over the array in double
+precision — bit-identical to DuckDB's list_dot_product on DOUBLE[] — and
+rankings order by (round(cos, 6) DESC, vec_id) so ties break stably.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec: str = "vec") -> DataFrame:
+    return df.withColumn("norm", F.sqrt(_dot(F.col(vec), F.col(vec))))
+
+
+def prep(embeddings: DataFrame) -> DataFrame:
+    """Cast the float embedding to double once (all engines then agree)."""
+    return embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+
+
+def cosine(a_vec, a_norm, b_vec, b_norm):
+    return F.round(_dot(a_vec, b_vec) / (a_norm * b_norm), 6)
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Exact top-k neighbours per query vector (query set broadcast)."""
+    v = with_norm(vectors).select(
+        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("norm").alias("n_norm")
+    )
+    q = with_norm(queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("n_vec"), F.col("n_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", F.col("n_id").alias("neighbor_id"), F.col("rk").alias("rk"), "cos")
+    )
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (broadcast argmax; ties -> lowest id)."""
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    v = with_norm(vectors)
+    scored = v.join(F.broadcast(c), how="cross").withColumn(
+        "cos", cosine(F.col("vec"), F.col("norm"), F.col("c_vec"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "vec", "norm", F.col("c_id").alias("cluster"))
+    )

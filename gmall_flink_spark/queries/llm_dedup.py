@@ -1,0 +1,185 @@
+"""Oracle-checked deduplication queries over `documents` (north-star ops:
+exact, MinHash-LSH, n-gram jaccard, SimHash). Thresholds use integer
+arithmetic (scale*inter vs q*union) — no FP boundaries to disagree on."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.text import fingerprint
+from gmall_flink_spark.llm.dedup import (
+    distinct_tokens,
+    jaccard_pairs,
+    lsh_bands,
+    lsh_candidates,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+from gmall_flink_spark.sources.tables import table
+
+MINHASH_K = 12
+ROWS_PER_BAND = 3
+
+
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on a 2-token-prefix fingerprint: dup
+    groups with member count and representative (min doc_id)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint("text", prefix_tokens=2).alias("fp2"))
+        .groupBy("fp2")
+        .agg(F.count(F.lit(1)).alias("dup_ct"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("dup_ct") > 1)
+        .orderBy("fp2")
+    )
+
+
+def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH stage 1-3 (shingle→minhash→band): multi-member band
+    buckets — each is a candidate near-dup cluster."""
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(distinct_tokens(docs), k=MINHASH_K)
+    bands = lsh_bands(sigs, ROWS_PER_BAND)
+    return (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count(F.lit(1)).alias("member_ct"), F.sum("doc_id").alias("doc_id_sum"))
+        .where(F.col("member_ct") > 1)
+        .orderBy("band", "band_sig")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup: bucket-join candidates verified by exact
+    token-set jaccard, kept at j >= 0.9 (10*inter >= 9*union)."""
+    docs = table(spark, sf_dir, "documents")
+    units = distinct_tokens(docs)
+    cands = lsh_candidates(lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND))
+    jac = jaccard_pairs(units, cands)
+    return (
+        jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select("doc_a", "doc_b", "inter", "uni")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle inverted-index dedup: pair counts at exact integer
+    jaccard thresholds (any overlap / j>=0.2 / j>=0.5)."""
+    docs = table(spark, sf_dir, "documents")
+    jac = jaccard_pairs(word_shingles(docs, n=3))
+    return jac.agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.sum((5 * F.col("inter") >= F.col("uni")).cast("bigint")).alias("j02_ct"),
+        F.sum((2 * F.col("inter") >= F.col("uni")).cast("bigint")).alias("j05_ct"),
+        F.max("inter").alias("max_inter"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16).orderBy("doc_id")
+
+
+QUERIES = {
+    "dedup_exact_prefix": dedup_exact_prefix,
+    "minhash_band_buckets": minhash_band_buckets,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_stats": ngram_jaccard_stats,
+    "dedup_simhash": dedup_simhash,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+_H = "('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 15))::BIGINT"
+
+_UNITS = f"SELECT doc_id, unnest(list_distinct({_TOKS})) AS shingle FROM documents"
+
+_SIGS = f"""
+    SELECT doc_id, seed, MIN({_H}) AS mh
+    FROM ({_UNITS}) u, (SELECT unnest(range({MINHASH_K})) AS seed) s
+    GROUP BY doc_id, seed
+"""
+
+_BANDS = f"""
+    SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
+    FROM ({_SIGS}) GROUP BY doc_id, band
+"""
+
+_CANDS = f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_BANDS}) a JOIN ({_BANDS}) b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+"""
+
+
+def _jaccard(units_sql: str) -> str:
+    return f"""
+        WITH units AS ({units_sql}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM units a JOIN units b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    """
+
+
+_SHINGLES3 = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+             (SELECT unnest(range(200)) AS i) idx
+        WHERE i <= len(toks) - 3
+    )
+"""
+
+ORACLE = {
+    "dedup_exact_prefix": f"""
+        WITH t AS (SELECT doc_id, md5(array_to_string(({_TOKS})[1:2], ' ')) AS fp2
+                   FROM documents)
+        SELECT fp2, COUNT(*) AS dup_ct, MIN(doc_id) AS keep_doc
+        FROM t GROUP BY fp2 HAVING COUNT(*) > 1 ORDER BY fp2
+    """,
+    "minhash_band_buckets": f"""
+        SELECT band, band_sig, COUNT(*) AS member_ct, SUM(doc_id) AS doc_id_sum
+        FROM ({_BANDS}) GROUP BY band, band_sig HAVING COUNT(*) > 1
+        ORDER BY band, band_sig
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH cands AS ({_CANDS}),
+        jac AS ({_jaccard(_UNITS)})
+        SELECT j.doc_a, j.doc_b, j.inter, j.uni
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+        ORDER BY j.doc_a, j.doc_b
+    """,
+    "ngram_jaccard_stats": f"""
+        WITH jac AS ({_jaccard(_SHINGLES3)})
+        SELECT COUNT(*) AS pair_ct,
+               SUM(CASE WHEN 5 * inter >= uni THEN 1 ELSE 0 END) AS j02_ct,
+               SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS j05_ct,
+               MAX(inter) AS max_inter
+        FROM jac
+    """,
+    "dedup_simhash": f"""
+        WITH units AS ({_UNITS}),
+        votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ('0x' || substr(md5(b::VARCHAR || '|' || shingle), 1, 15))::BIGINT % 2 = 1
+                            THEN 1 ELSE -1 END) AS tally
+            FROM units, (SELECT unnest(range(16)) AS b) bits
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               SUM(CASE WHEN tally > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+}

@@ -1,0 +1,130 @@
+"""Oracle-checked similarity-search queries over `embeddings`
+(north-star ops: brute-force cosine top-k, IVF-partitioned ANN)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.llm.similarity import (
+    brute_force_topk,
+    cosine,
+    ivf_assign,
+    prep,
+    with_norm,
+)
+from gmall_flink_spark.sources.tables import table
+
+N_QUERIES = 5
+N_CENTROIDS = 10
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbours for query vectors
+    (vec_id < 5), query set broadcast against the full table."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=10).orderBy(
+        "q_id", "rk"
+    )
+
+
+def sim_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF stage 1: nearest-centroid assignment histogram (centroids =
+    vec_id < 10). The cluster id is the scale path's partition key."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("member_ct"))
+        .orderBy("cluster")
+    )
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF stage 2: ANN top-5 per query (vec_id < 5) searching only the
+    query's own cluster — the probe touches one partition, not the table."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    queries = with_norm(emb.where(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        # a query vector is its own nearest centroid (cos=1): cluster == q_id
+        F.col("vec_id").alias("q_cluster"),
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), F.col("cluster") == F.col("q_cluster"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("vec"), F.col("norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos")
+        .orderBy("q_id", "rk")
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ivf_clusters": sim_ivf_clusters,
+    "sim_ivf_topk": sim_ivf_topk,
+}
+
+_NORMED = """
+    SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
+_ASSIGNED = f"""
+    SELECT vec_id, v, norm, c_id AS cluster FROM (
+        SELECT n.vec_id, n.v, n.norm, c.vec_id AS c_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY round(list_dot_product(n.v, c.v) / (n.norm * c.norm), 6) DESC,
+                            c.vec_id
+               ) AS rk
+        FROM ({_NORMED}) n
+        CROSS JOIN (SELECT * FROM ({_NORMED}) WHERE vec_id < {N_CENTROIDS}) c
+    ) WHERE rk = 1
+"""
+
+ORACLE = {
+    "sim_cosine_topk": f"""
+        WITH n AS ({_NORMED}),
+        q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm FROM n
+              WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q_id, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q_vec, n.v) / (q_norm * n.norm), 6) AS cos
+            FROM q JOIN n ON n.vec_id != q.q_id
+        )
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+               cos
+        FROM scored
+        QUALIFY rk <= 10
+        ORDER BY q_id, rk
+    """,
+    "sim_ivf_clusters": f"""
+        SELECT cluster, COUNT(*) AS member_ct
+        FROM ({_ASSIGNED}) GROUP BY cluster ORDER BY cluster
+    """,
+    "sim_ivf_topk": f"""
+        WITH a AS ({_ASSIGNED}),
+        q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm, vec_id AS q_cluster
+              FROM ({_NORMED}) WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(q_vec, a.v) / (q_norm * a.norm), 6) AS cos
+            FROM q JOIN a ON a.cluster = q.q_cluster AND a.vec_id != q.q_id
+        )
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+               cos
+        FROM scored
+        QUALIFY rk <= 5
+        ORDER BY q_id, rk
+    """,
+}

@@ -1,0 +1,157 @@
+"""Oracle-checked text-analysis queries over `documents` (U2 tokenizer +
+north-star text ops: token stats, quality scoring, language-ID,
+fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    distinct_token_count,
+    fingerprint,
+    predict_lang,
+    stopword_count,
+    tokenize,
+)
+from gmall_flink_spark.sources.tables import table
+
+
+def keyword_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+J10+A2: tokenize → explode → count per (lang, word) — the keyword
+    window pipeline shape (app/dws/DwsTrafficSourceKeywordPageViewWindow
+    .java:52-73) with lang standing in for the window key."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(tokenize("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("word_ct"))
+        .orderBy("lang", "word")
+    )
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per language: integer sums, final double ratios."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(F.size("toks")).alias("tok_sum"),
+            F.sum(distinct_token_count(F.col("toks"))).alias("distinct_sum"),
+        )
+        .withColumn("avg_tokens", F.col("tok_sum") / F.col("doc_ct"))
+        .orderBy("lang")
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring per source: stopword ratio, vocabulary diversity,
+    mean length — all from exact integer tallies."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(F.size("toks")).alias("tok_sum"),
+            F.sum(stopword_count(F.col("toks"))).alias("stop_sum"),
+            F.sum(distinct_token_count(F.col("toks"))).alias("distinct_sum"),
+        )
+        .withColumn("stop_ratio", F.col("stop_sum") / F.col("tok_sum"))
+        .withColumn("distinct_ratio", F.col("distinct_sum") / F.col("tok_sum"))
+        .orderBy("source")
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column: confusion counts."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    return (
+        docs.withColumn("predicted", predict_lang(F.col("toks")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full + 8-token-prefix md5 fingerprints per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        fingerprint("text", prefix_tokens=8).alias("fp8"),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "keyword_split": keyword_split,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _score(lang: str) -> str:
+    marks = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({marks})))"
+
+
+# first language (code order) achieving the max marker score — mirrors
+# functions/text.predict_lang's strictly-greater chain.
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + " END"
+)
+
+ORACLE = {
+    "keyword_split": f"""
+        SELECT lang, word, COUNT(*) AS word_ct
+        FROM (SELECT lang, unnest({_TOKS}) AS word FROM documents)
+        GROUP BY lang, word ORDER BY lang, word
+    """,
+    "text_token_stats": f"""
+        WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents)
+        SELECT lang, COUNT(*) AS doc_ct,
+               SUM(len(toks)) AS tok_sum,
+               SUM(len(list_distinct(toks))) AS distinct_sum,
+               SUM(len(toks)) * 1.0 / COUNT(*) AS avg_tokens
+        FROM t GROUP BY lang ORDER BY lang
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT source, {_TOKS} AS toks FROM documents)
+        SELECT source, COUNT(*) AS doc_ct,
+               SUM(len(toks)) AS tok_sum,
+               SUM(len(list_filter(toks, x -> x IN {_STOP_IN}))) AS stop_sum,
+               SUM(len(list_distinct(toks))) AS distinct_sum,
+               SUM(len(list_filter(toks, x -> x IN {_STOP_IN}))) * 1.0 / SUM(len(toks)) AS stop_ratio,
+               SUM(len(list_distinct(toks))) * 1.0 / SUM(len(toks)) AS distinct_ratio
+        FROM t GROUP BY source ORDER BY source
+    """,
+    "text_langid": f"""
+        WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+        s AS (SELECT lang, {_score('de')} AS s_de, {_score('en')} AS s_en,
+                     {_score('es')} AS s_es, {_score('fr')} AS s_fr,
+                     {_score('zh')} AS s_zh
+              FROM t)
+        SELECT lang, {_PRED} AS predicted, COUNT(*) AS doc_ct
+        FROM s GROUP BY 1, 2 ORDER BY lang, predicted
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               md5(array_to_string(toks, ' ')) AS fp,
+               md5(array_to_string(toks[1:8], ' ')) AS fp8
+        FROM t ORDER BY doc_id
+    """,
+}

@@ -19,6 +19,10 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.relational",
     "gmall_flink_spark.queries.dedup",
     "gmall_flink_spark.queries.windows",
+    "gmall_flink_spark.queries.cdc",
+    "gmall_flink_spark.queries.text",
+    "gmall_flink_spark.queries.llm_dedup",
+    "gmall_flink_spark.queries.similarity",
 ]
 
 

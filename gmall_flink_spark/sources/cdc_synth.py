@@ -1,0 +1,125 @@
+"""Deterministic CDC changelog synthesizer (FIXTURES.md §1 / §6).
+
+Wraps the driver's TPC-H-ish base tables into Maxwell-style changelog JSON
+(`{database, table, type, ts, data, old}` — util/FlinkSqlUtil.java:9-15) so
+the CDC operator suite is exercised end-to-end from raw JSON strings, like
+the reference's Kafka topic_db source. Every derivation is pure arithmetic
+on key columns, so the DuckDB oracle can reproduce the expected *results*
+directly from the base tables without ever building the envelope.
+
+Derivation rules (shared contract with queries/cdc.py oracles):
+
+orders -> table 'order_info':
+  corrupt JSON        o_orderkey % 97 == 0            (P1 parse-drop path)
+  type                %10 <= 5 insert | 6,7 update | 8 delete
+                      | 9 bootstrap-start             (P2 filter path)
+  data.order_status   insert/delete: '1001'
+                      update: %4==0 '1003' (cancel) | %4==1 '1004'
+                              | %4==2 '1005' (pay-suc) | %4==3 '1006'
+  old.order_status    update: %4==2 -> '1002' | else '1001'  (P6/P7 paths)
+  old.total_amount    update: total * 0.8 (exact decimal)
+  ts                  epoch seconds of o_orderdate
+
+lineitem -> table 'cart_info':
+  corrupt JSON        (l_orderkey + l_linenumber) % 13 == 0
+  type                l_linenumber % 7 == 0 bootstrap-start
+                      | l_linenumber odd insert | even update
+  data.sku_num        int(l_quantity)
+  old.sku_num         update: orderkey%3==0 -> sku_num-3 (increase path,
+                      P5 passes) | else sku_num+2 (P5 drops)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.sources.tables import table
+
+DB = "gmall_flink"
+
+
+def _json_value(envelope: Column, corrupt_when: Column) -> Column:
+    return F.when(corrupt_when, F.lit('NOT_JSON{"oops"')).otherwise(F.to_json(envelope))
+
+
+def orders_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_info changelog as raw JSON `value` strings (Kafka-source shape)."""
+    od = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    typ = (
+        F.when(k % 10 <= 5, "insert")
+        .when(k % 10 <= 7, "update")
+        .when(k % 10 == 8, "delete")
+        .otherwise("bootstrap-start")
+    )
+    status = F.when(
+        typ == "update",
+        F.when(k % 4 == 0, "1003")
+        .when(k % 4 == 1, "1004")
+        .when(k % 4 == 2, "1005")
+        .otherwise("1006"),
+    ).otherwise(F.lit("1001"))
+    old_status = F.when(k % 4 == 2, "1002").otherwise("1001")
+    old_amount = (
+        F.col("o_totalprice").cast("decimal(18,2)") * F.lit("0.8").cast("decimal(2,1)")
+    ).cast("string")
+    data = F.create_map(
+        F.lit("id"), k.cast("string"),
+        F.lit("user_id"), F.col("o_custkey").cast("string"),
+        F.lit("order_status"), status,
+        F.lit("total_amount"), F.col("o_totalprice").cast("string"),
+        F.lit("create_time"), F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    old = F.when(
+        typ == "update",
+        F.create_map(
+            F.lit("order_status"), old_status,
+            F.lit("total_amount"), old_amount,
+        ),
+    )
+    envelope = F.struct(
+        F.lit(DB).alias("database"),
+        F.lit("order_info").alias("table"),
+        typ.alias("type"),
+        F.unix_timestamp("o_orderdate").alias("ts"),
+        data.alias("data"),
+        old.alias("old"),
+    )
+    return od.select(_json_value(envelope, k % 97 == 0).alias("value"))
+
+
+def cart_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cart_info changelog as raw JSON `value` strings."""
+    li = table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    typ = (
+        F.when(ln % 7 == 0, "bootstrap-start")
+        .when(ln % 2 == 1, "insert")
+        .otherwise("update")
+    )
+    sku_num = F.col("l_quantity").cast("int")
+    old_sku = F.when(ok % 3 == 0, sku_num - 3).otherwise(sku_num + 2)
+    data = F.create_map(
+        F.lit("id"), (ok * 10 + ln).cast("string"),
+        F.lit("sku_id"), F.col("l_partkey").cast("string"),
+        F.lit("sku_num"), sku_num.cast("string"),
+        F.lit("cart_price"), F.col("l_extendedprice").cast("string"),
+        F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    old = F.when(typ == "update", F.create_map(F.lit("sku_num"), old_sku.cast("string")))
+    envelope = F.struct(
+        F.lit(DB).alias("database"),
+        F.lit("cart_info").alias("table"),
+        typ.alias("type"),
+        F.unix_timestamp("l_shipdate").alias("ts"),
+        data.alias("data"),
+        old.alias("old"),
+    )
+    return li.select(_json_value(envelope, (ok + ln) % 13 == 0).alias("value"))
+
+
+def topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined `topic_db` stream: all tables' changelogs unioned, as the
+    reference's single Kafka topic carries every MySQL table."""
+    return orders_cdc_json(spark, sf_dir).unionAll(cart_cdc_json(spark, sf_dir))
