@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver collect,
+no sink I/O in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gmall_flink_spark.registry import all_queries  # noqa: E402
+from gmall_flink_spark.session import get_spark  # noqa: E402
+
+#: representative slice of SURVEY §2: scan-agg, snowflake join, interval
+#: join, CDC pipelines, dedup/stateful, window agg, tokenizer, LLM ops.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "enrich_dim_chain",
+    "interval_join_events",
+    "cdc_cart_add",
+    "cdc_config_route",
+    "cdc_sku_last_state",
+    "dedup_keep_first",
+    "uv_new_daily",
+    "returning_users_daily",
+    "window_event_counts",
+    "window_pv_uv",
+    "keyword_split",
+    "text_quality",
+    "dedup_simhash",
+    "minhash_band_buckets",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="gmall-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # warm the JVM/codegen once on the smallest SF so timings measure the
+    # queries, not session startup.
+    queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline query suite wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
