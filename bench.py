@@ -30,6 +30,7 @@ HEADLINE = [
     "enrich_dim_chain",
     "interval_join_events",
     "cdc_cart_add",
+    "cdc_order_detail_wide",
     "cdc_config_route",
     "cdc_sku_last_state",
     "dedup_keep_first",

@@ -23,9 +23,17 @@ from gmall_flink_spark.operators.cdc import (
     src_filter,
     status_transition,
 )
-from gmall_flink_spark.operators.dedup import keep_last
+from gmall_flink_spark.operators.cdc import o
+from gmall_flink_spark.operators.dedup import keep_first, keep_last
 from gmall_flink_spark.schemas import CONFIG_ROW
-from gmall_flink_spark.sources.cdc_synth import cart_cdc_json, orders_cdc_json, topic_db
+from gmall_flink_spark.sources.cdc_synth import (
+    activity_cdc_json,
+    cart_cdc_json,
+    coupon_cdc_json,
+    detail_cdc_json,
+    orders_cdc_json,
+    topic_db,
+)
 from gmall_flink_spark.sources.tables import table
 
 #: table_process config (FIXTURES.md §3); in production a JDBC/Delta table
@@ -138,14 +146,138 @@ def cdc_sku_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
     )
     return (
-        keep_last(cart, ["sku_id"], ["ts", "id"])
+        keep_last(cart, ["sku_id"], ["ts", "id", "sku_num"])
         .select("sku_id", F.col("id").alias("last_id"), F.col("sku_num").alias("last_sku_num"))
         .orderBy("sku_id")
     )
 
 
+def cdc_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdTradeOrderDetail 4-way wide fact
+    (app/dwd/DwdTradeOrderDetail.java:122-169): order_detail INNER JOIN
+    order_info (J1) LEFT JOIN detail_activity LEFT JOIN detail_coupon (J2×2),
+    then K3 key-compaction (keep-first per order_detail_id — the batch twin
+    of the upsert-Kafka sink, util/FlinkSqlUtil.java:42-50).
+
+    Scale: the two optional sides are ~1/5 and ~1/7 of lineitem — still too
+    big to broadcast at 100 TB, so all four sides shuffle on the same
+    order_detail_id/order_id keys; AQE picks broadcast at small SF.
+    """
+    od = src_filter(
+        drop_bootstrap(parse_envelope(detail_cdc_json(spark, sf_dir))),
+        "order_detail", ["insert"],
+    ).select(
+        d("id").cast("bigint").alias("id"),
+        d("order_id").cast("bigint").alias("order_id"),
+        d("sku_id").cast("bigint").alias("sku_id"),
+        d("sku_num").cast("bigint").alias("sku_num"),
+        d("split_total_amount").cast("decimal(18,2)").alias("split_total_amount"),
+        F.col("ts"),
+    )
+    oi = src_filter(
+        drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir))),
+        "order_info", ["insert"],
+    ).select(
+        d("id").cast("bigint").alias("order_id"),
+        d("user_id").cast("bigint").alias("user_id"),
+    )
+    oa = parse_envelope(activity_cdc_json(spark, sf_dir)).select(
+        d("order_detail_id").cast("bigint").alias("id"),
+        d("activity_id").cast("bigint").alias("activity_id"),
+    )
+    oc = parse_envelope(coupon_cdc_json(spark, sf_dir)).select(
+        d("order_detail_id").cast("bigint").alias("id"),
+        d("coupon_id").cast("bigint").alias("coupon_id"),
+    )
+    wide = (
+        od.join(oi, "order_id")
+        .join(oa, "id", "left")
+        .join(oc, "id", "left")
+        .select(
+            "id", "order_id", "user_id", "sku_id", "sku_num",
+            F.col("split_total_amount").cast("double").alias("split_total_amount"),
+            "activity_id", "coupon_id", "ts",
+        )
+    )
+    # K3 compaction: the packed PK can still collide when the synthetic
+    # lineitem repeats a full (orderkey,linenumber,partkey,suppkey) quad;
+    # order by every projected column so the kept row is deterministic.
+    return (
+        keep_first(wide, ["id"], ["ts", "sku_num", "split_total_amount"])
+        .drop("ts")
+        .orderBy("id")
+    )
+
+
+def cdc_refund_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdTradeRefundOrderDetail shape
+    (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): exact transition
+    to '1006' (P7) with two chained broadcast dim lookups (J3×2,
+    customer→nation→region) aggregated at region grain."""
+    env = drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir)))
+    refunds = src_filter(env, "order_info").where(
+        status_transition("order_status", to="1006", from_="1001")
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        refunds.select(
+            d("user_id").cast("bigint").alias("user_id"),
+            d("total_amount").cast("decimal(18,2)").alias("amount"),
+            # old.total_amount carries exact scale-3 digits (total * 0.8);
+            # parse at scale 3 — a (18,2) cast would ROUND here while DuckDB
+            # TRUNCATES, so keep the arithmetic exact on both sides.
+            (d("total_amount").cast("decimal(18,2)") - o("total_amount").cast("decimal(18,3)"))
+            .alias("amount_change"),
+        )
+        .join(F.broadcast(cust), F.col("user_id") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("refund_ct"),
+            F.sum("amount").cast("double").alias("refund_amount"),
+            F.sum("amount_change").cast("double").alias("amount_change_sum"),
+        )
+        .orderBy("region_name")
+    )
+
+
+#: base_dic lookup table (S6: the HBase dict table declared at
+#: app/dwd/DwdInterationCommentInfo.java:52-59), inline like table_process.
+DICT_ROWS = [
+    ("view", "Page View"),
+    ("click", "Item Click"),
+    ("purchase", "Purchase"),
+    ("signup", "Sign Up"),
+    ("error", "Client Error"),
+]
+
+
+def lookup_dict_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdInterationCommentInfo dict-lookup join (J3 `FOR SYSTEM_TIME AS
+    OF pt`, app/dwd/DwdInterationCommentInfo.java:64-78): every event enriched
+    with the dict name for its type code via broadcast join — the Spark
+    "as-of now" equivalent of the HBase lookup — then aggregated."""
+    ev = table(spark, sf_dir, "events")
+    dic = spark.createDataFrame(DICT_ROWS, "dic_code string, dic_name string")
+    return (
+        ev.join(F.broadcast(dic), ev.event_type == dic.dic_code, "left")
+        .groupBy(F.col("dic_name"))
+        .agg(
+            F.count(F.lit(1)).alias("event_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+        )
+        .orderBy("dic_name")
+    )
+
+
 QUERIES = {
     "cdc_cart_add": cdc_cart_add,
+    "cdc_order_detail_wide": cdc_order_detail_wide,
+    "cdc_refund_region": cdc_refund_region,
+    "lookup_dict_enrich": lookup_dict_enrich,
     "cdc_cancel_enrich": cdc_cancel_enrich,
     "cdc_pay_suc": cdc_pay_suc,
     "cdc_config_route": cdc_config_route,
@@ -157,6 +289,62 @@ _CART_OK = "(l_orderkey + l_linenumber) % 13 != 0 AND l_linenumber % 7 != 0"
 _ORD_OK = "o_orderkey % 97 != 0 AND o_orderkey % 10 <= 8"
 
 ORACLE = {
+    "cdc_order_detail_wide": """
+        WITH od AS (
+            SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 1000
+                       + l_suppkey AS id,
+                   l_orderkey AS order_id,
+                   l_partkey AS sku_id,
+                   CAST(l_quantity AS BIGINT) AS sku_num,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS split_total_amount,
+                   CASE WHEN l_partkey % 5 = 0 THEN l_partkey % 10 END AS activity_id,
+                   CASE WHEN l_suppkey % 7 = 0 THEN l_suppkey % 13 END AS coupon_id
+            FROM lineitem
+            WHERE (l_orderkey * 7 + l_linenumber) % 89 != 0
+              AND l_linenumber % 11 != 0
+            QUALIFY row_number() OVER (
+                PARTITION BY id
+                ORDER BY epoch(l_shipdate), CAST(l_quantity AS BIGINT),
+                         l_extendedprice) = 1
+        )
+        SELECT id, order_id, o_custkey AS user_id, sku_id, sku_num,
+               split_total_amount, activity_id, coupon_id
+        FROM od JOIN orders ON order_id = o_orderkey
+        WHERE o_orderkey % 97 != 0 AND o_orderkey % 10 <= 5
+        ORDER BY id
+    """,
+    "cdc_refund_region": """
+        SELECT r_name AS region_name,
+               COUNT(*) AS refund_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS refund_amount,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                        - CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST('0.8' AS DECIMAL(2,1)))
+                    AS DOUBLE) AS amount_change_sum
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = region.r_regionkey
+        WHERE o_orderkey % 97 != 0
+          AND o_orderkey % 10 IN (6, 7)
+          AND o_orderkey % 4 = 3
+        GROUP BY 1 ORDER BY 1
+    """,
+    "lookup_dict_enrich": """
+        SELECT CASE event_type
+                   WHEN 'view' THEN 'Page View'
+                   WHEN 'click' THEN 'Item Click'
+                   WHEN 'purchase' THEN 'Purchase'
+                   WHEN 'signup' THEN 'Sign Up'
+                   WHEN 'error' THEN 'Client Error'
+               END AS dic_name,
+               COUNT(*) AS event_ct,
+               COUNT(DISTINCT user_id) AS user_ct
+        FROM events
+        GROUP BY 1 ORDER BY 1
+    """,
     "cdc_cart_add": f"""
         SELECT (l_orderkey * 10 + l_linenumber) AS id,
                l_partkey AS sku_id,
@@ -216,7 +404,8 @@ ORACLE = {
         )
         SELECT sku_id, id AS last_id, sku_num AS last_sku_num
         FROM cart
-        QUALIFY row_number() OVER (PARTITION BY sku_id ORDER BY ts DESC, id DESC) = 1
+        QUALIFY row_number() OVER (PARTITION BY sku_id
+                                   ORDER BY ts DESC, id DESC, sku_num DESC) = 1
         ORDER BY sku_id
     """,
 }

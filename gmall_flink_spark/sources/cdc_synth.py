@@ -119,6 +119,85 @@ def cart_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(_json_value(envelope, (ok + ln) % 13 == 0).alias("value"))
 
 
+def _detail_id() -> Column:
+    """Packed order_detail PK: (l_orderkey, l_linenumber) is NOT unique in
+    the synthetic lineitem, so the detail id packs all four key columns —
+    unique at every SF (verified sf0.1) and reproducible in the oracle as
+    ((l_orderkey*10 + l_linenumber)*100000 + l_partkey)*1000 + l_suppkey."""
+    return (
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 100000
+        + F.col("l_partkey")
+    ) * 1000 + F.col("l_suppkey")
+
+
+def detail_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_detail changelog (the 4-way wide-fact driver table,
+    app/dwd/DwdTradeOrderDetail.java:34-62). Derivation contract:
+
+      corrupt JSON   (l_orderkey*7 + l_linenumber) % 89 == 0
+      type           l_linenumber % 11 == 0 bootstrap-insert | else insert
+      data.id        _detail_id() packed PK
+    """
+    li = table(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber")
+    typ = F.when(ln % 11 == 0, "bootstrap-insert").otherwise("insert")
+    data = F.create_map(
+        F.lit("id"), _detail_id().cast("string"),
+        F.lit("order_id"), ok.cast("string"),
+        F.lit("sku_id"), F.col("l_partkey").cast("string"),
+        F.lit("sku_num"), F.col("l_quantity").cast("int").cast("string"),
+        F.lit("split_total_amount"), F.col("l_extendedprice").cast("string"),
+        F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    envelope = F.struct(
+        F.lit(DB).alias("database"),
+        F.lit("order_detail").alias("table"),
+        typ.alias("type"),
+        F.unix_timestamp("l_shipdate").alias("ts"),
+        data.alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+    )
+    return li.select(_json_value(envelope, (ok * 7 + ln) % 89 == 0).alias("value"))
+
+
+def activity_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_detail_activity changelog (left side of J2): exists only for
+    lineitems with l_partkey % 5 == 0; activity_id = l_partkey % 10."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 5 == 0)
+    data = F.create_map(
+        F.lit("order_detail_id"), _detail_id().cast("string"),
+        F.lit("activity_id"), (F.col("l_partkey") % 10).cast("string"),
+    )
+    envelope = F.struct(
+        F.lit(DB).alias("database"),
+        F.lit("order_detail_activity").alias("table"),
+        F.lit("insert").alias("type"),
+        F.unix_timestamp("l_shipdate").alias("ts"),
+        data.alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+    )
+    return li.select(F.to_json(envelope).alias("value"))
+
+
+def coupon_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_detail_coupon changelog (second left side of J2): exists only
+    for lineitems with l_suppkey % 7 == 0; coupon_id = l_suppkey % 13."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_suppkey") % 7 == 0)
+    data = F.create_map(
+        F.lit("order_detail_id"), _detail_id().cast("string"),
+        F.lit("coupon_id"), (F.col("l_suppkey") % 13).cast("string"),
+    )
+    envelope = F.struct(
+        F.lit(DB).alias("database"),
+        F.lit("order_detail_coupon").alias("table"),
+        F.lit("insert").alias("type"),
+        F.unix_timestamp("l_shipdate").alias("ts"),
+        data.alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+    )
+    return li.select(F.to_json(envelope).alias("value"))
+
+
 def topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The combined `topic_db` stream: all tables' changelogs unioned, as the
     reference's single Kafka topic carries every MySQL table."""
