@@ -38,8 +38,11 @@ HEADLINE = [
     "returning_users_daily",
     "window_event_counts",
     "window_pv_uv",
+    "log_split_counts",
+    "log_pvuv_channel",
     "keyword_split",
     "text_quality",
+    "media_decode_stats",
     "dedup_simhash",
     "minhash_band_buckets",
     "sim_cosine_topk",

@@ -62,6 +62,35 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10) -> Dat
     )
 
 
+def near_dup_pairs(
+    vectors: DataFrame, threshold: float = 0.3, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup op): block on
+    ``block_col`` (a cluster/partition id — at scale an IVF/LSH bucket), then
+    exact cosine within each block, keeping (a_id < b_id, cos >= threshold).
+
+    The block join is the scale move: an all-pairs cosine over N vectors is
+    N², but blocked pairs shuffle on the block key and compare only within
+    buckets — the same partitioning IVF search uses. Dedup consumption:
+    ``b_id`` is the dropped duplicate (keep-lowest-id representative)."""
+    v = with_norm(vectors)
+    a = v.select(
+        F.col(block_col).alias("block"),
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"), F.col("norm").alias("a_norm"),
+    )
+    b = v.select(
+        F.col(block_col).alias("block"),
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"), F.col("norm").alias("b_norm"),
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_vec"), F.col("a_norm"), F.col("b_vec"), F.col("b_norm")))
+        .where(F.col("cos") >= threshold)
+        .select("block", "a_id", "b_id", "cos")
+    )
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast argmax; ties -> lowest id)."""
     c = with_norm(centroids).select(

@@ -96,6 +96,23 @@ def returning_flags(df: DataFrame, key: str, ts: str = "ts", gap_days: int = 7) 
     ).withColumn("cur_date", F.date_format("cur_date", "yyyy-MM-dd"))
 
 
+def first_non_null(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str], cols: Sequence[str]
+) -> DataFrame:
+    """D9: delta-emission left-join compaction
+    (app/lab/DwsLeftJoinDuplication01Sum.java:46-109) — one row per key
+    where each column carries its first non-null value under the order (the
+    reference emits each side's columns once and downstream sums deltas;
+    the compacted batch twin is the summed end state)."""
+    w = (
+        Window.partitionBy(*_cols(keys))
+        .orderBy(*_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    picked = [F.first(c, ignorenulls=True).over(w).alias(c) for c in cols]
+    return df.select(*[F.col(k) for k in keys], *picked).distinct()
+
+
 def repair_is_new(df: DataFrame, key: str, ts: str, claimed: Column) -> DataFrame:
     """D8: fix an unreliable client-sent ``is_new`` flag against the key's
     true first-seen day: a claimed 1 on a later day is rewritten to 0; the

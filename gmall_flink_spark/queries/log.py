@@ -1,0 +1,165 @@
+"""Oracle-checked queries over the synthesized topic_log stream
+(SURVEY §2.8 M1, §2.11 DwdTrafficBaseLogSplit + traffic DWS shapes).
+
+Full reference-shaped path: raw log JSON (sources/log_synth) → P1 parse →
+M1 five-way split with array explodes → DWS-style aggregations. DuckDB
+oracles reproduce the results from `events` via the synthesizer's
+arithmetic contract (log_synth docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.operators.log_split import parse_page_log, split_log
+from gmall_flink_spark.sources.log_synth import page_log_json
+
+
+def _splits(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return split_log(parse_page_log(page_log_json(spark, sf_dir)))
+
+
+def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 shape check: per split-output row count + distinct device count
+    (the five topics of DwdTrafficBaseLogSplit.java:151-185)."""
+    splits = _splits(spark, sf_dir)
+    per = [
+        df.agg(
+            F.lit(name).alias("split"),
+            F.count(F.lit(1)).alias("row_ct"),
+            F.countDistinct("mid").alias("mid_ct"),
+        )
+        for name, df in sorted(splits.items())
+    ]
+    out = per[0]
+    for p in per[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("split")
+
+
+def log_display_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 display explode: per (display_type, pos_id) row count and item sum
+    (the exploded displays enriched with common+page_id,
+    DwdTrafficBaseLogSplit.java:128-142)."""
+    d = _splits(spark, sf_dir)["display"]
+    return (
+        d.groupBy("display_type", "pos_id")
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.sum(F.col("item").cast("bigint")).alias("item_sum"),
+            F.sum("display_order").alias("order_sum"),
+        )
+        .orderBy("display_type", "pos_id")
+    )
+
+
+def log_action_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 action explode: per action_id count, devices, last action ts."""
+    a = _splits(spark, sf_dir)["action"]
+    return (
+        a.groupBy("action_id")
+        .agg(
+            F.count(F.lit(1)).alias("row_ct"),
+            F.countDistinct("mid").alias("mid_ct"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("action_id")
+    )
+
+
+def log_pvuv_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTrafficVcChArIsNewPageViewWindow grain (A1) computed from the
+    split page stream: per channel pv, exact uv (distinct mid), total
+    during_time (app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:130-154)."""
+    p = _splits(spark, sf_dir)["page"]
+    return (
+        p.groupBy("ch")
+        .agg(
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("mid").alias("uv_ct"),
+            F.sum("during_time").alias("dur_sum"),
+        )
+        .orderBy("ch")
+    )
+
+
+QUERIES = {
+    "log_split_counts": log_split_counts,
+    "log_display_flat": log_display_flat,
+    "log_action_stats": log_action_stats,
+    "log_pvuv_channel": log_pvuv_channel,
+}
+
+_OK = "event_id % 101 != 0"
+_CH = "(['xiaomi','appstore','huawei','web'])[(event_id % 4) + 1]"
+
+ORACLE = {
+    "log_split_counts": f"""
+        WITH ev AS (SELECT *, user_id % 500 AS mid FROM events WHERE {_OK})
+        SELECT * FROM (
+            SELECT 'action' AS split,
+                   SUM(CASE event_type WHEN 'purchase' THEN 2
+                       WHEN 'click' THEN 1 ELSE 0 END) AS row_ct,
+                   COUNT(DISTINCT CASE WHEN event_type IN ('purchase','click')
+                                       THEN mid END) AS mid_ct
+            FROM ev
+            UNION ALL
+            SELECT 'display',
+                   SUM(CASE WHEN event_type = 'view' THEN event_id % 3 + 1 ELSE 0 END),
+                   COUNT(DISTINCT CASE WHEN event_type = 'view' THEN mid END)
+            FROM ev
+            UNION ALL
+            SELECT 'err', COUNT(*), COUNT(DISTINCT mid)
+            FROM ev WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'page', COUNT(*), COUNT(DISTINCT mid)
+            FROM ev WHERE event_type != 'signup'
+            UNION ALL
+            SELECT 'start', COUNT(*), COUNT(DISTINCT mid)
+            FROM ev WHERE event_type = 'signup'
+        ) ORDER BY split
+    """,
+    "log_display_flat": f"""
+        WITH d AS (
+            SELECT unnest(generate_series(0, event_id % 3)) AS i,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+            WHERE {_OK} AND event_type = 'view'
+        )
+        SELECT CASE WHEN i % 2 = 0 THEN 'query' ELSE 'promotion' END
+                   AS display_type,
+               CAST(i % 5 AS VARCHAR) AS pos_id,
+               COUNT(*) AS row_ct,
+               SUM(k + i) AS item_sum,
+               SUM(i + 1) AS order_sum
+        FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "log_action_stats": f"""
+        WITH base AS (
+            SELECT *, user_id % 500 AS mid,
+                   CAST(floor(epoch(ts)) AS BIGINT) * 1000 + event_id % 1000 AS ts_ms
+            FROM events WHERE {_OK}
+        )
+        SELECT * FROM (
+            SELECT 'cart_add' AS action_id, COUNT(*) AS row_ct,
+                   COUNT(DISTINCT mid) AS mid_ct, MAX(ts_ms) + 1000 AS max_ts
+            FROM base WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT 'favor_add', COUNT(*), COUNT(DISTINCT mid), MAX(ts_ms) + 1000
+            FROM base WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'trade', COUNT(*), COUNT(DISTINCT mid), MAX(ts_ms) + 2000
+            FROM base WHERE event_type = 'purchase'
+        ) ORDER BY action_id
+    """,
+    "log_pvuv_channel": f"""
+        SELECT {_CH} AS ch,
+               COUNT(*) AS pv_ct,
+               COUNT(DISTINCT user_id % 500) AS uv_ct,
+               SUM(event_id % 100000) AS dur_sum
+        FROM events
+        WHERE {_OK} AND event_type != 'signup'
+        GROUP BY 1 ORDER BY 1
+    """,
+}

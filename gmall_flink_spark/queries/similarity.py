@@ -10,6 +10,7 @@ from gmall_flink_spark.llm.similarity import (
     brute_force_topk,
     cosine,
     ivf_assign,
+    near_dup_pairs,
     prep,
     with_norm,
 )
@@ -66,8 +67,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on the label column (exact
+    within blocks, cos >= 0.3, keep-lowest-id representative)."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    return near_dup_pairs(emb, threshold=0.3, block_col="label").orderBy(
+        "block", "a_id", "b_id"
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "embed_near_dup": embed_near_dup,
     "sim_ivf_clusters": sim_ivf_clusters,
     "sim_ivf_topk": sim_ivf_topk,
 }
@@ -91,6 +102,17 @@ _ASSIGNED = f"""
 """
 
 ORACLE = {
+    "embed_near_dup": f"""
+        WITH n AS (SELECT vec_id, v, norm, label FROM (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+            FROM embeddings))
+        SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+               round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
+        ORDER BY block, a_id, b_id
+    """,
     "sim_cosine_topk": f"""
         WITH n AS ({_NORMED}),
         q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm FROM n

@@ -20,9 +20,11 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.dedup",
     "gmall_flink_spark.queries.windows",
     "gmall_flink_spark.queries.cdc",
+    "gmall_flink_spark.queries.log",
     "gmall_flink_spark.queries.text",
     "gmall_flink_spark.queries.llm_dedup",
     "gmall_flink_spark.queries.similarity",
+    "gmall_flink_spark.queries.multimodal",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Structured Streaming lift (SURVEY §2.7 W1-W12, §7.2 step 8).
+
+Design contract ("streaming = incremental batch", the Structured Streaming
+model): every operator in this library is first a batch DataFrame transform
+(the oracle-checked form); this module re-runs the *same* transform as an
+incremental micro-batch query. The reference's apps are continuous Flink
+jobs; their Spark twins are ``readStream`` → identical transform →
+``writeStream`` — tests drive them with ``trigger(availableNow=True)`` and
+assert equality with the batch result (SURVEY §5.3).
+
+At scale the file sources below become Kafka sources
+(``spark.readStream.format("kafka")`` — S1/S2, util/KafkaUtil.java:25-53);
+the transform stack is unchanged, which is the point of the design.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+_STREAM_TMP = "/tmp/gmall_stream"
+
+
+def _as_dir(sf_dir: str, name: str) -> str:
+    """Spark's file stream source requires a *directory*; the testdata is one
+    parquet file per table. Materialize a per-table symlink dir (idempotent,
+    content never copied)."""
+    d = os.path.join(_STREAM_TMP, "tables", sf_dir.strip("/").replace("/", "_"), name)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    return d
+
+
+def stream_table(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The streaming twin of sources.tables.table: same schema, same events
+    ts normalization, but an unbounded file-stream source (S1)."""
+    static = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(_as_dir(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def split_into_files(df: DataFrame, n: int, order_col: str, out_dir: str) -> str:
+    """Write ``df`` as ``n`` event-time-ordered parquet files with strictly
+    increasing mtimes, so the file stream source replays them as ``n``
+    ordered micro-batches (the harness's stand-in for a Kafka topic with
+    in-order event time — what watermark tests need)."""
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    parts = df.orderBy(order_col).withColumn(
+        "__slice", F.ntile(n).over(Window.orderBy(order_col))
+    )
+    base = int(os.path.getmtime(out_dir))
+    for i in range(1, n + 1):
+        tmp = os.path.join(out_dir, f"_tmp_{i}")
+        parts.where(F.col("__slice") == i).drop("__slice").coalesce(1).write.parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(out_dir, f"slice-{i:04d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i, base + i))
+    return out_dir
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    foreach_batch=None,
+    timeout_s: int = 300,
+) -> DataFrame | None:
+    """Execute a streaming DataFrame to completion with
+    ``trigger(availableNow=True)`` and return the materialized result.
+
+    Without ``foreach_batch`` the sink is an in-memory table (returned as a
+    DataFrame); with it, each micro-batch is handed to the callable (K3/K4
+    upsert writers, M1 fan-out) and None is returned. A fresh checkpoint dir
+    per run keeps invocations independent (W11: in production the
+    checkpoint is stable and provides exactly-once recovery)."""
+    name = f"q{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(_STREAM_TMP, "ckpt", name)
+    writer = sdf.writeStream.option("checkpointLocation", ckpt).trigger(availableNow=True)
+    if foreach_batch is not None:
+        q = writer.foreachBatch(foreach_batch).start()
+        q.awaitTermination(timeout_s)
+        return None
+    q = writer.format("memory").queryName(name).outputMode(output_mode).start()
+    q.awaitTermination(timeout_s)
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,117 @@
+"""Streaming forms of the keyed-state operators (SURVEY §2.6 D1-D8).
+
+Batch twins live in operators/dedup.py (window functions — what the DuckDB
+oracle checks); these are the incremental forms the reference implements
+with Flink ValueState:
+
+  keep_first_stream    D1/D2  dropDuplicatesWithinWatermark — state evicted
+                              at the watermark, the exact analogue of the
+                              reference's 5s state TTL
+                              (app/dws/DwsTradeSkuOrderWindow.java:117-119)
+  first_per_day_stream D4/D7  applyInPandasWithState: per-key set of seen
+                              days, emit only a key's first event of a day
+                              (app/dws/DwsTrafficVcChArIsNewPageViewWindow
+                              .java:79-128)
+  new_user_flags_stream D5    same state machine, plus an is_first_ever flag
+                              when the key was never seen before
+                              (app/dws/DwsTradeOrderWindow.java:62-91)
+
+Scale posture: state is partitioned by key in the state store (RocksDB
+provider on a real cluster); nothing is collected to the driver. The
+per-day states are bounded by (active keys × retained days); the reference
+bounds the same state with a 1-day TTL (W9) — here old dates could be
+pruned inside the state update function the same way.
+
+Semantics note (first-arrival vs event-time-first): like the reference's
+ValueState detectors, these emit the *first-arriving* row per key/day. The
+batch twin orders by event time, so equivalence holds when ingestion is
+event-time ordered per key (Kafka key-partitioned topics give this; the
+test harness replays files in event-time order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def keep_first_stream(
+    sdf: DataFrame, keys: list[str], event_time: str, delay: str = "10 seconds"
+) -> DataFrame:
+    """D1/D2: streaming keep-first-per-key with watermark-bounded state."""
+    return sdf.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def first_per_day_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
+    """D4/D7 streaming twin: emit each key's first event per day, appending
+    ``cur_date``. State: the set of days already emitted for the key."""
+    # copy the field list — StructType.add mutates, and reusing
+    # sdf.schema.fields would append cur_date to the INPUT schema too
+    out_schema = StructType(list(sdf.schema.fields)).add("cur_date", "string")
+    state_schema = "seen_days array<string>"
+
+    # worker closures must be self-contained: Spark's Python workers run
+    # without this repo on their PYTHONPATH under a foreign driver session
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            pdf["cur_date"] = pdf[ts].dt.strftime("%Y-%m-%d")
+            fresh = pdf[~pdf["cur_date"].isin(seen)].drop_duplicates(
+                subset=["cur_date"], keep="first"
+            )
+            if len(fresh):
+                seen.update(fresh["cur_date"])
+                yield fresh
+        state.update((sorted(seen),))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def new_user_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
+    """D5 streaming twin: one row per key per day with ``is_first_ever`` = 1
+    the first time the key is ever seen (order/payment new-user counters)."""
+    out_schema = (
+        StructType()
+        .add(sdf.schema[key].name, sdf.schema[key].dataType)
+        .add("cur_date", "string")
+        .add("is_first_ever", "integer")
+    )
+    state_schema = "seen_days array<string>"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        ever = bool(seen)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            days = pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates()
+            fresh = [d for d in days if d not in seen]
+            if fresh:
+                rows = pd.DataFrame(
+                    {
+                        key: [key_tuple[0]] * len(fresh),
+                        "cur_date": fresh,
+                        "is_first_ever": [
+                            1 if (not ever and i == 0) else 0 for i in range(len(fresh))
+                        ],
+                    }
+                )
+                seen.update(fresh)
+                ever = True
+                yield rows
+        state.update((sorted(seen),))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

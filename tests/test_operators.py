@@ -75,3 +75,36 @@ def test_repair_is_new(spark):
     assert got[("a", 3)] == 0                          # later day -> repaired
     assert got[("b", 4)] == 1
     assert got[("b", 5)] == 0
+
+
+def test_first_non_null_d9(spark):
+    """D9 delta-compaction: first non-null per column under the key order."""
+    from gmall_flink_spark.operators.dedup import first_non_null
+
+    rows = [
+        (1, 1, None, None),
+        (1, 2, "a", None),
+        (1, 3, "b", "x"),
+        (2, 1, None, "y"),
+        (2, 2, "c", "z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, left_v string, right_v string")
+    got = {
+        (r["k"], r["left_v"], r["right_v"])
+        for r in first_non_null(df, ["k"], ["ts"], ["left_v", "right_v"]).collect()
+    }
+    assert got == {(1, "a", "x"), (2, "c", "y")}
+
+
+def test_salted_row_key_u1(spark):
+    from gmall_flink_spark.functions.rowkey import salted_row_key
+
+    df = spark.range(100).select(salted_row_key("id", 3).alias("rk"), "id")
+    rows = df.collect()
+    # shape NN_pk, bucket in range, deterministic, roughly balanced
+    buckets = {}
+    for r in rows:
+        prefix, pk = r["rk"].split("_")
+        assert int(pk) == r["id"] and 0 <= int(prefix) < 3
+        buckets[prefix] = buckets.get(prefix, 0) + 1
+    assert len(buckets) == 3 and max(buckets.values()) < 60

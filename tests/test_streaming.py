@@ -1,0 +1,145 @@
+"""Streaming-vs-batch equivalence (SURVEY §5.3): the same transform run as
+a batch query and as an incremental availableNow streaming query must agree
+— the semantic contract of Structured Streaming and the basis for claiming
+the reference's continuous pipelines are covered by our batch-twin oracles.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.operators.dedup import daily_new_flags, first_per_day, keep_last
+from gmall_flink_spark.operators.log_split import log_split_sinks, parse_page_log, split_log
+from gmall_flink_spark.operators.windows import tumble_agg
+from gmall_flink_spark.sinks.upsert import upsert_writer
+from gmall_flink_spark.sources.log_synth import page_log_json
+from gmall_flink_spark.sources.tables import table
+from gmall_flink_spark.streaming.core import run_available_now, split_into_files, stream_table
+from gmall_flink_spark.streaming.stateful import (
+    first_per_day_stream,
+    keep_first_stream,
+    new_user_flags_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+TMP = "/tmp/gmall_stream_tests"
+
+
+def rows(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+@pytest.fixture(scope="module")
+def events_slices(spark):
+    """events as 4 event-time-ordered files (a replayed in-order topic)."""
+    out = os.path.join(TMP, "events_slices")
+    split_into_files(table(spark, SF, "events"), 4, "ts", out)
+    return out
+
+
+def stream_from(spark, path, template):
+    return spark.readStream.schema(template.schema).option("maxFilesPerTrigger", "1").parquet(path)
+
+
+def test_window_agg_complete_equals_batch(spark):
+    ev = table(spark, SF, "events")
+    aggs = [F.count(F.lit(1)).alias("pv"), F.sum("value").alias("val_sum")]
+    batch = tumble_agg(ev, "ts", "1 hour", ["event_type"], aggs)
+    sdf = stream_table(spark, SF, "events")
+    stream = run_available_now(
+        tumble_agg(sdf, "ts", "1 hour", ["event_type"], aggs), output_mode="complete"
+    )
+    assert rows(batch) == rows(stream)
+
+
+def test_watermark_append_emits_closed_windows(spark, events_slices):
+    """W1+W4: with a watermark, append mode emits exactly the windows closed
+    by the final watermark (= max event time); the tail window stays open."""
+    ev = table(spark, SF, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = tumble_agg(ev, "ts", "1 hour", [], [F.count(F.lit(1)).alias("pv")])
+    expected = [
+        r
+        for r in rows(batch, ["stt", "edt", "pv"])
+        if r[1] <= max_ts.strftime("%Y-%m-%d %H:%M:%S")
+    ]
+    sdf = stream_from(spark, events_slices, ev).withWatermark("ts", "0 seconds")
+    got = run_available_now(
+        tumble_agg(sdf, "ts", "1 hour", [], [F.count(F.lit(1)).alias("pv")]),
+        output_mode="append",
+    )
+    assert rows(got, ["stt", "edt", "pv"]) == expected
+
+
+def test_keep_first_stream_matches_batch_keys(spark, events_slices):
+    """D1/D2: dropDuplicatesWithinWatermark emits one row per key; the key
+    set equals the batch first_per_day key set (first-arrival vs first-by-ts
+    may pick different rows on ts ties, so keys are the contract)."""
+    ev = table(spark, SF, "events").withColumn(
+        "cur_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    batch = first_per_day(table(spark, SF, "events"), "user_id")
+    sdf = stream_from(spark, events_slices, table(spark, SF, "events")).withColumn(
+        "cur_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    got = run_available_now(
+        keep_first_stream(sdf, ["user_id", "cur_date"], "ts", "1 minute")
+    )
+    assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
+    assert got.count() == batch.count()
+
+
+def test_first_per_day_stream_matches_batch_keys(spark, events_slices):
+    ev = table(spark, SF, "events")
+    batch = first_per_day(ev, "user_id")
+    sdf = stream_from(spark, events_slices, ev)
+    got = run_available_now(first_per_day_stream(sdf, "user_id"))
+    assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
+
+
+def test_new_user_flags_stream_matches_batch(spark, events_slices):
+    """D5: per-key per-day rows with the first-ever flag — exact match with
+    the batch twin (output is key+date+flag, no row ambiguity)."""
+    ev = table(spark, SF, "events")
+    batch = daily_new_flags(ev, "user_id")
+    sdf = stream_from(spark, events_slices, ev)
+    got = run_available_now(new_user_flags_stream(sdf, "user_id"))
+    assert rows(got) == rows(batch)
+
+
+def test_upsert_sink_reaches_batch_final_state(spark, events_slices):
+    """K3/K4: replaying the changelog through the foreachBatch upsert MERGE
+    ends at exactly the batch keep-last state."""
+    state = os.path.join(TMP, "upsert_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    ev = table(spark, SF, "events")
+    sdf = stream_from(spark, events_slices, ev)
+    run_available_now(
+        sdf, foreach_batch=upsert_writer(state, ["user_id"], ["ts", "event_id"])
+    )
+    got = spark.read.parquet(state)
+    batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
+    assert rows(got) == rows(batch)
+
+
+def test_log_split_streaming_fanout_equals_batch(spark):
+    """M1: the five-way foreachBatch fan-out writes exactly the batch split."""
+    raw_dir = os.path.join(TMP, "log_raw")
+    sink_dir = os.path.join(TMP, "log_sinks")
+    for d in (raw_dir, sink_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    raw = page_log_json(spark, SF)
+    raw.coalesce(2).write.parquet(raw_dir)
+    sdf = spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(raw_dir)
+    run_available_now(sdf, foreach_batch=log_split_sinks(sink_dir))
+    batch_splits = split_log(parse_page_log(raw))
+    for name, bdf in batch_splits.items():
+        got = spark.read.parquet(os.path.join(sink_dir, name))
+        assert rows(got) == rows(bdf), f"split {name} diverged"
