@@ -38,6 +38,7 @@ HEADLINE = [
     "returning_users_daily",
     "window_event_counts",
     "window_pv_uv",
+    "dws_brand_order_window",
     "log_split_counts",
     "log_pvuv_channel",
     "keyword_split",
@@ -62,6 +63,22 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # materialize the synthesized topics once (the Kafka-at-rest stand-in,
+    # sources/materialize.py) so timings measure the pipelines, not the
+    # one-time test-topic synthesis.
+    from gmall_flink_spark.sources.cdc_synth import (
+        activity_envelope,
+        cart_envelope,
+        coupon_envelope,
+        detail_envelope,
+        orders_envelope,
+    )
+    from gmall_flink_spark.sources.log_synth import page_log_parsed
+
+    for build in (orders_envelope, cart_envelope, detail_envelope,
+                  activity_envelope, coupon_envelope, page_log_parsed):
+        build(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

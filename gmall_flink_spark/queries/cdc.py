@@ -18,7 +18,6 @@ from gmall_flink_spark.operators.cdc import (
     delta,
     drop_bootstrap,
     insert_or_increase,
-    parse_envelope,
     route_with_config,
     src_filter,
     status_transition,
@@ -27,12 +26,12 @@ from gmall_flink_spark.operators.cdc import o
 from gmall_flink_spark.operators.dedup import keep_first, keep_last
 from gmall_flink_spark.schemas import CONFIG_ROW
 from gmall_flink_spark.sources.cdc_synth import (
-    activity_cdc_json,
-    cart_cdc_json,
-    coupon_cdc_json,
-    detail_cdc_json,
-    orders_cdc_json,
-    topic_db,
+    activity_envelope,
+    cart_envelope,
+    coupon_envelope,
+    detail_envelope,
+    orders_envelope,
+    topic_db_envelope,
 )
 from gmall_flink_spark.sources.tables import table
 
@@ -52,7 +51,7 @@ def _config_df(spark: SparkSession) -> DataFrame:
 def cdc_cart_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DwdTradeCartAdd pipeline (app/dwd/DwdTradeCartAdd.java:19-72):
     insert-or-qty-increase facts with the added quantity (P1,P2,P4,P5)."""
-    env = drop_bootstrap(parse_envelope(cart_cdc_json(spark, sf_dir)))
+    env = drop_bootstrap(cart_envelope(spark, sf_dir))
     cart = src_filter(env, "cart_info", ["insert", "update"])
     return (
         cart.where(insert_or_increase("sku_num"))
@@ -70,7 +69,7 @@ def cdc_cancel_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DwdCancelOrderDetail shape (app/dwd/DwdCancelOrderDetail.java:65-67):
     cancel transitions (P6, any previous state → '1003') enriched via a
     broadcast dim lookup (J3) and aggregated per segment."""
-    env = drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir)))
+    env = drop_bootstrap(orders_envelope(spark, sf_dir))
     cancels = src_filter(env, "order_info").where(
         status_transition("order_status", to="1003")
     )
@@ -94,7 +93,7 @@ def cdc_pay_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DwdTradePayDetailSuc shape (app/dwd/DwdTradePayDetailSuc.java:68-70):
     exact from-state transition 1002→1005 (P7) with two chained broadcast
     lookups (J3×2, cf. DwdTradeRefundPaySuc.java:104-127)."""
-    env = drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir)))
+    env = drop_bootstrap(orders_envelope(spark, sf_dir))
     pays = src_filter(env, "order_info").where(
         status_transition("order_status", to="1005", from_="1002")
     )
@@ -121,7 +120,7 @@ def cdc_config_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     P8 column pruning, app/dim/DimApp.java:94-102): the combined topic_db
     stream routed by (source_table, source_type), row images pruned to the
     config's sink_columns."""
-    env = drop_bootstrap(parse_envelope(topic_db(spark, sf_dir)))
+    env = drop_bootstrap(topic_db_envelope(spark, sf_dir))
     routed = route_with_config(env, _config_df(spark), match_type=True)
     return (
         routed.groupBy("sink_table")
@@ -138,7 +137,7 @@ def cdc_sku_last_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 upsert-compaction batch twin (`GROUP BY pk` + last value,
     util/FlinkSqlUtil.java:42-50) composed with D3 keep-last: the current
     per-sku cart state from the changelog."""
-    env = drop_bootstrap(parse_envelope(cart_cdc_json(spark, sf_dir)))
+    env = drop_bootstrap(cart_envelope(spark, sf_dir))
     cart = src_filter(env, "cart_info", ["insert", "update"]).select(
         d("sku_id").cast("bigint").alias("sku_id"),
         d("id").cast("bigint").alias("id"),
@@ -164,7 +163,7 @@ def cdc_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_detail_id/order_id keys; AQE picks broadcast at small SF.
     """
     od = src_filter(
-        drop_bootstrap(parse_envelope(detail_cdc_json(spark, sf_dir))),
+        drop_bootstrap(detail_envelope(spark, sf_dir)),
         "order_detail", ["insert"],
     ).select(
         d("id").cast("bigint").alias("id"),
@@ -175,17 +174,17 @@ def cdc_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts"),
     )
     oi = src_filter(
-        drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir))),
+        drop_bootstrap(orders_envelope(spark, sf_dir)),
         "order_info", ["insert"],
     ).select(
         d("id").cast("bigint").alias("order_id"),
         d("user_id").cast("bigint").alias("user_id"),
     )
-    oa = parse_envelope(activity_cdc_json(spark, sf_dir)).select(
+    oa = activity_envelope(spark, sf_dir).select(
         d("order_detail_id").cast("bigint").alias("id"),
         d("activity_id").cast("bigint").alias("activity_id"),
     )
-    oc = parse_envelope(coupon_cdc_json(spark, sf_dir)).select(
+    oc = coupon_envelope(spark, sf_dir).select(
         d("order_detail_id").cast("bigint").alias("id"),
         d("coupon_id").cast("bigint").alias("coupon_id"),
     )
@@ -214,7 +213,7 @@ def cdc_refund_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): exact transition
     to '1006' (P7) with two chained broadcast dim lookups (J3×2,
     customer→nation→region) aggregated at region grain."""
-    env = drop_bootstrap(parse_envelope(orders_cdc_json(spark, sf_dir)))
+    env = drop_bootstrap(orders_envelope(spark, sf_dir))
     refunds = src_filter(env, "order_info").where(
         status_transition("order_status", to="1006", from_="1001")
     )

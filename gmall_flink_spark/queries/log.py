@@ -12,12 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_flink_spark.operators.log_split import parse_page_log, split_log
-from gmall_flink_spark.sources.log_synth import page_log_json
+from gmall_flink_spark.operators.log_split import split_log
+from gmall_flink_spark.sources.log_synth import page_log_parsed
 
 
 def _splits(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return split_log(parse_page_log(page_log_json(spark, sf_dir)))
+    return split_log(page_log_parsed(spark, sf_dir))
 
 
 def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

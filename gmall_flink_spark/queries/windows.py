@@ -70,8 +70,47 @@ def window_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stt", "event_type")
 
 
+def dws_brand_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTradeSkuOrderWindow pipeline composed end-to-end
+    (app/dws/DwsTradeSkuOrderWindow.java:50-376): CDC order_detail stream →
+    D2 keep-first dedup per detail id → J7 dim enrichment (broadcast part,
+    the 6-level chain collapsed to its Spark form) → A3 exact-decimal money
+    sums in 30-day tumbling windows → A6 stt/edt decoration.
+
+    Scale: dedup shuffles once on the detail id; the window agg reshuffles
+    on (window, brand) with map-side partials; the dim join broadcasts."""
+    from gmall_flink_spark.operators.cdc import d, drop_bootstrap, src_filter
+    from gmall_flink_spark.operators.dedup import keep_first
+    from gmall_flink_spark.sources.cdc_synth import detail_envelope
+
+    od = src_filter(
+        drop_bootstrap(detail_envelope(spark, sf_dir)), "order_detail", ["insert"]
+    ).select(
+        d("id").cast("bigint").alias("id"),
+        d("sku_id").cast("bigint").alias("sku_id"),
+        d("sku_num").cast("bigint").alias("sku_num"),
+        d("split_total_amount").cast("decimal(18,2)").alias("amount"),
+        F.timestamp_seconds("ts").alias("rt"),
+    )
+    od = keep_first(od, ["id"], ["rt", "sku_num", "amount"])
+    part = table(spark, sf_dir, "part")
+    enriched = od.join(F.broadcast(part), od.sku_id == part.p_partkey)
+    return tumble_agg(
+        enriched,
+        "rt",
+        "30 days",
+        [F.col("p_brand").alias("brand")],
+        [
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum("sku_num").alias("sku_num_sum"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        ],
+    ).orderBy("stt", "brand")
+
+
 QUERIES = {
     "window_event_counts": window_event_counts,
+    "dws_brand_order_window": dws_brand_order_window,
     "window_pv_uv": window_pv_uv,
     "window_daily_value": window_daily_value,
 }
@@ -81,7 +120,35 @@ def _bucket(size_s: int) -> str:
     return f"to_timestamp(CAST(floor(epoch(ts) / {size_s}) * {size_s} AS BIGINT))"
 
 
+def _bucket_of(col: str, size_s: int) -> str:
+    return f"to_timestamp(CAST(floor(epoch({col}) / {size_s}) * {size_s} AS BIGINT))"
+
+
 ORACLE = {
+    "dws_brand_order_window": f"""
+        WITH od AS (
+            SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 1000
+                       + l_suppkey AS id,
+                   l_partkey AS sku_id,
+                   CAST(l_quantity AS BIGINT) AS sku_num,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+                   to_timestamp(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS rt
+            FROM lineitem
+            WHERE (l_orderkey * 7 + l_linenumber) % 89 != 0
+              AND l_linenumber % 11 != 0
+            QUALIFY row_number() OVER (
+                PARTITION BY id ORDER BY rt, sku_num, amount) = 1
+        )
+        SELECT strftime({_bucket_of('rt', 2592000)}, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime({_bucket_of('rt', 2592000)} + INTERVAL '2592000 seconds',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               p_brand AS brand,
+               COUNT(*) AS order_ct,
+               SUM(sku_num) AS sku_num_sum,
+               CAST(SUM(amount) AS DOUBLE) AS amount_sum
+        FROM od JOIN part ON sku_id = p_partkey
+        GROUP BY 1, 2, 3 ORDER BY stt, brand
+    """,
     "window_event_counts": f"""
         SELECT strftime({_bucket(600)}, '%Y-%m-%d %H:%M:%S') AS stt,
                strftime({_bucket(600)} + INTERVAL '600 seconds', '%Y-%m-%d %H:%M:%S') AS edt,

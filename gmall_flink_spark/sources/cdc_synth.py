@@ -202,3 +202,43 @@ def topic_db(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The combined `topic_db` stream: all tables' changelogs unioned, as the
     reference's single Kafka topic carries every MySQL table."""
     return orders_cdc_json(spark, sf_dir).unionAll(cart_cdc_json(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Parsed-envelope accessors (materialized once per SF — the topic at rest;
+# see sources/materialize.py). Queries consume these; the raw *_cdc_json
+# builders above stay the source of truth and run at cache build.
+# ---------------------------------------------------------------------------
+
+def _parsed(spark: SparkSession, sf_dir: str, name: str, raw_builder) -> DataFrame:
+    from gmall_flink_spark.operators.cdc import parse_envelope
+    from gmall_flink_spark.sources.materialize import materialized
+
+    return materialized(
+        spark, sf_dir, name, lambda: parse_envelope(raw_builder(spark, sf_dir))
+    )
+
+
+def orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir, "order_info_env", orders_cdc_json)
+
+
+def cart_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir, "cart_info_env", cart_cdc_json)
+
+
+def detail_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir, "order_detail_env", detail_cdc_json)
+
+
+def activity_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir, "order_detail_activity_env", activity_cdc_json)
+
+
+def coupon_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir, "order_detail_coupon_env", coupon_cdc_json)
+
+
+def topic_db_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed union of every table's changelog (the single topic_db)."""
+    return orders_envelope(spark, sf_dir).unionAll(cart_envelope(spark, sf_dir))

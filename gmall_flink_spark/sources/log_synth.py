@@ -135,3 +135,15 @@ def page_log_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     value = F.when(eid % 101 == 0, F.lit('{"broken')).otherwise(F.to_json(envelope))
     return ev.select(value.alias("value"))
+
+
+def page_log_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsed topic_log, materialized once per SF (the topic at rest; see
+    sources/materialize.py). The raw JSON path above runs at cache build."""
+    from gmall_flink_spark.operators.log_split import parse_page_log
+    from gmall_flink_spark.sources.materialize import materialized
+
+    return materialized(
+        spark, sf_dir, "topic_log_parsed",
+        lambda: parse_page_log(page_log_json(spark, sf_dir)),
+    )

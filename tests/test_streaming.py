@@ -143,3 +143,52 @@ def test_log_split_streaming_fanout_equals_batch(spark):
     for name, bdf in batch_splits.items():
         got = spark.read.parquet(os.path.join(sink_dir, name))
         assert rows(got) == rows(bdf), f"split {name} diverged"
+
+
+def test_topic_router_partitions_by_sink_table(spark):
+    """K2: per-record dynamic routing — each sink_table lands in its own
+    directory and the union of routed rows equals the input."""
+    from gmall_flink_spark.sinks.upsert import topic_router
+
+    out = os.path.join(TMP, "routed")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "id int, sink_table string"
+    )
+    topic_router(out)(df, 0)
+    for t in ("t0", "t1", "t2"):
+        got = spark.read.parquet(os.path.join(out, f"sink_table={t}"))
+        assert sorted(r["id"] for r in got.collect()) == list(range(int(t[1]), 30, 3))
+
+
+def test_interval_join_stream_equals_batch(spark, events_slices):
+    """J5: stream-stream event-time interval join (the pay-suc join shape,
+    DwdTradePayDetailSuc.java:100-127) — watermarked streaming inner join
+    over in-order replay equals the batch join."""
+    ev = table(spark, SF, "events")
+
+    def sides(df):
+        a = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+        b = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("u2"), F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+        return a, b
+
+    cond = (
+        "u = u2 AND b_ts >= a_ts AND b_ts <= a_ts + interval 1 hour"
+    )
+    ba, bb = sides(ev)
+    batch = ba.join(bb, F.expr(cond)).select("u", "a_id", "b_id")
+
+    sa, sb = sides(stream_from(spark, events_slices, ev))
+    got = run_available_now(
+        sa.withWatermark("a_ts", "0 seconds")
+        .join(sb.withWatermark("b_ts", "0 seconds"), F.expr(cond))
+        .select("u", "a_id", "b_id")
+    )
+    assert rows(got) == rows(batch)
