@@ -27,8 +27,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "enrich_dim_chain",
     "interval_join_events",
+    "asof_click_attribution",
+    "range_join_bands",
+    "salted_daily_totals",
     "cdc_cart_add",
     "cdc_order_detail_wide",
     "cdc_config_route",

@@ -182,8 +182,61 @@ def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-filter-aggregate: every predicate reaches the parquet scan
+    (PushedFilters) and only 4 columns are read (ReadSchema) — the
+    pushdown/pruning showcase (SURVEY §4)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("line_ct"),
+        )
+    )
+
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom temporal operator, operators/asof.py): attribute
+    every purchase to the user's latest click at-or-before purchase time —
+    the event-time generalization of the reference's `FOR SYSTEM_TIME AS OF`
+    lookup join (J3, app/dwd/DwdInterationCommentInfo.java:64-78)."""
+    from gmall_flink_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="purchase_ts",
+        right_ts="click_ts", payload=["click_ts", "click_id"],
+    )
+    return out.select(
+        "purchase_id", "user_id", "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    ).orderBy("purchase_id")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "asof_click_attribution": asof_click_attribution,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "left_join_null_path": left_join_null_path,
@@ -195,6 +248,28 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "asof_click_attribution": """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+                   FROM events WHERE event_type = 'click')
+        SELECT purchase_id, p.user_id, click_id,
+               epoch_us(purchase_ts) AS purchase_us,
+               epoch_us(click_ts) AS click_us
+        FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+        QUALIFY row_number() OVER (
+            PARTITION BY purchase_id
+            ORDER BY c.click_ts DESC NULLS LAST, c.click_id DESC NULLS LAST) = 1
+        ORDER BY purchase_id
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -283,3 +358,4 @@ ORACLE = {
         ORDER BY nationkey
     """,
 }
+

@@ -25,6 +25,7 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.llm_dedup",
     "gmall_flink_spark.queries.similarity",
     "gmall_flink_spark.queries.multimodal",
+    "gmall_flink_spark.queries.scale",
 ]
 
 

@@ -49,7 +49,8 @@ def stream_table(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(_as_dir(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: float `/1000` loses µs precision above 2^53
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

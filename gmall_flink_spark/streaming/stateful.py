@@ -115,3 +115,52 @@ def new_user_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame
     return sdf.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def returning_flags_stream(
+    sdf: DataFrame, key: str, ts: str = "ts", gap_days: int = 7
+) -> DataFrame:
+    """D6 streaming twin (app/dws/DwsUserUserLoginWindow.java:74-121): one
+    row per key per active day; ``is_back`` = 1 when the previous active day
+    is >= gap_days earlier. State: the key's last active day."""
+    from datetime import date
+
+    out_schema = (
+        StructType()
+        .add(sdf.schema[key].name, sdf.schema[key].dataType)
+        .add("cur_date", "string")
+        .add("is_back", "integer")
+    )
+    state_schema = "last_date string"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            days = [d for d in pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates()]
+            out_days, out_flags = [], []
+            for dstr in days:
+                if dstr == last:
+                    continue
+                gap_ok = last is not None and (
+                    (date.fromisoformat(dstr) - date.fromisoformat(last)).days
+                    >= gap_days
+                )
+                out_days.append(dstr)
+                out_flags.append(1 if gap_ok else 0)
+                last = dstr
+            if out_days:
+                yield pd.DataFrame(
+                    {
+                        key: [key_tuple[0]] * len(out_days),
+                        "cur_date": out_days,
+                        "is_back": out_flags,
+                    }
+                )
+        state.update((last,))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -108,3 +108,29 @@ def test_salted_row_key_u1(spark):
         assert int(pk) == r["id"] and 0 <= int(prefix) < 3
         buckets[prefix] = buckets.get(prefix, 0) + 1
     assert len(buckets) == 3 and max(buckets.values()) < 60
+
+
+def test_asof_join_tolerance(spark):
+    from gmall_flink_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c")], "k int, lts long, lname string"
+    ).select("k", F.timestamp_seconds("lts").alias("lt"), "lname")
+    right = spark.createDataFrame(
+        [(1, 90, "r1"), (1, 180, "r2"), (2, 10, "r3")], "k int, rts long, rname string"
+    ).select("k", F.timestamp_seconds("rts").alias("rt"), "rname")
+
+    plain = {
+        (r["lname"], r["rname"])
+        for r in asof_join(left, right, "k", "lt", "rt", ["rt", "rname"]).collect()
+    }
+    assert plain == {("a", "r1"), ("b", "r2"), ("c", "r3")}
+
+    # tolerance 30s: c's only candidate (140s stale) is dropped
+    bounded = {
+        (r["lname"], r["rname"])
+        for r in asof_join(
+            left, right, "k", "lt", "rt", ["rt", "rname"], tolerance_seconds=30
+        ).collect()
+    }
+    assert bounded == {("a", "r1"), ("b", "r2"), ("c", None)}

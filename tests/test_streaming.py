@@ -192,3 +192,48 @@ def test_interval_join_stream_equals_batch(spark, events_slices):
         .select("u", "a_id", "b_id")
     )
     assert rows(got) == rows(batch)
+
+
+def test_returning_flags_stream_matches_batch(spark, events_slices):
+    """D6: 7-day returning-user flags — streaming state machine equals the
+    batch lag() twin under in-order replay."""
+    from gmall_flink_spark.operators.dedup import returning_flags
+    from gmall_flink_spark.streaming.stateful import returning_flags_stream
+
+    ev = table(spark, SF, "events")
+    batch = returning_flags(ev, "user_id", "ts", gap_days=7)
+    sdf = stream_from(spark, events_slices, ev)
+    got = run_available_now(returning_flags_stream(sdf, "user_id", gap_days=7))
+    assert rows(got) == rows(batch)
+
+
+def test_config_route_streaming_foreachbatch(spark):
+    """J6 streaming: config re-read + broadcast-routed per micro-batch, fanned
+    out by sink_table (the DimApp/DwdBaseApp loop) — equals the batch route."""
+    from gmall_flink_spark.operators.cdc import drop_bootstrap, route_with_config
+    from gmall_flink_spark.queries.cdc import _config_df
+    from gmall_flink_spark.sinks.upsert import topic_router
+    from gmall_flink_spark.sources.cdc_synth import topic_db_envelope
+
+    out = os.path.join(TMP, "route_sinks")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    env = topic_db_envelope(spark, SF)
+    env_dir = os.path.join(TMP, "topic_db_env")
+    if not os.path.exists(env_dir):
+        env.write.parquet(env_dir)
+
+    def route(batch_df, batch_id):
+        routed = route_with_config(drop_bootstrap(batch_df), _config_df(spark))
+        routed.select(
+            "sink_table", F.element_at("data_pruned", "id").alias("id")
+        ).write.mode("append").partitionBy("sink_table").parquet(out)
+
+    sdf = spark.readStream.schema(env.schema).option("maxFilesPerTrigger", "1").parquet(env_dir)
+    run_available_now(sdf, foreach_batch=route)
+
+    got = spark.read.parquet(out).select("sink_table", "id")
+    batch = route_with_config(drop_bootstrap(env), _config_df(spark)).select(
+        "sink_table", F.element_at("data_pruned", "id").alias("id")
+    )
+    assert rows(got) == rows(batch)
