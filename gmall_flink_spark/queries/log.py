@@ -84,8 +84,32 @@ def log_pvuv_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dws_home_detail_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTrafficHomeDetailPageViewWindow pipeline (A5 + D4,
+    app/dws/DwsTrafficHomeDetailPageViewWindow.java:70-133): daily exact UV
+    of the home and good_detail pages via first-event-per-day dedup on
+    (mid, page_id), summed as two counters per day."""
+    from gmall_flink_spark.operators.dedup import first_per_day
+
+    p = _splits(spark, sf_dir)["page"].where(
+        F.col("page_id").isin("home", "good_detail")
+    )
+    p = p.withColumn("k", F.concat_ws("|", "mid", "page_id"))
+    p = p.withColumn("rt", F.timestamp_millis("ts"))
+    firsts = first_per_day(p, "k", "rt", order_by=["rt", "ts"])
+    return (
+        firsts.groupBy("cur_date")
+        .agg(
+            F.sum((F.col("page_id") == "home").cast("bigint")).alias("home_uv_ct"),
+            F.sum((F.col("page_id") == "good_detail").cast("bigint")).alias("detail_uv_ct"),
+        )
+        .orderBy("cur_date")
+    )
+
+
 QUERIES = {
     "log_split_counts": log_split_counts,
+    "dws_home_detail_uv": dws_home_detail_uv,
     "log_display_flat": log_display_flat,
     "log_action_stats": log_action_stats,
     "log_pvuv_channel": log_pvuv_channel,
@@ -95,6 +119,22 @@ _OK = "event_id % 101 != 0"
 _CH = "(['xiaomi','appstore','huawei','web'])[(event_id % 4) + 1]"
 
 ORACLE = {
+    "dws_home_detail_uv": f"""
+        WITH p AS (
+            SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) * 1000
+                       + event_id % 1000) // 1000), '%Y-%m-%d') AS cur_date,
+                   user_id % 500 AS mid,
+                   CASE WHEN event_type = 'click' THEN 'home'
+                        WHEN event_type = 'view' THEN 'good_detail' END AS page_id
+            FROM events
+            WHERE {_OK} AND event_type IN ('click', 'view')
+        )
+        SELECT cur_date,
+               COUNT(DISTINCT CASE WHEN page_id = 'home' THEN mid END) AS home_uv_ct,
+               COUNT(DISTINCT CASE WHEN page_id = 'good_detail' THEN mid END)
+                   AS detail_uv_ct
+        FROM p GROUP BY 1 ORDER BY 1
+    """,
     "log_split_counts": f"""
         WITH ev AS (SELECT *, user_id % 500 AS mid FROM events WHERE {_OK})
         SELECT * FROM (

@@ -108,9 +108,45 @@ def dws_brand_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stt", "brand")
 
 
+def dws_nation_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTradeProvinceOrderWindow pipeline (A4 + D2 + J8,
+    app/dws/DwsTradeProvinceOrderWindow.java:36-140): order inserts from the
+    changelog, windowed per geography with count + exact-decimal amount,
+    name-enriched via broadcast dims, stt/edt decorated."""
+    from gmall_flink_spark.operators.cdc import d, drop_bootstrap, src_filter
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+
+    oi = src_filter(
+        drop_bootstrap(orders_envelope(spark, sf_dir)), "order_info", ["insert"]
+    ).select(
+        d("id").cast("bigint").alias("order_id"),
+        d("user_id").cast("bigint").alias("user_id"),
+        d("total_amount").cast("decimal(18,2)").alias("amount"),
+        F.timestamp_seconds("ts").alias("rt"),
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    enriched = (
+        oi.join(F.broadcast(cust), oi.user_id == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return tumble_agg(
+        enriched,
+        "rt",
+        "30 days",
+        [F.col("n_name").alias("nation_name")],
+        [
+            F.count(F.lit(1)).alias("order_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+            F.sum("amount").cast("double").alias("order_amount"),
+        ],
+    ).orderBy("stt", "nation_name")
+
+
 QUERIES = {
     "window_event_counts": window_event_counts,
     "dws_brand_order_window": dws_brand_order_window,
+    "dws_nation_order_window": dws_nation_order_window,
     "window_pv_uv": window_pv_uv,
     "window_daily_value": window_daily_value,
 }
@@ -125,6 +161,26 @@ def _bucket_of(col: str, size_s: int) -> str:
 
 
 ORACLE = {
+    "dws_nation_order_window": f"""
+        WITH oi AS (
+            SELECT o_orderkey AS order_id, o_custkey AS user_id,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+                   to_timestamp(CAST(floor(epoch(o_orderdate)) AS BIGINT)) AS rt
+            FROM orders
+            WHERE o_orderkey % 97 != 0 AND o_orderkey % 10 <= 5
+        )
+        SELECT strftime({_bucket_of('rt', 2592000)}, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime({_bucket_of('rt', 2592000)} + INTERVAL '2592000 seconds',
+                        '%Y-%m-%d %H:%M:%S') AS edt,
+               n_name AS nation_name,
+               COUNT(*) AS order_ct,
+               COUNT(DISTINCT user_id) AS user_ct,
+               CAST(SUM(amount) AS DOUBLE) AS order_amount
+        FROM oi
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3 ORDER BY stt, nation_name
+    """,
     "dws_brand_order_window": f"""
         WITH od AS (
             SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 1000

@@ -164,3 +164,33 @@ def returning_flags_stream(
     return sdf.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def is_new_repair_stream(
+    sdf: DataFrame, key: str, ts: str, claimed_col: str
+) -> DataFrame:
+    """D8 streaming twin (app/dwd/DwdTrafficBaseLogSplit.java:63-97): repair
+    the client-claimed is_new flag against keyed first-seen state — a
+    claimed 1 on any day after the key's first-seen day is rewritten to 0.
+    State: the key's first-seen date."""
+    out_schema = StructType(list(sdf.schema.fields)).add("is_new_fixed", "integer")
+    state_schema = "first_date string"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts)
+            cur = pdf[ts].dt.strftime("%Y-%m-%d")
+            if first is None:
+                first = cur.iloc[0]
+            pdf["is_new_fixed"] = (
+                (pdf[claimed_col] == 1) & (cur == first)
+            ).astype("int32")
+            yield pdf
+        state.update((first,))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

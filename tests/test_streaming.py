@@ -237,3 +237,62 @@ def test_config_route_streaming_foreachbatch(spark):
         "sink_table", F.element_at("data_pruned", "id").alias("id")
     )
     assert rows(got) == rows(batch)
+
+
+def test_is_new_repair_stream_matches_batch(spark, events_slices):
+    """D8: is_new repair — keyed first-seen state equals the batch
+    min-day-over-key twin under in-order replay."""
+    from gmall_flink_spark.operators.dedup import repair_is_new
+    from gmall_flink_spark.streaming.stateful import is_new_repair_stream
+
+    claimed = (F.col("event_id") % 5 == 0).cast("int")
+    ev = table(spark, SF, "events").withColumn("claimed", claimed)
+    batch = repair_is_new(ev, "user_id", "ts", F.col("claimed"))
+    sdf = stream_from(spark, events_slices, table(spark, SF, "events")).withColumn(
+        "claimed", claimed
+    )
+    got = run_available_now(is_new_repair_stream(sdf, "user_id", "ts", "claimed"))
+    cols = ["event_id", "is_new_fixed"]
+    assert rows(got, cols) == rows(batch, cols)
+
+
+def test_checkpoint_resume_no_duplicates(spark):
+    """W11 exactly-once: stop after the first files, restart from the SAME
+    checkpoint with more files present — the append sink sees every row
+    exactly once."""
+    src = os.path.join(TMP, "ckpt_src")
+    sink = os.path.join(TMP, "ckpt_sink")
+    ckpt = os.path.join(TMP, "ckpt_state")
+    for d in (src, sink, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(src)
+    ev = table(spark, SF, "events").select("event_id", "user_id")
+
+    def write_slice(i, lo, hi):
+        part = ev.where((F.col("event_id") % 4 >= lo) & (F.col("event_id") % 4 < hi))
+        tmp = os.path.join(src, f"_t{i}")
+        part.coalesce(1).write.parquet(tmp)
+        f = [x for x in os.listdir(tmp) if x.endswith(".parquet")][0]
+        os.replace(os.path.join(tmp, f), os.path.join(src, f"s{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    def run_once():
+        sdf = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_slice(1, 0, 2)
+    run_once()
+    write_slice(2, 2, 4)
+    run_once()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    want = sorted(r["event_id"] for r in ev.collect())
+    assert got == want
