@@ -86,3 +86,16 @@ def md5_long(x: Column, seed: int | Column = 0) -> Column:
     seed_c = F.lit(seed) if isinstance(seed, int) else seed
     h = F.md5(F.concat(seed_c.cast("string"), F.lit("|"), x))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+#: BPE-ish pre-tokenizer pattern (GPT-2 style simplification): letter runs,
+#: digit runs, and non-space punctuation runs — RE2/Java-compatible.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex (north-star token counting: the
+    whitespace count above underestimates subword cost; this pattern tracks
+    it the way GPT-2-family pre-tokenizers segment)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))

@@ -204,6 +204,30 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (region -> nation -> grand total) — beyond the
+    reference (no grouping sets exist there, SURVEY §2.5); free in Spark."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_ct"),
+        )
+        .orderBy(F.col("region_name").asc_nulls_first(), F.col("nation_name").asc_nulls_first())
+    )
+
+
 def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom temporal operator, operators/asof.py): attribute
     every purchase to the user's latest click at-or-before purchase time —
@@ -237,6 +261,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "asof_click_attribution": asof_click_attribution,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "rollup_revenue": rollup_revenue,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "left_join_null_path": left_join_null_path,
@@ -248,6 +273,17 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "rollup_revenue": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS order_ct
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
     "q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -86,7 +86,25 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting per source (north-star token-count op;
+    complements the whitespace counts in text_token_stats)."""
+    from gmall_flink_spark.functions.text import bpe_token_count, token_count
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+            F.sum(token_count("text")).alias("ws_tokens"),
+            F.max(bpe_token_count("text")).alias("bpe_max"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_bpe_tokens": text_bpe_tokens,
     "keyword_split": keyword_split,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -115,6 +133,18 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_bpe_tokens": r"""
+        WITH t AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                       AS bpe,
+                   len(list_filter(string_split(text, ' '), x -> x != '')) AS ws
+            FROM documents
+        )
+        SELECT source, SUM(bpe) AS bpe_tokens, SUM(ws) AS ws_tokens,
+               MAX(bpe) AS bpe_max
+        FROM t GROUP BY 1 ORDER BY 1
+    """,
     "keyword_split": f"""
         SELECT lang, word, COUNT(*) AS word_ct
         FROM (SELECT lang, unnest({_TOKS}) AS word FROM documents)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_spark.functions.money import dsum
-from gmall_flink_spark.operators.windows import tumble_agg
+from gmall_flink_spark.operators.windows import decorate, tumble_agg
 from gmall_flink_spark.sources.tables import table
 
 
@@ -68,6 +68,36 @@ def window_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "value_avg", F.col("value_sum") / F.col("event_ct")
     ).orderBy("stt", "event_type")
+
+
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window — beyond the reference (it has
+    only tumbling, SURVEY §2.7): 1-hour windows every 30 minutes; each event
+    lands in 2 windows."""
+    ev = table(spark, sf_dir, "events")
+    return decorate(
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+            F.count(F.lit(1)).alias("pv_ct")
+        )
+    ).orderBy("stt", "event_type")
+
+
+def window_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 minutes) per user — also beyond the
+    reference; per user: session count, total events, largest session."""
+    ev = table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("session_ct"),
+            F.sum("n").alias("event_ct"),
+            F.max("n").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def dws_brand_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,6 +179,8 @@ QUERIES = {
     "dws_nation_order_window": dws_nation_order_window,
     "window_pv_uv": window_pv_uv,
     "window_daily_value": window_daily_value,
+    "window_sliding_counts": window_sliding_counts,
+    "window_session_stats": window_session_stats,
 }
 
 
@@ -161,6 +193,39 @@ def _bucket_of(col: str, size_s: int) -> str:
 
 
 ORACLE = {
+    "window_sliding_counts": f"""
+        WITH hops AS (
+            SELECT event_type,
+                   to_timestamp(CAST(floor((epoch(ts) - off) / 3600) * 3600 + off
+                                     AS BIGINT)) AS wstart
+            FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+            WHERE floor((epoch(ts) - off) / 3600) * 3600 + off <= epoch(ts)
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(wstart + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
+               event_type,
+               COUNT(*) AS pv_ct
+        FROM hops GROUP BY 1, 2, 3 ORDER BY stt, event_type
+    """,
+    "window_session_stats": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        per AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS session_ct, SUM(n) AS event_ct,
+               MAX(n) AS max_session_events
+        FROM per GROUP BY 1 ORDER BY 1
+    """,
     "dws_nation_order_window": f"""
         WITH oi AS (
             SELECT o_orderkey AS order_id, o_custkey AS user_id,

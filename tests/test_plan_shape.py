@@ -1,0 +1,44 @@
+"""Plan-shape guards (SURVEY §4 / 100 TB posture): these assert the
+*physical strategy*, not results — a regression that silently turns a
+broadcast into a cross join or loses scan pushdown fails here long before
+it shows up as a 100 TB incident."""
+
+from __future__ import annotations
+
+from gmall_flink_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+_Q = all_queries()
+
+
+def plan(spark, name: str) -> str:
+    return _Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_enrichment_broadcasts(spark):
+    p = plan(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q6_filters_reach_scan(spark):
+    p = plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1][:400]
+
+
+def test_q6_prunes_columns(spark):
+    p = plan(spark, "q6_forecast_revenue")
+    read = p.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read and "l_extendedprice" in read
+
+
+def test_range_join_is_not_a_cross_product(spark):
+    p = plan(spark, "range_join_bands")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_wide_fact_joins_are_hash_joins(spark):
+    p = plan(spark, "cdc_order_detail_wide")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
