@@ -43,15 +43,20 @@ HEADLINE = [
     "window_event_counts",
     "window_pv_uv",
     "dws_brand_order_window",
+    "dws_nation_order_window",
+    "window_session_stats",
+    "rollup_revenue",
     "log_split_counts",
     "log_pvuv_channel",
     "keyword_split",
     "text_quality",
+    "text_bpe_tokens",
     "media_decode_stats",
     "dedup_simhash",
     "minhash_band_buckets",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "embed_near_dup",
 ]
 
 

@@ -296,3 +296,25 @@ def test_checkpoint_resume_no_duplicates(spark):
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     want = sorted(r["event_id"] for r in ev.collect())
     assert got == want
+
+
+def test_dws_window_pipeline_stream_equals_batch(spark, events_slices):
+    """Composite DWS pipeline in streaming: D4-style dedup keys + windowed
+    counters over the replayed stream (complete mode) equals the batch
+    composition — the full DWS shape, not just single operators."""
+    from gmall_flink_spark.operators.dedup import first_per_day
+
+    ev = table(spark, SF, "events")
+    batch_first = first_per_day(ev, "user_id").select("user_id", "cur_date")
+    batch = (
+        batch_first.groupBy("cur_date")
+        .agg(F.count(F.lit(1)).alias("uu_ct"))
+    )
+    sdf = stream_from(spark, events_slices, ev)
+    stream = run_available_now(
+        first_per_day_stream(sdf, "user_id")
+        .groupBy("cur_date")
+        .agg(F.count(F.lit(1)).alias("uu_ct")),
+        output_mode="complete",
+    )
+    assert rows(stream) == rows(batch)
