@@ -107,18 +107,62 @@ def dws_home_detail_uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def log_traffic_grain_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DwsTrafficVcChArIsNewPageViewWindow grain (A1+A6+W1,
+    app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:130-154): 1-day
+    tumbling windows keyed by (vc, ch, ar, is_new) with pv, exact uv, and
+    duration sums, stt/edt-decorated."""
+    from gmall_flink_spark.operators.windows import tumble_agg
+
+    p = _splits(spark, sf_dir)["page"].withColumn("rt", F.timestamp_millis("ts"))
+    return tumble_agg(
+        p,
+        "rt",
+        "1 day",
+        ["vc", "ch", "ar", "is_new"],
+        [
+            F.count(F.lit(1)).alias("pv_ct"),
+            F.countDistinct("mid").alias("uv_ct"),
+            F.sum("during_time").alias("dur_sum"),
+        ],
+    ).orderBy("stt", "vc", "ch", "ar", "is_new")
+
+
 QUERIES = {
     "log_split_counts": log_split_counts,
     "dws_home_detail_uv": dws_home_detail_uv,
     "log_display_flat": log_display_flat,
     "log_action_stats": log_action_stats,
     "log_pvuv_channel": log_pvuv_channel,
+    "log_traffic_grain_window": log_traffic_grain_window,
 }
 
 _OK = "event_id % 101 != 0"
 _CH = "(['xiaomi','appstore','huawei','web'])[(event_id % 4) + 1]"
 
 ORACLE = {
+    "log_traffic_grain_window": f"""
+        WITH p AS (
+            SELECT 'v' || CAST(event_id % 3 AS VARCHAR) AS vc,
+                   {_CH} AS ch,
+                   CAST(user_id % 7 AS VARCHAR) AS ar,
+                   CASE WHEN event_id % 5 = 0 THEN '1' ELSE '0' END AS is_new,
+                   user_id % 500 AS mid,
+                   event_id % 100000 AS during_time,
+                   to_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) * 1000
+                                  + event_id % 1000) // 1000 // 86400) * 86400)
+                       AS wstart
+            FROM events
+            WHERE {_OK} AND event_type != 'signup'
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS stt,
+               strftime(wstart + INTERVAL '86400 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
+               vc, ch, ar, is_new,
+               COUNT(*) AS pv_ct,
+               COUNT(DISTINCT mid) AS uv_ct,
+               SUM(during_time) AS dur_sum
+        FROM p GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY stt, vc, ch, ar, is_new
+    """,
     "dws_home_detail_uv": f"""
         WITH p AS (
             SELECT strftime(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) * 1000

@@ -204,6 +204,22 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event_type — the
+    reference has no quantile operator; Spark's exact `percentile` comes
+    free and matches DuckDB's quantile_cont bit-for-bit after rounding."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (region -> nation -> grand total) — beyond the
     reference (no grouping sets exist there, SURVEY §2.5); free in Spark."""
@@ -262,6 +278,7 @@ QUERIES = {
     "asof_click_attribution": asof_click_attribution,
     "q6_forecast_revenue": q6_forecast_revenue,
     "rollup_revenue": rollup_revenue,
+    "stats_value_quantiles": stats_value_quantiles,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "left_join_null_path": left_join_null_path,
@@ -273,6 +290,13 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "stats_value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "rollup_revenue": """
         SELECT r_name AS region_name, n_name AS nation_name,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
