@@ -115,3 +115,17 @@ def route_with_config(df: DataFrame, config: DataFrame, match_type: bool = True)
         cond = cond & (df["type"] == config["source_type"])
     routed = df.join(F.broadcast(config), cond, "inner")
     return prune_data(routed, F.col("sink_columns"))
+
+
+def parse_envelope_split(raw: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """P1 with a dead-letter channel: (parsed, dead). The reference swallows
+    malformed rows inside a try/except flatMap (app/dim/DimApp.java:60-74);
+    production pipelines keep them — `dead` carries the raw payload for a
+    quarantine sink, one scan feeding both branches."""
+    j = F.from_json(F.col(value_col), CDC_ENVELOPE)
+    tagged = raw.select(F.col(value_col).alias("value"), j.alias("j"))
+    ok = tagged.where(F.col("j").isNotNull() & F.col("j.table").isNotNull()).select("j.*")
+    dead = tagged.where(F.col("j").isNull() | F.col("j.table").isNull()).select(
+        "value", F.length("value").alias("raw_len")
+    )
+    return ok, dead

@@ -272,8 +272,28 @@ def lookup_dict_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 dead-letter channel (operators/cdc.py::parse_envelope_split): the
+    malformed-row quarantine counts per source topic — rows the reference
+    silently swallows (app/dim/DimApp.java:60-74) but a production pipeline
+    must account for."""
+    from gmall_flink_spark.operators.cdc import parse_envelope_split
+    from gmall_flink_spark.sources.cdc_synth import cart_cdc_json, orders_cdc_json
+
+    _, dead_o = parse_envelope_split(orders_cdc_json(spark, sf_dir))
+    _, dead_c = parse_envelope_split(cart_cdc_json(spark, sf_dir))
+    return (
+        dead_o.select(F.lit("order_info").alias("source"), "raw_len")
+        .unionAll(dead_c.select(F.lit("cart_info").alias("source"), "raw_len"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("dead_ct"), F.sum("raw_len").alias("raw_bytes"))
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "cdc_cart_add": cdc_cart_add,
+    "cdc_dead_letter_stats": cdc_dead_letter_stats,
     "cdc_order_detail_wide": cdc_order_detail_wide,
     "cdc_refund_region": cdc_refund_region,
     "lookup_dict_enrich": lookup_dict_enrich,
@@ -288,6 +308,16 @@ _CART_OK = "(l_orderkey + l_linenumber) % 13 != 0 AND l_linenumber % 7 != 0"
 _ORD_OK = "o_orderkey % 97 != 0 AND o_orderkey % 10 <= 8"
 
 ORACLE = {
+    "cdc_dead_letter_stats": """
+        SELECT * FROM (
+            SELECT 'cart_info' AS source, COUNT(*) AS dead_ct,
+                   COUNT(*) * len('NOT_JSON{"oops"') AS raw_bytes
+            FROM lineitem WHERE (l_orderkey + l_linenumber) % 13 = 0
+            UNION ALL
+            SELECT 'order_info', COUNT(*), COUNT(*) * len('NOT_JSON{"oops"')
+            FROM orders WHERE o_orderkey % 97 = 0
+        ) ORDER BY source
+    """,
     "cdc_order_detail_wide": """
         WITH od AS (
             SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 1000

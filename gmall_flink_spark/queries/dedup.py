@@ -124,7 +124,24 @@ def dedup_per_type_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct UV (HyperLogLog++) — the optional cheaper mode SURVEY
+    §2.5 notes for the exact-UV detectors (rows-only: approximation has no
+    deterministic SQL oracle; uv_daily is the exact gate). At 100 TB this is
+    a constant-memory sketch per group vs an exact distinct shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("cur_date"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("uv_approx"),
+            F.countDistinct("user_id").alias("uv_exact"),
+        )
+        .orderBy("cur_date")
+    )
+
+
 QUERIES = {
+    "uv_daily_approx": uv_daily_approx,
     "dedup_keep_first": dedup_keep_first,
     "dedup_keep_last": dedup_keep_last,
     "uv_daily": uv_daily,
