@@ -291,9 +291,32 @@ def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cart_uu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTradeCartAddUuWindow pipeline (W5 + D4 + A5,
+    app/dws/DwsTradeCartAddUuWindow.java:37-142): event time =
+    coalesce(operate_time, create_time) (W5), first-event-per-day dedup per
+    sku (D4; sku plays the uu key on this testdata), daily unique counts."""
+    from gmall_flink_spark.operators.dedup import first_per_day
+
+    env = drop_bootstrap(cart_envelope(spark, sf_dir))
+    cart = src_filter(env, "cart_info", ["insert", "update"]).select(
+        d("sku_id").cast("bigint").alias("sku_id"),
+        F.coalesce(
+            F.to_timestamp(d("operate_time")), F.to_timestamp(d("create_time"))
+        ).alias("rt"),
+    )
+    firsts = first_per_day(cart, "sku_id", "rt", order_by=["rt", "sku_id"])
+    return (
+        firsts.groupBy("cur_date")
+        .agg(F.count(F.lit(1)).alias("cart_uu_ct"))
+        .orderBy("cur_date")
+    )
+
+
 QUERIES = {
     "cdc_cart_add": cdc_cart_add,
     "cdc_dead_letter_stats": cdc_dead_letter_stats,
+    "cart_uu_daily": cart_uu_daily,
     "cdc_order_detail_wide": cdc_order_detail_wide,
     "cdc_refund_region": cdc_refund_region,
     "lookup_dict_enrich": lookup_dict_enrich,
@@ -308,6 +331,17 @@ _CART_OK = "(l_orderkey + l_linenumber) % 13 != 0 AND l_linenumber % 7 != 0"
 _ORD_OK = "o_orderkey % 97 != 0 AND o_orderkey % 10 <= 8"
 
 ORACLE = {
+    "cart_uu_daily": f"""
+        WITH cart AS (
+            SELECT l_partkey AS sku_id,
+                   strftime(l_shipdate + CASE WHEN l_linenumber % 2 = 0
+                            THEN INTERVAL '1 hour' ELSE INTERVAL '0 hour' END,
+                            '%Y-%m-%d') AS cur_date
+            FROM lineitem WHERE {_CART_OK}
+        )
+        SELECT cur_date, COUNT(DISTINCT sku_id) AS cart_uu_ct
+        FROM cart GROUP BY 1 ORDER BY 1
+    """,
     "cdc_dead_letter_stats": """
         SELECT * FROM (
             SELECT 'cart_info' AS source, COUNT(*) AS dead_ct,

@@ -19,6 +19,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -220,6 +221,29 @@ def stats_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def custom_agg_sumsq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via Arrow GROUPED_AGG pandas_udf (U3: the reference's
+    ReduceFunction/WindowFunction pairs generalized to user aggregates).
+    Integer-exact: value -> rounded cents -> sum of squares, so the oracle
+    compares int64s, not FP. The closure is self-contained (worker has no
+    repo on PYTHONPATH)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # GROUPED_AGG requires a float return hint; the sum stays < 2^53 so the
+    # double round-trip is exact, and the long cast restores the int64 type
+    @pandas_udf("double")
+    def sumsq_cents(v: pd.Series) -> float:
+        cents = (v * 100).round().astype("int64")
+        return float((cents * cents).sum())
+
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(sumsq_cents("value").cast("long").alias("sumsq_cents"))
+        .orderBy("event_type")
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (region -> nation -> grand total) — beyond the
     reference (no grouping sets exist there, SURVEY §2.5); free in Spark."""
@@ -279,6 +303,7 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "rollup_revenue": rollup_revenue,
     "stats_value_quantiles": stats_value_quantiles,
+    "custom_agg_sumsq_cents": custom_agg_sumsq_cents,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "left_join_null_path": left_join_null_path,
@@ -290,6 +315,12 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "custom_agg_sumsq_cents": """
+        SELECT event_type,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS sumsq_cents
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "stats_value_quantiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,

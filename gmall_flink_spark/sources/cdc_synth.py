@@ -100,12 +100,22 @@ def cart_cdc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sku_num = F.col("l_quantity").cast("int")
     old_sku = F.when(ok % 3 == 0, sku_num - 3).otherwise(sku_num + 2)
-    data = F.create_map(
-        F.lit("id"), (ok * 10 + ln).cast("string"),
-        F.lit("sku_id"), F.col("l_partkey").cast("string"),
-        F.lit("sku_num"), sku_num.cast("string"),
-        F.lit("cart_price"), F.col("l_extendedprice").cast("string"),
-        F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+    # operate_time only on updates (+1h) — the W5 coalesce event-time path
+    operate = F.when(
+        typ == "update",
+        F.date_format(F.col("l_shipdate") + F.expr("interval 1 hour"),
+                      "yyyy-MM-dd HH:mm:ss"),
+    )
+    data = F.map_filter(
+        F.create_map(
+            F.lit("id"), (ok * 10 + ln).cast("string"),
+            F.lit("sku_id"), F.col("l_partkey").cast("string"),
+            F.lit("sku_num"), sku_num.cast("string"),
+            F.lit("cart_price"), F.col("l_extendedprice").cast("string"),
+            F.lit("create_time"), F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("operate_time"), operate,
+        ),
+        lambda _k, v: v.isNotNull(),
     )
     old = F.when(typ == "update", F.create_map(F.lit("sku_num"), old_sku.cast("string")))
     envelope = F.struct(
@@ -224,7 +234,7 @@ def orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cart_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _parsed(spark, sf_dir, "cart_info_env", cart_cdc_json)
+    return _parsed(spark, sf_dir, "cart_info_env_v2", cart_cdc_json)
 
 
 def detail_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
