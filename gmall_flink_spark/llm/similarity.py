@@ -106,3 +106,39 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("vec_id", "vec", "norm", F.col("c_id").alias("cluster"))
     )
+
+
+def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1) -> DataFrame:
+    """Lloyd's k-means refinement over the embedding column — the iterative
+    shape IVF training needs, in pure DataFrame ops (no MLlib, no driver
+    loops over data): assign (broadcast argmax) → new centroid = per-cluster
+    element-wise mean (posexplode → groupBy(cluster, pos) avg → rebuild
+    array). Each iteration is one shuffle on (cluster, pos); vectors stay
+    distributed throughout.
+
+    Returns the refined centroids as (cluster, vec)."""
+    cents = with_norm(centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(
+            vectors,
+            cents.select(
+                F.col("c_id").alias("vec_id"), F.col("c_vec").alias("vec")
+            ),
+        )
+        dims = assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
+        means = dims.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+        rebuilt = (
+            means.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("vec")
+            )
+        )
+        cents = with_norm(rebuilt, "vec").select(
+            F.col("cluster").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
+        )
+    return cents.select(F.col("c_id").alias("cluster"), F.col("c_vec").alias("vec"))

@@ -10,6 +10,7 @@ from gmall_flink_spark.llm.similarity import (
     brute_force_topk,
     cosine,
     ivf_assign,
+    kmeans_refine,
     near_dup_pairs,
     prep,
     with_norm,
@@ -76,10 +77,28 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index *training*: one Lloyd iteration refining the seed centroids,
+    then the re-assignment histogram. Iterative + FP-mean arithmetic (whose
+    partial-sum order is partition-dependent) — not SQL-oracle-expressible,
+    so this is a rows-only entry: the cluster count (10) is the stable
+    contract, assignments can shift at FP boundaries."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    seeds = emb.where(F.col("vec_id") < N_CENTROIDS)
+    refined = kmeans_refine(emb, seeds, iterations=1)
+    assigned = ivf_assign(emb, refined.select(F.col("cluster").alias("vec_id"), "vec"))
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("member_ct"))
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "embed_near_dup": embed_near_dup,
     "sim_ivf_clusters": sim_ivf_clusters,
+    "sim_kmeans_clusters": sim_kmeans_clusters,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
