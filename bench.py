@@ -28,6 +28,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
     "enrich_dim_chain",
     "interval_join_events",
     "asof_click_attribution",

@@ -244,6 +244,80 @@ def custom_agg_sumsq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) — free in Spark beyond the reference's equi-joins
+    (SURVEY §2.4 note): orders with at least one late lineitem, counted per
+    priority."""
+    orders = table(spark, sf_dir, "orders")
+    late = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_ct"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio: promo revenue share per month (the
+    CASE-WHEN-inside-agg shape; exact decimal sums, double division)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    # null for non-promo rows — sum() skips nulls, so no typed zero literal
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn("promo_share", F.round(F.col("promo_revenue") / F.col("total_revenue"), 6))
+        .orderBy("ship_month")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-HAVING + re-join: orders whose total quantity exceeds 150,
+    with customer info (the TPC-H q18 shape)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+        )
+        .orderBy("order_id")
+    )
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the schemaless props column
+    (get_json_object — the fastjson field-pluck pattern, §2.9): per
+    event_type sum/max of props.k."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).alias("k_sum"), F.max(k).alias("k_max"),
+             F.count(k).alias("k_ct"))
+        .orderBy("event_type")
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (region -> nation -> grand total) — beyond the
     reference (no grouping sets exist there, SURVEY §2.5); free in Spark."""
@@ -301,6 +375,10 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "asof_click_attribution": asof_click_attribution,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "q14_promo_share": q14_promo_share,
+    "q18_large_orders": q18_large_orders,
+    "events_props_stats": events_props_stats,
     "rollup_revenue": rollup_revenue,
     "stats_value_quantiles": stats_value_quantiles,
     "custom_agg_sumsq_cents": custom_agg_sumsq_cents,
@@ -315,6 +393,52 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_ct
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY 1 ORDER BY 1
+    """,
+    "q14_promo_share": """
+        WITH j AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                       AS rev,
+                   p_type LIKE 'PROMO%' AS is_promo
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT ship_month,
+               CAST(SUM(CASE WHEN is_promo THEN rev END) AS DOUBLE)
+                   AS promo_revenue,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+               round(CAST(SUM(CASE WHEN is_promo THEN rev END) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 6) AS promo_share
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+        )
+        SELECT l_orderkey AS order_id, c_name AS customer_name,
+               CAST(total_qty AS DOUBLE) AS total_qty,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY order_id
+    """,
+    "events_props_stats": """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_ct
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "custom_agg_sumsq_cents": """
         SELECT event_type,
                SUM(CAST(round(value * 100) AS BIGINT)

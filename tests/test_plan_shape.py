@@ -42,3 +42,19 @@ def test_wide_fact_joins_are_hash_joins(spark):
     p = plan(spark, "cdc_order_detail_wide")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
+    """Resilience: with auto-broadcast disabled (a side outgrowing the
+    threshold), the unhinted fact join replans as a shuffle join (SMJ or
+    shuffle-hash) and returns identical results. Explicitly hinted dim
+    broadcasts (F.broadcast) are unaffected by design."""
+    base = _Q["q18_large_orders"](spark, SF).collect()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, "q18_large_orders")
+        got = _Q["q18_large_orders"](spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert sorted(map(tuple, got)) == sorted(map(tuple, base))
