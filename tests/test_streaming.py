@@ -318,3 +318,58 @@ def test_dws_window_pipeline_stream_equals_batch(spark, events_slices):
         output_mode="complete",
     )
     assert rows(stream) == rows(batch)
+
+
+def test_left_outer_stream_join_null_padding(spark, events_slices):
+    """J2 streaming: left-outer stream-stream join emits matched pairs
+    immediately and null-padded rows once the watermark closes the join
+    window (no retractions — cleaner than the reference's changelog storm,
+    SURVEY §2.4 J2). Expected = batch inner part + batch-unmatched lefts
+    whose window closed before the final watermark."""
+    ev = table(spark, SF, "events")
+
+    def sides(df):
+        a = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("a_ts"),
+            F.col("event_id").alias("a_id"),
+        )
+        b = df.where(F.col("event_type") == "signup").select(
+            F.col("user_id").alias("u2"), F.col("ts").alias("b_ts"),
+            F.col("event_id").alias("b_id"),
+        )
+        return a, b
+
+    cond = "u = u2 AND b_ts >= a_ts AND b_ts <= a_ts + interval 1 hour"
+    ba, bb = sides(ev)
+    batch = [
+        (r["u"], r["a_id"], r["b_id"], r["a_ts"])
+        for r in ba.join(bb, F.expr(cond), "left").select("u", "a_id", "b_id", "a_ts").collect()
+    ]
+    matched = {(u, a, b) for u, a, b, _ in batch if b is not None}
+    all_rows = {(u, a, b) for u, a, b, _ in batch}
+    # null emission uses the watermark as of the last *data-advancing* batch
+    # (the final slice's rows haven't raised it yet), so the guaranteed
+    # bound is the max event time of the first n-1 slices
+    import glob as _glob
+
+    penult = spark.read.parquet(
+        *sorted(_glob.glob(os.path.join(events_slices, "slice-*.parquet")))[:-1]
+    ).agg(F.max("ts")).collect()[0][0]
+    must_nulls = {
+        (u, a, None)
+        for u, a, b, a_ts in batch
+        if b is None and a_ts.timestamp() + 3600 < penult.timestamp() - 1
+    }
+
+    sa, sb = sides(stream_from(spark, events_slices, ev))
+    got = {
+        tuple(r)
+        for r in run_available_now(
+            sa.withWatermark("a_ts", "0 seconds")
+            .join(sb.withWatermark("b_ts", "0 seconds"), F.expr(cond), "leftOuter")
+            .select("u", "a_id", "b_id")
+        ).collect()
+    }
+    assert matched <= got          # every true pair emitted, no retractions
+    assert must_nulls <= got       # closed windows null-padded
+    assert got <= all_rows         # nothing fabricated
