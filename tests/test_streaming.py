@@ -373,3 +373,31 @@ def test_left_outer_stream_join_null_padding(spark, events_slices):
     assert matched <= got          # every true pair emitted, no retractions
     assert must_nulls <= got       # closed windows null-padded
     assert got <= all_rows         # nothing fabricated
+
+
+def test_incremental_rollup_equals_full_recompute(spark, events_slices):
+    """Continuous-aggregate maintenance: merging per-batch partials into the
+    rollup table ends exactly at the full-recompute aggregate (algebraic
+    merge: count/sum/min/max)."""
+    from gmall_flink_spark.sinks.rollup import rollup_writer
+
+    state = os.path.join(TMP, "rollup_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    ev = table(spark, SF, "events")
+
+    def partial(df):
+        return df.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("value_sum"),
+            F.min("event_id").alias("eid_min"),
+            F.max("event_id").alias("eid_max"),
+        )
+
+    sdf = stream_from(spark, events_slices, ev)
+    run_available_now(sdf, foreach_batch=rollup_writer(state, ["day", "event_type"], partial))
+    got = spark.read.parquet(state)
+    batch = partial(ev)
+    assert rows(got) == rows(batch)
