@@ -318,6 +318,46 @@ def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer, top 20 (TPC-H q10 shape: fact
+    filter + two joins + top-k)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("cust_id"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("line_ct"))
+        .orderBy(F.desc("revenue"), F.asc("cust_id"))
+        .limit(20)
+    )
+
+
+def q19_discount_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-ed multi-band predicate (TPC-H q19 shape): disjunctive
+    quantity/price bands — Catalyst pushes the whole disjunction to the
+    scan."""
+    li = table(spark, sf_dir, "lineitem")
+    band = (
+        ((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11) & (F.col("l_discount") >= 0.05))
+        | ((F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30) & (F.col("l_discount") <= 0.03))
+        | ((F.col("l_quantity") >= 45) & (F.col("l_tax") >= 0.07))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return li.where(band).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("line_ct"),
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (region -> nation -> grand total) — beyond the
     reference (no grouping sets exist there, SURVEY §2.5); free in Spark."""
@@ -378,6 +418,8 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q14_promo_share": q14_promo_share,
     "q18_large_orders": q18_large_orders,
+    "q10_returned_items": q10_returned_items,
+    "q19_discount_bands": q19_discount_bands,
     "events_props_stats": events_props_stats,
     "rollup_revenue": rollup_revenue,
     "stats_value_quantiles": stats_value_quantiles,
@@ -393,6 +435,32 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "q10_returned_items": """
+        SELECT c_custkey AS cust_id, c_name AS cust_name, n_name AS nation_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, cust_id LIMIT 20
+    """,
+    "q19_discount_bands": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        WHERE (l_quantity BETWEEN 1 AND 11 AND l_discount >= 0.05)
+           OR (l_quantity BETWEEN 20 AND 30 AND l_discount <= 0.03)
+           OR (l_quantity >= 45 AND l_tax >= 0.07)
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_ct
         FROM orders
