@@ -401,3 +401,44 @@ def test_incremental_rollup_equals_full_recompute(spark, events_slices):
     got = spark.read.parquet(state)
     batch = partial(ev)
     assert rows(got) == rows(batch)
+
+
+def test_stateful_resume_across_restart(spark, events_slices):
+    """W11 + D4: a stateful query stopped after half the input and restarted
+    from the SAME checkpoint keeps its keyed state — the union of both runs'
+    emissions equals the one-shot batch key set, with no re-emissions."""
+    import glob as _glob
+
+    src = os.path.join(TMP, "resume_src")
+    sink = os.path.join(TMP, "resume_sink")
+    ckpt = os.path.join(TMP, "resume_ckpt")
+    for d in (src, sink, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(src)
+    ev = table(spark, SF, "events")
+    slices = sorted(_glob.glob(os.path.join(events_slices, "slice-*.parquet")))
+
+    def run_phase():
+        sdf = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            first_per_day_stream(sdf, "user_id")
+            .select("user_id", "cur_date")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    for f in slices[:2]:
+        shutil.copy(f, src)
+    run_phase()
+    for f in slices[2:]:
+        shutil.copy(f, src)
+    run_phase()
+
+    got = spark.read.parquet(sink)
+    batch = first_per_day(ev, "user_id")
+    assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
