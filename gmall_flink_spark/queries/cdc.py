@@ -445,14 +445,14 @@ ORACLE = {
         SELECT * FROM (
             SELECT 'dim_order_info' AS sink_table,
                    COUNT(*) AS row_ct, 3 * COUNT(*) AS keys_ct,
-                   SUM(o_orderkey) AS id_sum
+                   CAST(SUM(o_orderkey) AS BIGINT) AS id_sum
             FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 10 <= 5
             UNION ALL
-            SELECT 'dwd_order_update', COUNT(*), 2 * COUNT(*), SUM(o_orderkey)
+            SELECT 'dwd_order_update', COUNT(*), 2 * COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
             FROM orders WHERE o_orderkey % 97 != 0 AND o_orderkey % 10 IN (6, 7)
             UNION ALL
             SELECT 'dwd_cart_add', COUNT(*), 3 * COUNT(*),
-                   SUM(l_orderkey * 10 + l_linenumber)
+                   CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT)
             FROM lineitem WHERE {_CART_OK} AND l_linenumber % 2 = 1
         ) ORDER BY sink_table
     """,

@@ -180,7 +180,7 @@ ORACLE = {
                         THEN 1 ELSE 0 END AS is_first_ever
             FROM daily
         )
-        SELECT cur_date, COUNT(*) AS uu_ct, SUM(is_first_ever) AS new_ct
+        SELECT cur_date, COUNT(*) AS uu_ct, CAST(SUM(is_first_ever) AS BIGINT) AS new_ct
         FROM flagged GROUP BY cur_date ORDER BY cur_date
     """,
     "returning_users_daily": """
@@ -194,7 +194,7 @@ ORACLE = {
             FROM daily
         )
         SELECT strftime(d, '%Y-%m-%d') AS cur_date,
-               COUNT(*) AS uu_ct, SUM(is_back) AS back_ct
+               COUNT(*) AS uu_ct, CAST(SUM(is_back) AS BIGINT) AS back_ct
         FROM flagged GROUP BY d ORDER BY d
     """,
     "is_new_repair": """
@@ -206,8 +206,8 @@ ORACLE = {
             FROM events
         )
         SELECT cur_date,
-               SUM(claimed) AS claimed_ct,
-               SUM(CASE WHEN claimed = 1 AND cur_date = first_date THEN 1 ELSE 0 END) AS fixed_ct
+               CAST(SUM(claimed) AS BIGINT) AS claimed_ct,
+               CAST(SUM(CASE WHEN claimed = 1 AND cur_date = first_date THEN 1 ELSE 0 END) AS BIGINT) AS fixed_ct
         FROM ev GROUP BY cur_date ORDER BY cur_date
     """,
     "dedup_per_type_spend": """

@@ -149,7 +149,7 @@ ORACLE = {
         FROM t GROUP BY fp2 HAVING COUNT(*) > 1 ORDER BY fp2
     """,
     "minhash_band_buckets": f"""
-        SELECT band, band_sig, COUNT(*) AS member_ct, SUM(doc_id) AS doc_id_sum
+        SELECT band, band_sig, COUNT(*) AS member_ct, CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
         FROM ({_BANDS}) GROUP BY band, band_sig HAVING COUNT(*) > 1
         ORDER BY band, band_sig
     """,
@@ -164,8 +164,8 @@ ORACLE = {
     "ngram_jaccard_stats": f"""
         WITH jac AS ({_jaccard(_SHINGLES3)})
         SELECT COUNT(*) AS pair_ct,
-               SUM(CASE WHEN 5 * inter >= uni THEN 1 ELSE 0 END) AS j02_ct,
-               SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS j05_ct,
+               CAST(SUM(CASE WHEN 5 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT) AS j02_ct,
+               CAST(SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT) AS j05_ct,
                MAX(inter) AS max_inter
         FROM jac
     """,
@@ -179,7 +179,7 @@ ORACLE = {
             GROUP BY doc_id, b
         )
         SELECT doc_id,
-               SUM(CASE WHEN tally > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS simhash
+               CAST(SUM(CASE WHEN tally > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id ORDER BY doc_id
     """,
 }

@@ -160,7 +160,7 @@ ORACLE = {
                vc, ch, ar, is_new,
                COUNT(*) AS pv_ct,
                COUNT(DISTINCT mid) AS uv_ct,
-               SUM(during_time) AS dur_sum
+               CAST(SUM(during_time) AS BIGINT) AS dur_sum
         FROM p GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY stt, vc, ch, ar, is_new
     """,
     "dws_home_detail_uv": f"""
@@ -183,14 +183,14 @@ ORACLE = {
         WITH ev AS (SELECT *, user_id % 500 AS mid FROM events WHERE {_OK})
         SELECT * FROM (
             SELECT 'action' AS split,
-                   SUM(CASE event_type WHEN 'purchase' THEN 2
-                       WHEN 'click' THEN 1 ELSE 0 END) AS row_ct,
+                   CAST(SUM(CASE event_type WHEN 'purchase' THEN 2
+                       WHEN 'click' THEN 1 ELSE 0 END) AS BIGINT) AS row_ct,
                    COUNT(DISTINCT CASE WHEN event_type IN ('purchase','click')
                                        THEN mid END) AS mid_ct
             FROM ev
             UNION ALL
             SELECT 'display',
-                   SUM(CASE WHEN event_type = 'view' THEN event_id % 3 + 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN event_id % 3 + 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT CASE WHEN event_type = 'view' THEN mid END)
             FROM ev
             UNION ALL
@@ -215,8 +215,8 @@ ORACLE = {
                    AS display_type,
                CAST(i % 5 AS VARCHAR) AS pos_id,
                COUNT(*) AS row_ct,
-               SUM(k + i) AS item_sum,
-               SUM(i + 1) AS order_sum
+               CAST(SUM(k + i) AS BIGINT) AS item_sum,
+               CAST(SUM(i + 1) AS BIGINT) AS order_sum
         FROM d GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "log_action_stats": f"""
@@ -241,7 +241,7 @@ ORACLE = {
         SELECT {_CH} AS ch,
                COUNT(*) AS pv_ct,
                COUNT(DISTINCT user_id % 500) AS uv_ct,
-               SUM(event_id % 100000) AS dur_sum
+               CAST(SUM(event_id % 100000) AS BIGINT) AS dur_sum
         FROM events
         WHERE {_OK} AND event_type != 'signup'
         GROUP BY 1 ORDER BY 1

@@ -60,7 +60,7 @@ ORACLE = {
     "media_decode_stats": f"""
         SELECT {_KIND} AS kind,
                COUNT(*) AS media_ct,
-               SUM(octet_length(encode(text))) AS bytes_total,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS bytes_total,
                MAX(octet_length(encode(text))) AS bytes_max
         FROM documents
         GROUP BY 1 ORDER BY 1
@@ -75,8 +75,8 @@ ORACLE = {
             FROM documents WHERE doc_id % 3 = 2
         )
         SELECT COUNT(*) AS video_ct,
-               SUM(c) AS frame_ct,
-               SUM(30 * c * (c - 1) // 2) AS idx_sum
+               CAST(SUM(c) AS BIGINT) AS frame_ct,
+               CAST(SUM(30 * c * (c - 1) // 2) AS BIGINT) AS idx_sum
         FROM v
     """,
     "media_resize_plan": """

@@ -502,15 +502,15 @@ ORACLE = {
     """,
     "events_props_stats": """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
                COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_ct
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "custom_agg_sumsq_cents": """
         SELECT event_type,
-               SUM(CAST(round(value * 100) AS BIGINT)
-                   * CAST(round(value * 100) AS BIGINT)) AS sumsq_cents
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
         FROM events GROUP BY 1 ORDER BY 1
     """,
     "stats_value_quantiles": """
@@ -600,7 +600,7 @@ ORACLE = {
         SELECT o_orderstatus,
                COUNT(*) AS row_ct,
                COUNT(l_orderkey) AS matched_ct,
-               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_ct
+               CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct
         FROM orders
         LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) big
           ON o_orderkey = big.l_orderkey

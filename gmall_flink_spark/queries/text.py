@@ -141,7 +141,7 @@ ORACLE = {
                    len(list_filter(string_split(text, ' '), x -> x != '')) AS ws
             FROM documents
         )
-        SELECT source, SUM(bpe) AS bpe_tokens, SUM(ws) AS ws_tokens,
+        SELECT source, CAST(SUM(bpe) AS BIGINT) AS bpe_tokens, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
                MAX(bpe) AS bpe_max
         FROM t GROUP BY 1 ORDER BY 1
     """,
@@ -153,17 +153,17 @@ ORACLE = {
     "text_token_stats": f"""
         WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents)
         SELECT lang, COUNT(*) AS doc_ct,
-               SUM(len(toks)) AS tok_sum,
-               SUM(len(list_distinct(toks))) AS distinct_sum,
+               CAST(SUM(len(toks)) AS BIGINT) AS tok_sum,
+               CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS distinct_sum,
                SUM(len(toks)) * 1.0 / COUNT(*) AS avg_tokens
         FROM t GROUP BY lang ORDER BY lang
     """,
     "text_quality": f"""
         WITH t AS (SELECT source, {_TOKS} AS toks FROM documents)
         SELECT source, COUNT(*) AS doc_ct,
-               SUM(len(toks)) AS tok_sum,
-               SUM(len(list_filter(toks, x -> x IN {_STOP_IN}))) AS stop_sum,
-               SUM(len(list_distinct(toks))) AS distinct_sum,
+               CAST(SUM(len(toks)) AS BIGINT) AS tok_sum,
+               CAST(SUM(len(list_filter(toks, x -> x IN {_STOP_IN}))) AS BIGINT) AS stop_sum,
+               CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS distinct_sum,
                SUM(len(list_filter(toks, x -> x IN {_STOP_IN}))) * 1.0 / SUM(len(toks)) AS stop_ratio,
                SUM(len(list_distinct(toks))) * 1.0 / SUM(len(toks)) AS distinct_ratio
         FROM t GROUP BY source ORDER BY source

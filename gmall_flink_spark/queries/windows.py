@@ -222,7 +222,7 @@ ORACLE = {
             FROM marked
         ),
         per AS (SELECT user_id, sid, COUNT(*) AS n FROM sess GROUP BY 1, 2)
-        SELECT user_id, COUNT(*) AS session_ct, SUM(n) AS event_ct,
+        SELECT user_id, COUNT(*) AS session_ct, CAST(SUM(n) AS BIGINT) AS event_ct,
                MAX(n) AS max_session_events
         FROM per GROUP BY 1 ORDER BY 1
     """,
@@ -265,7 +265,7 @@ ORACLE = {
                         '%Y-%m-%d %H:%M:%S') AS edt,
                p_brand AS brand,
                COUNT(*) AS order_ct,
-               SUM(sku_num) AS sku_num_sum,
+               CAST(SUM(sku_num) AS BIGINT) AS sku_num_sum,
                CAST(SUM(amount) AS DOUBLE) AS amount_sum
         FROM od JOIN part ON sku_id = p_partkey
         GROUP BY 1, 2, 3 ORDER BY stt, brand
@@ -284,7 +284,7 @@ ORACLE = {
                strftime({_bucket(3600)} + INTERVAL '3600 seconds', '%Y-%m-%d %H:%M:%S') AS edt,
                COUNT(*) AS pv_ct,
                COUNT(DISTINCT user_id) AS uv_ct,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_ct
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_ct
         FROM events
         GROUP BY 1, 2 ORDER BY stt
     """,
