@@ -87,19 +87,57 @@ def lsh_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(units: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    units: DataFrame,
+    pairs: DataFrame | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact jaccard for doc pairs sharing >= 1 shingle (inverted-index
     join); optionally restricted to given candidate pairs. Counts stay
-    integers — thresholds compare ``scale*inter >= q*union`` exactly."""
+    integers — thresholds compare ``scale*inter >= q*union`` exactly.
+
+    Scale guards (both essential at 100 TB):
+
+    * ``max_df`` caps shingle document frequency before the join: one
+      stop-phrase shingle shared by millions of docs makes the unrestricted
+      inverted-index self-join quadratic in that bucket. With the cap, the
+      result is jaccard over *discriminative* shingles (df <= max_df) —
+      both sizes and intersections use the capped shingle set, so the
+      measure stays a true jaccard of the filtered sets.
+    * with ``pairs``, the index join drives off the candidate list (LSH
+      buckets) instead of self-joining the full index, so the cost is
+      O(candidate pairs x shingles-per-doc), not O(index²).
+    """
+    if max_df is not None:
+        keep = (
+            units.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        units = units.join(keep, "shingle")
     sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = units.alias("a"), units.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"])
+        a_units = units.select(F.col("doc_id").alias("doc_a"), "shingle").join(
+            pairs, "doc_a"
+        )
+        b_units = units.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a_units.join(b_units, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = units.alias("a"), units.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (

@@ -35,7 +35,10 @@ def range_join(
     width to keep the expansion ~1-2×.
     """
     pb = points.withColumn("__bucket", F.floor(F.col(point_col) / bucket_width))
-    rb = ranges.withColumn(
+    # Empty/inverted ranges (hi <= lo) would make sequence() run start > stop
+    # and emit a *descending* bucket list — spurious candidate rows that the
+    # exact predicate filters but the shuffle still pays for.
+    rb = ranges.where(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

@@ -126,8 +126,10 @@ def dedup_per_type_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-distinct UV (HyperLogLog++) — the optional cheaper mode SURVEY
-    §2.5 notes for the exact-UV detectors (rows-only: approximation has no
-    deterministic SQL oracle; uv_daily is the exact gate). At 100 TB this is
+    §2.5 notes for the exact-UV detectors. Not registered in QUERIES: an
+    approximation has no deterministic SQL oracle (a registry entry would be
+    a guaranteed red driver row); tests/test_dedup_approx.py asserts the HLL
+    relative-error bound against the exact column instead. At 100 TB this is
     a constant-memory sketch per group vs an exact distinct shuffle."""
     ev = table(spark, sf_dir, "events")
     return (
@@ -141,7 +143,6 @@ def uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "uv_daily_approx": uv_daily_approx,
     "dedup_keep_first": dedup_keep_first,
     "dedup_keep_last": dedup_keep_last,
     "uv_daily": uv_daily,

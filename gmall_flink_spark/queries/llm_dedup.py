@@ -21,6 +21,11 @@ from gmall_flink_spark.sources.tables import table
 
 MINHASH_K = 12
 ROWS_PER_BAND = 3
+# Shingle document-frequency cap for the unrestricted inverted-index join:
+# a single stop-phrase shingle shared by M docs costs O(M^2) pairs, so the
+# ngram path only scores *discriminative* shingles (df <= cap). 5 both
+# exercises the cap at test SF (max df there is 7) and is the scale guard.
+NGRAM_MAX_DF = 5
 
 
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,9 +71,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle inverted-index dedup: pair counts at exact integer
-    jaccard thresholds (any overlap / j>=0.2 / j>=0.5)."""
+    jaccard thresholds (any overlap / j>=0.2 / j>=0.5) over discriminative
+    shingles (df <= NGRAM_MAX_DF — the hot-key quadratic-bucket guard)."""
     docs = table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(word_shingles(docs, n=3))
+    jac = jaccard_pairs(word_shingles(docs, n=3), max_df=NGRAM_MAX_DF)
     return jac.agg(
         F.count(F.lit(1)).alias("pair_ct"),
         F.sum((5 * F.col("inter") >= F.col("uni")).cast("bigint")).alias("j02_ct"),
@@ -115,9 +121,19 @@ _CANDS = f"""
 """
 
 
-def _jaccard(units_sql: str) -> str:
+def _jaccard(units_sql: str, max_df: int | None = None) -> str:
+    df_filter = (
+        f"""
+        raw_units AS ({units_sql}),
+        keep AS (SELECT shingle FROM raw_units GROUP BY shingle
+                 HAVING COUNT(*) <= {max_df}),
+        units AS (SELECT doc_id, u.shingle FROM raw_units u
+                  JOIN keep k ON u.shingle = k.shingle)"""
+        if max_df is not None
+        else f"units AS ({units_sql})"
+    )
     return f"""
-        WITH units AS ({units_sql}),
+        WITH {df_filter},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -162,7 +178,7 @@ ORACLE = {
         ORDER BY j.doc_a, j.doc_b
     """,
     "ngram_jaccard_stats": f"""
-        WITH jac AS ({_jaccard(_SHINGLES3)})
+        WITH jac AS ({_jaccard(_SHINGLES3, max_df=NGRAM_MAX_DF)})
         SELECT COUNT(*) AS pair_ct,
                CAST(SUM(CASE WHEN 5 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT) AS j02_ct,
                CAST(SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT) AS j05_ct,

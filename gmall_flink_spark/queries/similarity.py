@@ -69,10 +69,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked on the label column (exact
-    within blocks, cos >= 0.3, keep-lowest-id representative)."""
+    """Embedding-cosine near-dup pairs blocked on the IVF cluster id (exact
+    within blocks, cos >= 0.3, keep-lowest-id representative).
+
+    The block key is the scale contract: clusters are high-cardinality
+    (#centroids grows with the corpus), so the within-block all-pairs stays
+    bounded — unlike a low-cardinality attribute block (label), which
+    degenerates to O(B²) on giant blocks at 100 TB. Blocking on the same
+    key IVF search shuffles on also reuses that partitioning."""
     emb = prep(table(spark, sf_dir, "embeddings"))
-    return near_dup_pairs(emb, threshold=0.3, block_col="label").orderBy(
+    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    return near_dup_pairs(assigned, threshold=0.3, block_col="cluster").orderBy(
         "block", "a_id", "b_id"
     )
 
@@ -122,13 +129,10 @@ _ASSIGNED = f"""
 
 ORACLE = {
     "embed_near_dup": f"""
-        WITH n AS (SELECT vec_id, v, norm, label FROM (
-            SELECT vec_id, embedding::DOUBLE[] AS v, label,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-            FROM embeddings))
-        SELECT a.label AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+        WITH n AS ({_ASSIGNED})
+        SELECT a.cluster AS block, a.vec_id AS a_id, b.vec_id AS b_id,
                round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
-        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
         ORDER BY block, a_id, b_id
     """,

@@ -142,7 +142,10 @@ def returning_flags_stream(
             days = [d for d in pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates()]
             out_days, out_flags = [], []
             for dstr in days:
-                if dstr == last:
+                # <= keeps state monotone: a late-arriving earlier day is
+                # dropped instead of regressing last-active-day state (which
+                # would re-emit already-emitted days and corrupt gaps).
+                if last is not None and dstr <= last:
                     continue
                 gap_ok = last is not None and (
                     (date.fromisoformat(dstr) - date.fromisoformat(last)).days

@@ -1,0 +1,19 @@
+"""HLL bound check for the approx-UV mode (not oracle-checkable: an
+approximation has no deterministic SQL twin, so it lives here instead of
+the driver registry)."""
+
+from __future__ import annotations
+
+from gmall_flink_spark.queries.dedup import uv_daily_approx
+from tests.conftest import SF_ORACLE
+
+
+def test_uv_daily_approx_within_rsd_bound(spark):
+    rows = uv_daily_approx(spark, SF_ORACLE).collect()
+    assert rows, "expected at least one day of UV"
+    for r in rows:
+        # approx_count_distinct(rsd=0.01); allow 5x slack on the standard
+        # deviation — HLL++ error is probabilistic, not a hard cap.
+        assert abs(r.uv_approx - r.uv_exact) <= max(5, 0.05 * r.uv_exact), (
+            f"{r.cur_date}: approx {r.uv_approx} vs exact {r.uv_exact}"
+        )
