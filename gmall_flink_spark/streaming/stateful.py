@@ -169,6 +169,70 @@ def returning_flags_stream(
     )
 
 
+def keep_last_timer_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    delay: str = "5 seconds",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """D3/W8 streaming twin with the reference's *timer* emission semantics
+    (app/lab/DwsLeftJoinDuplication03Last.java:54-79): ValueState holds the
+    key's latest row; every arrival (re)registers an event-time timer at
+    ``last event time + delay``; when the watermark passes the timer the
+    stored row is emitted and state cleared — i.e. a key's latest row is
+    emitted after a ``delay`` quiet period in event time.
+
+    Spark mapping: ``applyInPandasWithState`` with
+    ``GroupStateTimeout.EventTimeTimeout`` — ``setTimeoutTimestamp`` IS the
+    Flink timer (fires when the event-time watermark passes it; a newer
+    arrival re-arms it, the analogue of delete-then-register). State is one
+    row per key, evicted on emission — bounded by active keys, partitioned
+    by key in the state store.
+
+    Bounded-replay caveat (inherent to timers, same as Flink): a key whose
+    timer lies beyond the final watermark never fires; drive a heartbeat/
+    sentinel event past ``max(ts) + delay`` to flush, as the equivalence
+    test does.
+    """
+    delay_ms = int(float(delay.split()[0]) * 1000)
+    cols = [f.name for f in sdf.schema.fields]
+    out_schema = StructType(list(sdf.schema.fields))
+    state_schema = StructType(list(sdf.schema.fields))
+    sort_cols = [ts] + [c for c in cols if c != ts]
+    sort_idx = [cols.index(c) for c in sort_cols]
+    ts_idx = cols.index(ts)
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # the timer fired: emit the stored latest row, clear state
+            yield pd.DataFrame([list(state.get)], columns=cols)
+            state.remove()
+            return
+        best = list(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols)
+            last = list(pdf.iloc[-1][cols])
+            if best is None or [last[i] for i in sort_idx] >= [
+                best[i] for i in sort_idx
+            ]:
+                best = last
+        if best is not None:
+            state.update(tuple(best))
+            fire_at = int(pd.Timestamp(best[ts_idx]).timestamp() * 1000) + delay_ms
+            state.setTimeoutTimestamp(fire_at)
+
+    return (
+        sdf.withWatermark(ts, watermark)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def is_new_repair_stream(
     sdf: DataFrame, key: str, ts: str, claimed_col: str
 ) -> DataFrame:

@@ -442,3 +442,43 @@ def test_stateful_resume_across_restart(spark, events_slices):
     got = spark.read.parquet(sink)
     batch = first_per_day(ev, "user_id")
     assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
+
+
+def test_keep_last_timer_stream_matches_batch(spark, events_slices):
+    """D3/W8: timer-based keep-last — ValueState + event-time timer at
+    last_ts + 5s (the reference's DwsLeftJoinDuplication03Last semantics).
+    Two heartbeat files an hour past max(ts) advance the watermark so every
+    real key's timer fires; the emitted rows must equal the batch keep_last
+    state exactly."""
+    import glob as _glob
+
+    from gmall_flink_spark.streaming.stateful import keep_last_timer_stream
+
+    ev = table(spark, SF, "events")
+    src = os.path.join(TMP, "keep_last_timer_src")
+    if os.path.exists(src):
+        shutil.rmtree(src)
+    shutil.copytree(events_slices, src)
+    base = max(os.path.getmtime(p) for p in _glob.glob(os.path.join(src, "*.parquet")))
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i in (1, 2):
+        beat = spark.createDataFrame(
+            [(-i, max_ts + __import__("datetime").timedelta(hours=i), -1, "heartbeat", 0.0, "{}")],
+            schema=ev.schema,
+        )
+        tmp = os.path.join(TMP, f"beat_{i}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        beat.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"zzz-beat-{i}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (base + 10 + i, base + 10 + i))
+        shutil.rmtree(tmp)
+
+    sdf = stream_from(spark, src, ev)
+    got = run_available_now(
+        keep_last_timer_stream(sdf, ["user_id"], "ts", delay="5 seconds")
+    ).where(F.col("user_id") >= 0)
+    batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
+    assert rows(got) == rows(batch)
