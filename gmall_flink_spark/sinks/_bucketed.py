@@ -1,0 +1,67 @@
+"""Hash-bucketed parquet state tables for the MERGE-style sinks.
+
+State is laid out as ``state_path/__bucket=<i>/...`` with
+``__bucket = pmod(xxhash64(keys), n_buckets)``. A micro-batch then:
+
+1. computes the bucket of every batch row,
+2. reads prior state *only for the touched buckets* (partition pruning on
+   the ``__bucket`` directory column),
+3. rewrites *only the touched bucket directories* (per-directory atomic
+   rename).
+
+Per-batch I/O is therefore proportional to the batch's key spread, not to
+total accumulated state — the local-parquet analogue of a Delta/Iceberg
+``MERGE INTO`` over a table partitioned by key bucket, which is exactly
+what this sink becomes on a real cluster. The only driver-side collect is
+the set of touched bucket ids (<= n_buckets ints — metadata, not data).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__bucket"
+
+
+def with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
+
+
+def touched_buckets(df: DataFrame) -> list[int]:
+    return [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+
+
+def read_prior(spark: SparkSession, state_path: str, buckets: list[int]) -> DataFrame | None:
+    """Prior state for the touched buckets only (directory-pruned scan)."""
+    if not os.path.exists(state_path) or not os.listdir(state_path):
+        return None
+    return spark.read.parquet(state_path).where(F.col(BUCKET_COL).isin(buckets))
+
+
+def swap_buckets(merged: DataFrame, state_path: str, buckets: list[int]) -> None:
+    """Write ``merged`` (which covers exactly ``buckets``) partitioned by
+    bucket, then atomically swap each touched bucket directory into place.
+    Untouched bucket directories are never read or written."""
+    tmp = state_path.rstrip("/") + ".__tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    os.makedirs(state_path, exist_ok=True)
+    for b in buckets:
+        part = f"{BUCKET_COL}={b}"
+        src = os.path.join(tmp, part)
+        dst = os.path.join(state_path, part)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        if os.path.exists(src):  # a bucket can merge to empty (all deletes)
+            os.replace(src, dst)
+    shutil.rmtree(tmp)
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Public read path for a bucketed state table (drops the bucket col)."""
+    return spark.read.parquet(state_path).drop(BUCKET_COL)

@@ -4,10 +4,12 @@ The reference emits retracting changelogs to upsert-Kafka with a PK
 (util/FlinkSqlUtil.java:42-50) and dim upserts to HBase
 (app/dim/func/DimSinkFunction.java:41-62). Our contract is "final rows
 only": each micro-batch is key-compacted and MERGEd into a keyed state
-table. Here the state table is plain parquet rewritten atomically (rename)
-— on a real cluster this is a Delta/Iceberg ``MERGE INTO`` with the same
-keep-last semantics, partitioned/bucketed by the key so the merge touches
-only matching files; the compaction logic (keep_last on keys) is identical.
+table. The state table is hash-bucketed parquet (sinks/_bucketed.py): the
+merge reads and rewrites only the bucket directories the batch touches, so
+per-batch I/O is proportional to the batch, not to accumulated state — on
+a real cluster this is a Delta/Iceberg ``MERGE INTO`` on a table
+partitioned by the same key bucket; the compaction logic (keep_last on
+keys) is identical.
 
 ``topic_router`` is K2: per-record dynamic sink routing — the batch file
 analogue of the Kafka sink honoring a per-row ``topic`` column
@@ -17,43 +19,52 @@ analogue of the Kafka sink honoring a per-row ``topic`` column
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 
 from gmall_flink_spark.operators.dedup import keep_last
+from gmall_flink_spark.sinks._bucketed import (
+    read_prior,
+    read_state,
+    swap_buckets,
+    touched_buckets,
+    with_bucket,
+)
+
+__all__ = ["upsert_into", "upsert_writer", "topic_router", "read_state"]
 
 
-def upsert_into(state_path: str, batch_df: DataFrame, keys: list[str], order_by: list[str]) -> None:
-    """MERGE one (micro-)batch into the keyed parquet state table: union the
-    existing state with the batch, keep the last row per key under
-    ``order_by``, atomically swap. The batch twin of K3 upsert-Kafka
-    consumption and of the K4 HBase dim put path."""
+def upsert_into(
+    state_path: str,
+    batch_df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """MERGE one (micro-)batch into the keyed parquet state table: compact
+    the batch (keep-last per key), then merge it into the touched key
+    buckets only. The batch twin of K3 upsert-Kafka consumption and of the
+    K4 HBase dim put path."""
     from pyspark.sql import functions as F
 
     spark = batch_df.sparkSession
-    compacted = keep_last(batch_df, keys, order_by)
-    if os.path.exists(state_path):
-        prior = spark.read.parquet(state_path)
+    compacted = with_bucket(keep_last(batch_df, keys, order_by), keys, n_buckets)
+    buckets = touched_buckets(compacted)
+    prior = read_prior(spark, state_path, buckets)
+    if prior is not None:
         # a batch row beats a prior row at an equal version (__src tiebreak):
         # a re-put of the same version overwrites, like an HBase put.
-        merged = prior.select(*batch_df.columns).withColumn("__src", F.lit(0)).unionAll(
+        merged = prior.select(*compacted.columns).withColumn("__src", F.lit(0)).unionAll(
             compacted.withColumn("__src", F.lit(1))
         )
         compacted = keep_last(merged, keys, [*order_by, "__src"]).drop("__src")
-    tmp = state_path.rstrip("/") + ".__tmp__"
-    compacted.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(state_path):
-        shutil.rmtree(state_path)
-    os.replace(tmp, state_path)
+    swap_buckets(compacted, state_path, buckets)
 
 
-def upsert_writer(state_path: str, keys: list[str], order_by: list[str]):
+def upsert_writer(state_path: str, keys: list[str], order_by: list[str], n_buckets: int = 16):
     """foreachBatch form of ``upsert_into`` for writeStream (K3)."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_into(state_path, batch_df, keys, order_by)
+        upsert_into(state_path, batch_df, keys, order_by, n_buckets)
 
     return write
 

@@ -123,7 +123,9 @@ def test_upsert_sink_reaches_batch_final_state(spark, events_slices):
     run_available_now(
         sdf, foreach_batch=upsert_writer(state, ["user_id"], ["ts", "event_id"])
     )
-    got = spark.read.parquet(state)
+    from gmall_flink_spark.sinks.upsert import read_state
+
+    got = read_state(spark, state)
     batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
     assert rows(got) == rows(batch)
 
@@ -397,8 +399,10 @@ def test_incremental_rollup_equals_full_recompute(spark, events_slices):
         )
 
     sdf = stream_from(spark, events_slices, ev)
+    from gmall_flink_spark.sinks.rollup import read_state
+
     run_available_now(sdf, foreach_batch=rollup_writer(state, ["day", "event_type"], partial))
-    got = spark.read.parquet(state)
+    got = read_state(spark, state)
     batch = partial(ev)
     assert rows(got) == rows(batch)
 
@@ -482,3 +486,38 @@ def test_keep_last_timer_stream_matches_batch(spark, events_slices):
     ).where(F.col("user_id") >= 0)
     batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
     assert rows(got) == rows(batch)
+
+
+def test_upsert_rewrites_only_touched_buckets(spark):
+    """Bucketed-state contract: a batch containing one key rewrites only
+    that key's bucket directory; every other bucket's files (paths + bytes)
+    are untouched — per-batch I/O tracks the batch, not total state."""
+    from gmall_flink_spark.sinks.upsert import read_state, upsert_into
+
+    state = os.path.join(TMP, "bucketed_upsert_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    ev = table(spark, SF, "events")
+    upsert_into(state, ev, ["user_id"], ["ts", "event_id"])
+
+    def snapshot():
+        out = {}
+        for b in os.listdir(state):
+            d = os.path.join(state, b)
+            if os.path.isdir(d):
+                out[b] = sorted(
+                    (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+                    for f in os.listdir(d)
+                )
+        return out
+
+    before = snapshot()
+    assert len(before) > 1, "expected multiple bucket dirs"
+    one = ev.orderBy("user_id", "ts", "event_id").limit(1)
+    upsert_into(state, one, ["user_id"], ["ts", "event_id"])
+    after = snapshot()
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1, f"expected 1 touched bucket, got {changed}"
+    # and the merge is still correct
+    batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
+    assert rows(read_state(spark, state)) == rows(batch)
