@@ -10,7 +10,8 @@ and shuffle-aware:
                quadratic cross join; the classic MMDS ch.3 construction
   ngram        inverted-index join on shingles; exact jaccard via integer
                arithmetic (no FP thresholds)
-  simhash      per-bit signed tally of token hashes → 16-bit signature
+  simhash      per-bit signed tally from the bits of one token hash →
+               16-bit signature in a single groupBy pass
 
 Scale posture: everything is groupBy/join on hash keys. At 100 TB the
 minhash path is the one that matters: its cost is O(docs × shingles × k)
@@ -149,16 +150,18 @@ def jaccard_pairs(
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """Per-doc simhash: for each bit b, tally ±1 over distinct tokens by the
-    parity of an independent seeded hash; bit set iff tally > 0. Built from
-    groupBy sums only — one shuffle, portable to SQL."""
-    toks = distinct_tokens(docs)
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    tallies = (
-        toks.select("doc_id", "shingle", b)
-        .withColumn("vote", (md5_long(F.col("shingle"), F.col("b")) % 2 * 2 - 1))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("tally"))
-    )
-    bit = F.when(F.col("tally") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(F.lit(0))
-    return tallies.groupBy("doc_id").agg(F.sum(bit).alias("simhash"))
+    """Per-doc simhash, one-pass: each distinct token is hashed ONCE
+    (md5_long) and every bit-b vote (±1) is derived from bit b of that hash
+    by shift/mask, so the whole signature is a single groupBy(doc_id) with
+    ``bits`` sum aggregates — one shuffle with map-side partials, no ×bits
+    row expansion (the classic Charikar construction, vectorized)."""
+    toks = distinct_tokens(docs).select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+    votes = [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_t{b}")
+        for b in range(bits)
+    ]
+    tallies = toks.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_t{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return tallies.select("doc_id", sig.cast("bigint").alias("simhash"))

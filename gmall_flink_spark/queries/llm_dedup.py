@@ -186,12 +186,14 @@ ORACLE = {
         FROM jac
     """,
     "dedup_simhash": f"""
-        WITH units AS ({_UNITS}),
+        WITH hashed AS (
+            SELECT doc_id, ('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT AS h
+            FROM ({_UNITS})
+        ),
         votes AS (
             SELECT doc_id, b,
-                   SUM(CASE WHEN ('0x' || substr(md5(b::VARCHAR || '|' || shingle), 1, 15))::BIGINT % 2 = 1
-                            THEN 1 ELSE -1 END) AS tally
-            FROM units, (SELECT unnest(range(16)) AS b) bits
+                   SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+            FROM hashed, (SELECT unnest(range(16)) AS b) bits
             GROUP BY doc_id, b
         )
         SELECT doc_id,
