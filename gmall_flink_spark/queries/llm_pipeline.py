@@ -1,0 +1,154 @@
+"""Oracle-checked corpus-pipeline queries (north-star training-data ops
+beyond dedup/similarity): benchmark decontamination, deterministic hash
+sampling, per-group selection, embedding quantization.
+
+The benchmark set for decontamination is a deterministic slice of the
+documents table (doc_id % 97 == 0) standing in for an eval set; at real
+scale the benchmark is tiny next to the corpus, which is why its shingle
+set broadcasts (llm/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.llm.corpus import (
+    decontaminate_overlap,
+    hash_sample,
+    quantize_i8_sum,
+    topk_per_group,
+)
+from gmall_flink_spark.llm.similarity import prep, with_norm
+from gmall_flink_spark.sources.tables import table
+
+NGRAM_N = 5
+BENCH_MOD = 97
+SAMPLE_PCT = 5
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination report: corpus docs sharing >=1 distinct 5-gram with
+    the benchmark slice, with overlap and total shingle counts."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return decontaminate_overlap(corpus, bench, n=NGRAM_N).orderBy("doc_id")
+
+
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% doc sample (portable-hash bucketing on doc_id),
+    summarized per source — reproducible sampling for dataset versioning."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, F.col("doc_id"), pct=SAMPLE_PCT)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sample_ct"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def llm_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest docs per source (window row_number — one shuffle on
+    the group key, no global sort of the corpus)."""
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return topk_per_group(
+        docs, "source", [F.desc("n_chars"), F.asc("doc_id")], k=3
+    ).orderBy("source", "rn")
+
+
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization checksum per label: each vector is
+    L2-normalized and quantized to round(127*x/norm); the per-label integer
+    sums make the pass exactly checkable cross-engine (norms surface as
+    round(norm*1e4) integers so no FP sum crosses a shuffle)."""
+    emb = with_norm(prep(table(spark, sf_dir, "embeddings")))
+    return (
+        emb.select(
+            "label",
+            quantize_i8_sum(F.col("vec"), F.col("norm")).alias("qsum"),
+            F.round(F.col("norm") * 10000).cast("bigint").alias("norm_e4"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_ct"),
+            F.sum("qsum").alias("qsum_total"),
+            F.sum("norm_e4").alias("norm_e4_total"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "llm_decontaminate": llm_decontaminate,
+    "llm_hash_sample": llm_hash_sample,
+    "llm_source_topk": llm_source_topk,
+    "llm_embed_quantize": llm_embed_quantize,
+}
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+#: distinct 5-gram shingles per doc (mirror of llm/dedup.word_shingles n=5)
+_SHINGLES5 = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ') AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
+             (SELECT unnest(range(200)) AS i) idx
+        WHERE i <= len(toks) - {NGRAM_N}
+    )
+"""
+
+ORACLE = {
+    "llm_decontaminate": f"""
+        WITH sh AS ({_SHINGLES5}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} != 0),
+        totals AS (SELECT doc_id, COUNT(*) AS shingle_ct FROM corpus GROUP BY 1),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS overlap_ct
+            FROM corpus JOIN bench USING (shingle) GROUP BY 1
+        )
+        SELECT doc_id, overlap_ct, shingle_ct
+        FROM totals JOIN hits USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "llm_hash_sample": f"""
+        SELECT source, COUNT(*) AS sample_ct,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM documents
+        WHERE ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+              % 100 < {SAMPLE_PCT}
+        GROUP BY 1 ORDER BY 1
+    """,
+    "llm_source_topk": """
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+        QUALIFY rn <= 3
+        ORDER BY source, rn
+    """,
+    "llm_embed_quantize": """
+        WITH n AS (
+            SELECT label, v, sqrt(list_dot_product(v, v)) AS norm
+            FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+        ),
+        q AS (
+            SELECT label,
+                   CAST(list_sum(list_transform(
+                       v, x -> CAST(round(127.0 * x / norm) AS BIGINT)
+                   )) AS BIGINT) AS qsum,
+                   CAST(round(norm * 10000) AS BIGINT) AS norm_e4
+            FROM n
+        )
+        SELECT label, COUNT(*) AS vec_ct,
+               CAST(SUM(qsum) AS BIGINT) AS qsum_total,
+               CAST(SUM(norm_e4) AS BIGINT) AS norm_e4_total
+        FROM q GROUP BY 1 ORDER BY 1
+    """,
+}

@@ -24,6 +24,7 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.log",
     "gmall_flink_spark.queries.text",
     "gmall_flink_spark.queries.llm_dedup",
+    "gmall_flink_spark.queries.llm_pipeline",
     "gmall_flink_spark.queries.similarity",
     "gmall_flink_spark.queries.multimodal",
     "gmall_flink_spark.queries.scale",

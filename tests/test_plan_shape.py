@@ -44,6 +44,23 @@ def test_wide_fact_joins_are_hash_joins(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast (corpus side stays map-only
+    until the per-doc aggregate) — the decontamination scale contract."""
+    p = plan(spark, "llm_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_source_topk_has_no_global_sort_before_window(spark):
+    """Per-group top-k must window on the group key, not globally sort the
+    corpus: the only global Sort allowed is the terminal output ordering
+    (after the rn filter)."""
+    p = plan(spark, "llm_source_topk")
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
 def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
     """Resilience: with auto-broadcast disabled (a side outgrowing the
     threshold), the unhinted fact join replans as a shuffle join (SMJ or
