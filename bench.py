@@ -59,6 +59,13 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "embed_near_dup",
+    # round 2 additions: subquery-shaped relational + corpus pipeline ops
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_order_count_histogram",
+    "q21_sole_failing_supplier",
+    "llm_decontaminate",
+    "llm_embed_quantize",
 ]
 
 
@@ -101,6 +108,7 @@ def main() -> None:
         "metric": "headline query suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "query_ct": len(timings),
         "queries": timings,
         "sf": sf,
     }

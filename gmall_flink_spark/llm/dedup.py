@@ -50,19 +50,30 @@ def distinct_tokens(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(units: DataFrame, k: int = 12) -> DataFrame:
     """One minhash value per (doc, seed): min over the doc's shingles of the
-    seeded portable hash. ``units`` = (doc_id, shingle) exploded frame."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    return (
-        units.select("doc_id", "shingle", seeds)
-        .groupBy("doc_id", "seed")
-        .agg(F.min(md5_long(F.col("shingle"), F.col("seed"))).alias("mh"))
+    seeded portable hash. ``units`` = (doc_id, shingle) exploded frame.
+
+    One-pass form: all k mins are aggregates of a single groupBy(doc_id)
+    (map-side partials on the shingle frame, ONE shuffle of k-column doc
+    rows), then the tiny wide row explodes to the (doc_id, seed, mh) long
+    format — instead of shuffling a ×k-exploded shingle frame."""
+    mins = units.groupBy("doc_id").agg(
+        *[F.min(md5_long(F.col("shingle"), s)).alias(f"_m{s}") for s in range(k)]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).cast("int").alias("seed"), F.col(f"_m{s}").alias("mh"))
+            for s in range(k)
+        ]
+    )
+    return mins.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.seed").alias("seed"), F.col("p.mh").alias("mh")
     )
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int) -> DataFrame:
     """Band the signature matrix: band signature = the band's minhashes in
     seed order, joined into one string key."""
-    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("bigint"))
     sig = F.array_join(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seed", "mh"))),
@@ -73,8 +84,24 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int) -> DataFrame:
     return banded.groupBy("doc_id", "band").agg(sig.alias("band_sig"))
 
 
-def lsh_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct candidate pairs: docs sharing any band bucket."""
+def lsh_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """Distinct candidate pairs: docs sharing any band bucket.
+
+    ``max_bucket`` is the degenerate-bucket guard (essential at 100 TB): a
+    band signature shared by B docs yields B²/2 pairs, and non-discriminative
+    signatures (stop-vocabulary collisions) produce buckets of thousands —
+    at sf0.1 sixteen >200-member buckets hold 15.2M of 15.3M raw pairs.
+    Oversized buckets carry no similarity signal (they collide on common
+    vocabulary, and truly similar docs still collide in OTHER, smaller
+    bands), so standard LSH practice skips them."""
+    if max_bucket is not None:
+        keep = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
+        bands = bands.join(keep, ["band", "band_sig"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

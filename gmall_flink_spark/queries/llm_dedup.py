@@ -26,6 +26,10 @@ ROWS_PER_BAND = 3
 # ngram path only scores *discriminative* shingles (df <= cap). 5 both
 # exercises the cap at test SF (max df there is 7) and is the scale guard.
 NGRAM_MAX_DF = 5
+# LSH degenerate-bucket cap (see llm/dedup.lsh_candidates): buckets larger
+# than this are vocabulary collisions, not near-dup signal — without the cap
+# sixteen >200-member buckets at sf0.1 contribute 15.2M of 15.3M pairs.
+LSH_MAX_BUCKET = 50
 
 
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,11 +60,15 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH dedup: bucket-join candidates verified by exact
-    token-set jaccard, kept at j >= 0.9 (10*inter >= 9*union)."""
+    """Full MinHash-LSH dedup: bucket-join candidates (degenerate buckets
+    > LSH_MAX_BUCKET skipped) verified by exact token-set jaccard, kept at
+    j >= 0.9 (10*inter >= 9*union)."""
     docs = table(spark, sf_dir, "documents")
     units = distinct_tokens(docs)
-    cands = lsh_candidates(lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND))
+    cands = lsh_candidates(
+        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+        max_bucket=LSH_MAX_BUCKET,
+    )
     jac = jaccard_pairs(units, cands)
     return (
         jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
@@ -116,8 +124,12 @@ _BANDS = f"""
 
 _CANDS = f"""
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM ({_BANDS}) a JOIN ({_BANDS}) b
+    FROM ({_BANDS}) a
+    JOIN ({_BANDS}) b
       ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    JOIN (SELECT band, band_sig FROM ({_BANDS})
+          GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}) k
+      ON a.band = k.band AND a.band_sig = k.band_sig
 """
 
 

@@ -25,10 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
+_META = "_N_BUCKETS"
 
 
 def with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)))
+
+
+def check_buckets(state_path: str, n_buckets: int) -> None:
+    """Refuse to merge into a state table created with a different bucket
+    count — rows would land in the wrong bucket directories and silently
+    duplicate keys across buckets."""
+    meta = os.path.join(state_path, _META)
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            existing = int(fh.read().strip())
+        if existing != n_buckets:
+            raise ValueError(
+                f"state at {state_path} was bucketed with n_buckets={existing}, "
+                f"got {n_buckets}; rebucket the state or pass the original value"
+            )
 
 
 def touched_buckets(df: DataFrame) -> list[int]:
@@ -42,15 +58,22 @@ def read_prior(spark: SparkSession, state_path: str, buckets: list[int]) -> Data
     return spark.read.parquet(state_path).where(F.col(BUCKET_COL).isin(buckets))
 
 
-def swap_buckets(merged: DataFrame, state_path: str, buckets: list[int]) -> None:
+def swap_buckets(
+    merged: DataFrame, state_path: str, buckets: list[int], n_buckets: int
+) -> None:
     """Write ``merged`` (which covers exactly ``buckets``) partitioned by
     bucket, then atomically swap each touched bucket directory into place.
-    Untouched bucket directories are never read or written."""
+    Untouched bucket directories are never read or written. Records the
+    bucket count on first write (see ``check_buckets``)."""
     tmp = state_path.rstrip("/") + ".__tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
     os.makedirs(state_path, exist_ok=True)
+    meta = os.path.join(state_path, _META)
+    if not os.path.exists(meta):
+        with open(meta, "w") as fh:
+            fh.write(str(n_buckets))
     for b in buckets:
         part = f"{BUCKET_COL}={b}"
         src = os.path.join(tmp, part)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_spark.sinks._bucketed import (
     BUCKET_COL,
+    check_buckets,
     read_prior,
     read_state,
     swap_buckets,
@@ -48,6 +49,7 @@ def merge_rollup(
         if fn is None:
             raise ValueError(f"column {c!r} has no mergeable suffix (_ct/_sum/_min/_max)")
         aggs.append(fn(c).alias(c))
+    check_buckets(state_path, n_buckets)
     partial = with_bucket(batch_partial, keys, n_buckets)
     buckets = touched_buckets(partial)
     merged = partial
@@ -55,7 +57,7 @@ def merge_rollup(
     if prior is not None:
         merged = prior.select(*partial.columns).unionAll(partial)
     out = merged.groupBy(*keys, BUCKET_COL).agg(*aggs)
-    swap_buckets(out, state_path, buckets)
+    swap_buckets(out, state_path, buckets, n_buckets)
 
 
 def rollup_writer(state_path: str, keys: list[str], agg_fn, n_buckets: int = 16):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 
 from gmall_flink_spark.operators.dedup import keep_last
 from gmall_flink_spark.sinks._bucketed import (
+    check_buckets,
     read_prior,
     read_state,
     swap_buckets,
@@ -47,6 +48,7 @@ def upsert_into(
     from pyspark.sql import functions as F
 
     spark = batch_df.sparkSession
+    check_buckets(state_path, n_buckets)
     compacted = with_bucket(keep_last(batch_df, keys, order_by), keys, n_buckets)
     buckets = touched_buckets(compacted)
     prior = read_prior(spark, state_path, buckets)
@@ -57,7 +59,7 @@ def upsert_into(
             compacted.withColumn("__src", F.lit(1))
         )
         compacted = keep_last(merged, keys, [*order_by, "__src"]).drop("__src")
-    swap_buckets(compacted, state_path, buckets)
+    swap_buckets(compacted, state_path, buckets, n_buckets)
 
 
 def upsert_writer(state_path: str, keys: list[str], order_by: list[str], n_buckets: int = 16):

@@ -488,6 +488,22 @@ def test_keep_last_timer_stream_matches_batch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
+def test_upsert_rejects_mismatched_bucket_count(spark):
+    """Merging into state created with a different n_buckets must fail loudly
+    (keys would scatter across wrong bucket dirs and duplicate silently)."""
+    import pytest
+
+    from gmall_flink_spark.sinks.upsert import upsert_into
+
+    state = os.path.join(TMP, "bucketed_upsert_meta")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    ev = table(spark, SF, "events").limit(10)
+    upsert_into(state, ev, ["user_id"], ["ts", "event_id"], n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        upsert_into(state, ev, ["user_id"], ["ts", "event_id"], n_buckets=8)
+
+
 def test_upsert_rewrites_only_touched_buckets(spark):
     """Bucketed-state contract: a batch containing one key rewrites only
     that key's bucket directory; every other bucket's files (paths + bytes)
