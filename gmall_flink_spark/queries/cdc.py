@@ -278,10 +278,10 @@ def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently swallows (app/dim/DimApp.java:60-74) but a production pipeline
     must account for."""
     from gmall_flink_spark.operators.cdc import parse_envelope_split
-    from gmall_flink_spark.sources.cdc_synth import cart_cdc_json, orders_cdc_json
+    from gmall_flink_spark.sources.cdc_synth import cart_raw_topic, orders_raw_topic
 
-    _, dead_o = parse_envelope_split(orders_cdc_json(spark, sf_dir))
-    _, dead_c = parse_envelope_split(cart_cdc_json(spark, sf_dir))
+    _, dead_o = parse_envelope_split(orders_raw_topic(spark, sf_dir))
+    _, dead_c = parse_envelope_split(cart_raw_topic(spark, sf_dir))
     return (
         dead_o.select(F.lit("order_info").alias("source"), "raw_len")
         .unionAll(dead_c.select(F.lit("cart_info").alias("source"), "raw_len"))

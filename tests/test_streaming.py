@@ -488,6 +488,40 @@ def test_keep_last_timer_stream_matches_batch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
+def test_supervised_restart_recovers_from_transient_failure(spark, events_slices):
+    """W12 fixed-delay restart: a foreachBatch sink that fails once (transient)
+    is restarted from the same checkpoint and converges to the batch twin with
+    no duplicates (W11 resume) — the Flink fixedDelayRestart twin
+    (app/lab/DimAndDwdApp.java:51)."""
+    from gmall_flink_spark.sinks.upsert import read_state, upsert_writer
+    from gmall_flink_spark.streaming.supervise import run_supervised
+
+    ev = table(spark, SF, "events")
+    state = os.path.join(TMP, "supervised_state")
+    ckpt = os.path.join(TMP, "supervised_ckpt")
+    marker = os.path.join(TMP, "supervised_fail_once")
+    for p in (state, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if os.path.exists(marker):
+        os.remove(marker)
+
+    inner = upsert_writer(state, ["user_id"], ["ts", "event_id"])
+
+    def flaky(batch_df, batch_id):
+        if batch_id == 1 and not os.path.exists(marker):
+            open(marker, "w").close()
+            raise RuntimeError("transient sink failure")
+        inner(batch_df, batch_id)
+
+    restarts = run_supervised(
+        lambda: stream_from(spark, events_slices, ev), flaky, ckpt, max_restarts=3
+    )
+    assert restarts == 1
+    batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
+    assert rows(read_state(spark, state)) == rows(batch)
+
+
 def test_upsert_rejects_mismatched_bucket_count(spark):
     """Merging into state created with a different n_buckets must fail loudly
     (keys would scatter across wrong bucket dirs and duplicate silently)."""
