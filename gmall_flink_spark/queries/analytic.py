@@ -1,0 +1,149 @@
+"""Analytic-SQL surface: running window functions, pivot, cube, set ops —
+the classic warehouse idioms a reference user expects beyond the operator
+inventory (all free in Spark; each oracle-checked).
+
+Scale notes: running windows shuffle once on the partition key and sort
+within partitions (no global sort); the pivot is a conditional aggregation
+with pinned pivot values (never a dynamic distinct scan); cube costs one
+shuffle per grouping-set expansion, handled by Spark's Expand operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.money import dec
+from gmall_flink_spark.sources.tables import table
+
+#: pinned pivot domain (dynamic pivots scan twice; fixed values keep the
+#: plan a single conditional aggregation)
+_STATUSES = ("F", "O", "P")
+
+
+def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order-value totals per customer (cumsum + lag delta + order
+    sequence — the lead/lag/cumulative trio) for a deterministic customer
+    slice."""
+    orders = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    amt = dec("o_totalprice")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("cust_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.row_number().over(w).alias("order_seq"),
+            F.sum(amt).over(w).cast("double").alias("running_total"),
+            F.lag(amt).over(w).cast("double").alias("prev_amount"),
+        )
+        .orderBy("cust_id", "order_seq")
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted: one row per priority, one column per order
+    status (pinned domain)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}_ct") for s in _STATUSES],
+        )
+        .orderBy("priority")
+    )
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets with exact
+    decimal revenue — the grouping-sets generalization of rollup_revenue."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy(
+            F.col("status").asc_nulls_first(), F.col("priority").asc_nulls_first()
+        )
+    )
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers in the BUILDING segment INTERSECT high-value
+    customers, EXCEPT recent-order customers — counted per nation."""
+    cust = table(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    keys = building.intersect(rich).exceptAll(recent.distinct())
+    return (
+        keys.join(cust, "c_custkey")
+        .groupBy(F.col("c_nationkey").alias("nation_id"))
+        .agg(F.count(F.lit(1)).alias("cust_ct"))
+        .orderBy("nation_id")
+    )
+
+
+QUERIES = {
+    "running_customer_totals": running_customer_totals,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "cube_status_priority": cube_status_priority,
+    "segment_set_ops": segment_set_ops,
+}
+
+ORACLE = {
+    "running_customer_totals": """
+        SELECT o_custkey AS cust_id, o_orderkey AS order_id,
+               row_number() OVER w AS order_seq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS running_total,
+               CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS prev_amount
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY cust_id, order_seq
+    """,
+    "pivot_status_by_priority": """
+        SELECT o_orderpriority AS priority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS status_f_ct,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS status_o_ct,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS status_p_ct
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS order_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    "segment_set_ops": """
+        WITH keys AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        )
+        SELECT c_nationkey AS nation_id, COUNT(*) AS cust_ct
+        FROM keys JOIN customer USING (c_custkey)
+        GROUP BY 1 ORDER BY 1
+    """,
+}

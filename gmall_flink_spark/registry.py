@@ -18,6 +18,7 @@ from gmall_flink_spark.session import pin_oracle_conf
 _QUERY_MODULES = [
     "gmall_flink_spark.queries.relational",
     "gmall_flink_spark.queries.tpch_extra",
+    "gmall_flink_spark.queries.analytic",
     "gmall_flink_spark.queries.dedup",
     "gmall_flink_spark.queries.windows",
     "gmall_flink_spark.queries.cdc",
