@@ -103,8 +103,46 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule-style quality filter flags (the classic pre-training
+    filter battery: length bounds, mean-word-length band, stopword presence,
+    symbol ratio), aggregated per source. Every rule is an exact integer
+    comparison (e.g. mean word length in [3,10] ⇔ 3*n <= chars <= 10*n) so
+    the filter decisions are engine-portable — no FP thresholds."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    n = F.size("toks")
+    chars = F.length(F.array_join("toks", ""))
+    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    flags = docs.select(
+        "source",
+        (n < 20).alias("f_short"),
+        (n > 85).alias("f_long"),
+        ((4 * n > chars) | (chars > 5 * n)).alias("f_word_len"),
+        (stopword_count(F.col("toks")) == 0).alias("f_no_stop"),
+        (10 * symbols > F.length("text")).alias("f_symbols"),
+    )
+    keep = ~(
+        F.col("f_short") | F.col("f_long") | F.col("f_word_len")
+        | F.col("f_no_stop") | F.col("f_symbols")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(F.col("f_short").cast("bigint")).alias("short_ct"),
+            F.sum(F.col("f_long").cast("bigint")).alias("long_ct"),
+            F.sum(F.col("f_word_len").cast("bigint")).alias("word_len_ct"),
+            F.sum(F.col("f_no_stop").cast("bigint")).alias("no_stop_ct"),
+            F.sum(F.col("f_symbols").cast("bigint")).alias("symbol_ct"),
+            F.sum(keep.cast("bigint")).alias("keep_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
+    "text_gopher_flags": text_gopher_flags,
     "keyword_split": keyword_split,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -133,6 +171,32 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_gopher_flags": f"""
+        WITH t AS (
+            SELECT source, {_TOKS} AS toks, text FROM documents
+        ),
+        f AS (
+            SELECT source,
+                   len(toks) < 20 AS f_short,
+                   len(toks) > 85 AS f_long,
+                   (4 * len(toks) > len(array_to_string(toks, ''))
+                    OR len(array_to_string(toks, '')) > 5 * len(toks)) AS f_word_len,
+                   len(list_filter(toks, x -> x IN {_STOP_IN})) = 0 AS f_no_stop,
+                   10 * len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) > len(text)
+                       AS f_symbols
+            FROM t
+        )
+        SELECT source, COUNT(*) AS doc_ct,
+               CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS short_ct,
+               CAST(SUM(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS long_ct,
+               CAST(SUM(CASE WHEN f_word_len THEN 1 ELSE 0 END) AS BIGINT) AS word_len_ct,
+               CAST(SUM(CASE WHEN f_no_stop THEN 1 ELSE 0 END) AS BIGINT) AS no_stop_ct,
+               CAST(SUM(CASE WHEN f_symbols THEN 1 ELSE 0 END) AS BIGINT) AS symbol_ct,
+               CAST(SUM(CASE WHEN NOT (f_short OR f_long OR f_word_len OR f_no_stop
+                                       OR f_symbols) THEN 1 ELSE 0 END) AS BIGINT)
+                   AS keep_ct
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
     "text_bpe_tokens": r"""
         WITH t AS (
             SELECT source,
