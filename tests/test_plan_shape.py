@@ -61,6 +61,23 @@ def test_source_topk_has_no_global_sort_before_window(spark):
     assert "CartesianProduct" not in p
 
 
+def test_scalar_aggregate_queries_broadcast_the_scalar(spark):
+    """q11/q15/q22 compare groups against a 1-row global aggregate: the
+    scalar side must broadcast (never a shuffled join against one row)."""
+    for name in ("q11_important_parts", "q15_top_supplier", "q22_idle_rich_customers"):
+        p = plan(spark, name)
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_correlated_min_has_no_cartesian(spark):
+    """q2/q17/q20 express correlated subqueries as per-group aggregates
+    joined back on the group key — equi-joins, never cross products."""
+    for name in ("q2_min_cost_supplier", "q17_small_quantity_revenue", "q20_excess_shippers"):
+        p = plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
 def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
     """Resilience: with auto-broadcast disabled (a side outgrowing the
     threshold), the unhinted fact join replans as a shuffle join (SMJ or

@@ -488,6 +488,20 @@ def test_keep_last_timer_stream_matches_batch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
+def test_hash_sample_stream_equals_batch(spark):
+    """Deterministic hash sampling is stateless → identical row set whether
+    applied to the batch table or a replayed stream (the property that makes
+    it safe for versioned dataset cuts in a streaming ingest)."""
+    from gmall_flink_spark.llm.corpus import hash_sample
+    from gmall_flink_spark.streaming.core import stream_table
+
+    docs = table(spark, SF, "documents")
+    batch = hash_sample(docs, F.col("doc_id"), pct=5)
+    sdf = hash_sample(stream_table(spark, SF, "documents"), F.col("doc_id"), pct=5)
+    got = run_available_now(sdf.select("doc_id"))
+    assert rows(got) == rows(batch.select("doc_id"))
+
+
 def test_supervised_restart_recovers_from_transient_failure(spark, events_slices):
     """W12 fixed-delay restart: a foreachBatch sink that fails once (transient)
     is restarted from the same checkpoint and converges to the batch twin with
