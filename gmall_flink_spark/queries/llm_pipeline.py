@@ -83,11 +83,74 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus materialization: quality filter (Gopher-rule
+    battery) → benchmark decontamination → near-exact dedup on the 8-token
+    prefix fingerprint (keep lowest doc_id per cluster — head-clustering
+    policy), accounted per source with one row per drop reason. Composes the
+    individual north-star ops into the pipeline a training-data run actually
+    executes; rules apply in that order so each doc is dropped exactly
+    once."""
+    from gmall_flink_spark.functions.text import fingerprint, stopword_count, tokenize
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0).withColumn(
+        "toks", tokenize("text")
+    )
+    n = F.size("toks")
+    chars = F.length(F.array_join("toks", ""))
+    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    q_ok = ~(
+        (n < 20) | (n > 85) | (4 * n > chars) | (chars > 5 * n)
+        | (stopword_count(F.col("toks")) == 0) | (10 * symbols > F.length("text"))
+    )
+    contaminated = (
+        decontaminate_overlap(corpus, bench, n=NGRAM_N)
+        .select("doc_id", F.lit(True).alias("contam"))
+    )
+    flagged = (
+        corpus.select(
+            "source",
+            "doc_id",
+            q_ok.alias("q_ok"),
+            fingerprint("text", prefix_tokens=8).alias("fp"),
+        )
+        .join(contaminated, "doc_id", "left")
+        .withColumn("contam", F.coalesce("contam", F.lit(False)))
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dups = (
+        flagged.where(F.col("q_ok") & ~F.col("contam"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", F.lit(True).alias("dup"))
+    )
+    ranked = flagged.join(dups, "doc_id", "left").withColumn(
+        "dup", F.coalesce("dup", F.lit(False))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ct"),
+            F.sum((~F.col("q_ok")).cast("bigint")).alias("drop_quality_ct"),
+            F.sum((F.col("q_ok") & F.col("contam")).cast("bigint")).alias("drop_contam_ct"),
+            F.sum(F.col("dup").cast("bigint")).alias("drop_dup_ct"),
+            F.sum(
+                (F.col("q_ok") & ~F.col("contam") & ~F.col("dup")).cast("bigint")
+            ).alias("kept_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_hash_sample": llm_hash_sample,
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
+    "llm_clean_corpus": llm_clean_corpus,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -132,6 +195,44 @@ ORACLE = {
         FROM documents
         QUALIFY rn <= 3
         ORDER BY source, rn
+    """,
+    "llm_clean_corpus": f"""
+        WITH sh AS ({_SHINGLES5}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        contam_ids AS (
+            SELECT DISTINCT doc_id FROM sh
+            JOIN bench USING (shingle)
+            WHERE doc_id % {BENCH_MOD} != 0
+        ),
+        flagged AS (
+            SELECT source, doc_id,
+                   NOT (len(toks) < 20 OR len(toks) > 85
+                        OR 4 * len(toks) > len(array_to_string(toks, ''))
+                        OR len(array_to_string(toks, '')) > 5 * len(toks)
+                        OR len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) = 0
+                        OR 10 * len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) > len(text))
+                       AS q_ok,
+                   doc_id IN (SELECT doc_id FROM contam_ids) AS contam,
+                   md5(array_to_string(toks[1:8], ' ')) AS fp
+            FROM (SELECT source, doc_id, text, {_TOKS} AS toks FROM documents
+                  WHERE doc_id % {BENCH_MOD} != 0)
+        ),
+        dups AS (
+            SELECT doc_id FROM flagged
+            WHERE q_ok AND NOT contam
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        )
+        SELECT source, COUNT(*) AS total_ct,
+               CAST(SUM(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_quality_ct,
+               CAST(SUM(CASE WHEN q_ok AND contam THEN 1 ELSE 0 END) AS BIGINT)
+                   AS drop_contam_ct,
+               CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM dups)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS drop_dup_ct,
+               CAST(SUM(CASE WHEN q_ok AND NOT contam
+                                  AND doc_id NOT IN (SELECT doc_id FROM dups)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct
+        FROM flagged GROUP BY 1 ORDER BY 1
     """,
     "llm_embed_quantize": """
         WITH n AS (
