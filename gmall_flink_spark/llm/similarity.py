@@ -91,6 +91,51 @@ def near_dup_pairs(
     )
 
 
+def near_dup_pairs_matmul(
+    vectors: DataFrame, threshold: float = 0.3, block_col: str = "label"
+) -> DataFrame:
+    """``near_dup_pairs`` with a vectorized score kernel: same blocking and
+    shuffle (one hash partition on the block key), but each block's pairwise
+    cosines are ONE numpy matmul inside ``applyInPandas`` instead of an
+    interpreted fold per pair — the kernel to swap in when blocks grow past
+    ~10³ vectors (SCALE.md known-costs item). Arrow moves each block's
+    matrix across the boundary once.
+
+    Same output contract as near_dup_pairs (a_id < b_id, round(cos,6) >=
+    threshold); BLAS accumulation order can differ from the fold at the
+    1e-15 scale, invisible at 6-decimal rounding (equivalence pinned by
+    test)."""
+    thr = float(threshold)
+
+    def per_block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids, X = ids[order], X[order]
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = np.round((X @ X.T) / np.outer(norms, norms), 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= thr
+        return pd.DataFrame(
+            {
+                "block": pdf["block"].iloc[0],
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "cos": S[iu, ju][keep],
+            }
+        )
+
+    blocks = vectors.select(
+        F.col(block_col).cast("bigint").alias("block"), "vec_id", "vec"
+    )
+    return blocks.groupBy("block").applyInPandas(
+        per_block, "block bigint, a_id bigint, b_id bigint, cos double"
+    )
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast argmax; ties -> lowest id)."""
     c = with_norm(centroids).select(

@@ -48,15 +48,46 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(media_table(spark, sf_dir), max_side=256).orderBy("media_id")
 
 
+def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blob dedup, chunk-hash first pass: md5 over the leading 64
+    payload bytes (the cheap prefilter real media pipelines run before
+    full-content hashing), JVM-side on the binary column — payload bytes
+    never reach Python. Per kind: blobs, distinct chunk hashes, dups."""
+    m = media_table(spark, sf_dir)
+    fp = F.md5(F.expr("substring(payload, 1, 64)"))
+    return (
+        m.select("kind", fp.alias("fp"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("blob_ct"),
+            F.countDistinct("fp").alias("distinct_fp"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_ct"),
+        )
+        .orderBy("kind")
+    )
+
+
 QUERIES = {
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
     "media_resize_plan": media_resize_plan,
+    "media_exact_dedup": media_exact_dedup,
 }
 
 _KIND = "(['image','audio','video'])[(doc_id % 3) + 1]"
 
 ORACLE = {
+    # payload = utf-8 text bytes and the corpus is ASCII, so the 64-byte
+    # binary prefix equals the 64-char text prefix
+    "media_exact_dedup": f"""
+        SELECT {_KIND} AS kind,
+               COUNT(*) AS blob_ct,
+               COUNT(DISTINCT md5(substring(text, 1, 64))) AS distinct_fp,
+               CAST(COUNT(*) - COUNT(DISTINCT md5(substring(text, 1, 64))) AS BIGINT)
+                   AS dup_ct
+        FROM documents
+        GROUP BY 1 ORDER BY 1
+    """,
     "media_decode_stats": f"""
         SELECT {_KIND} AS kind,
                COUNT(*) AS media_ct,

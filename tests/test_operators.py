@@ -134,3 +134,25 @@ def test_asof_join_tolerance(spark):
         ).collect()
     }
     assert bounded == {("a", "r1"), ("b", "r2"), ("c", None)}
+
+
+def test_near_dup_matmul_kernel_equals_fold_kernel(spark):
+    """The vectorized (numpy matmul) near-dup kernel must reproduce the
+    JVM fold kernel exactly at 6-decimal rounding — same blocking, same
+    pairs, same scores (the large-block swap-in from SCALE.md)."""
+    from gmall_flink_spark.llm.similarity import (
+        ivf_assign,
+        near_dup_pairs,
+        near_dup_pairs_matmul,
+        prep,
+    )
+    from gmall_flink_spark.sources.tables import table
+
+    emb = prep(table(spark, "/root/testdata/sf0.01", "embeddings"))
+    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < 10))
+    base = near_dup_pairs(assigned, threshold=0.3, block_col="cluster")
+    fast = near_dup_pairs_matmul(assigned, threshold=0.3, block_col="cluster")
+    cols = ["block", "a_id", "b_id", "cos"]
+    assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
+        map(tuple, base.select(cols).collect())
+    )
