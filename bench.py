@@ -66,6 +66,8 @@ HEADLINE = [
     "q21_sole_failing_supplier",
     "llm_decontaminate",
     "llm_embed_quantize",
+    "llm_clean_corpus",
+    "media_exact_dedup",
 ]
 
 

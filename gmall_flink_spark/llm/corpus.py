@@ -30,16 +30,26 @@ def decontaminate_overlap(
 
     ``benchmark`` is expected to be small (an eval set): its distinct
     shingle set is broadcast, so the corpus scan never shuffles until the
-    per-doc count. Returns (doc_id, overlap_ct, shingle_ct)."""
-    bench_sh = word_shingles(benchmark, n=n).select("shingle").distinct()
-    corpus_sh = word_shingles(corpus, n=n)
-    totals = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("shingle_ct"))
-    hits = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("overlap_ct"))
+    per-doc count. ONE pass over the corpus shingles: left-join the
+    broadcast benchmark set and count totals and hits in the same
+    aggregation. Returns (doc_id, overlap_ct, shingle_ct), hit docs only."""
+    bench_sh = (
+        word_shingles(benchmark, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    return totals.join(hits, "doc_id").select("doc_id", "overlap_ct", "shingle_ct")
+    return (
+        word_shingles(corpus, n=n)
+        .join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("_hit").alias("overlap_ct"),
+            F.count(F.lit(1)).alias("shingle_ct"),
+        )
+        .where(F.col("overlap_ct") > 0)
+        .select("doc_id", "overlap_ct", "shingle_ct")
+    )
 
 
 def hash_sample(df: DataFrame, key: Column, pct: int, buckets: int = 100) -> DataFrame:
