@@ -76,6 +76,29 @@ def test_watermark_append_emits_closed_windows(spark, events_slices):
     assert rows(got, ["stt", "edt", "pv"]) == expected
 
 
+def test_session_window_stream_emits_closed_sessions(spark, events_slices):
+    """Session windows (30 min gap) in streaming append mode: every emitted
+    session must match the batch session agg exactly (same user, bounds,
+    count); sessions still open at the final watermark are withheld."""
+    ev = table(spark, SF, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("ev_ct"))
+        .select("user_id", F.col("w.start").alias("stt"), F.col("w.end").alias("edt"), "ev_ct")
+    )
+    sdf = stream_from(spark, events_slices, ev).withWatermark("ts", "0 seconds")
+    got = run_available_now(
+        sdf.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("ev_ct"))
+        .select("user_id", F.col("w.start").alias("stt"), F.col("w.end").alias("edt"), "ev_ct"),
+        output_mode="append",
+    )
+    got_rows = set(rows(got))
+    batch_rows = set(rows(batch))
+    assert got_rows, "no sessions emitted"
+    assert got_rows <= batch_rows, "streamed session not in batch result"
+
+
 def test_keep_first_stream_matches_batch_keys(spark, events_slices):
     """D1/D2: dropDuplicatesWithinWatermark emits one row per key; the key
     set equals the batch first_per_day key set (first-arrival vs first-by-ts
