@@ -525,6 +525,28 @@ def test_hash_sample_stream_equals_batch(spark):
     assert rows(got) == rows(batch.select("doc_id"))
 
 
+def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
+    """Streaming corpus exact-dedup: replay documents in 3 micro-batches
+    through the bucketed seen-fingerprint sink; the final survivor set must
+    equal batch keep_first on the fingerprint (first doc_id owns it)."""
+    from gmall_flink_spark.functions.text import fingerprint
+    from gmall_flink_spark.operators.dedup import keep_first
+    from gmall_flink_spark.sinks.dedup_sink import dedup_writer, read_state
+
+    docs = table(spark, SF, "documents").select(
+        "doc_id", fingerprint("text", prefix_tokens=8).alias("fp")
+    )
+    slices = os.path.join(TMP, "doc_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "dedup_sink_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, docs)
+    run_available_now(sdf, foreach_batch=dedup_writer(state, "fp", ["doc_id"]))
+    batch = keep_first(docs, ["fp"], ["doc_id"])
+    assert rows(read_state(spark, state)) == rows(batch)
+
+
 def test_supervised_restart_recovers_from_transient_failure(spark, events_slices):
     """W12 fixed-delay restart: a foreachBatch sink that fails once (transient)
     is restarted from the same checkpoint and converges to the batch twin with
