@@ -48,16 +48,32 @@ def distinct_tokens(docs: DataFrame) -> DataFrame:
     return doc_tokens(docs).select("doc_id", F.explode(F.array_distinct("toks")).alias("shingle"))
 
 
+#: modulus for the affine minhash family (prime, < 2^31 so every affine
+#: product stays far inside int64 in both engines)
+MINHASH_P = 1_000_000_007
+
+
+def minhash_seed_hash(base: F.Column, seed: int) -> F.Column:
+    """Universal-hash family member: h_s(x) = ((2s+1)·h(x) + s² + 7) mod P.
+    One md5 per shingle feeds all k minhashes (the standard affine trick —
+    k independent hashes without k hash computations)."""
+    return ((2 * seed + 1) * base + (seed * seed + 7)) % MINHASH_P
+
+
 def minhash_signatures(units: DataFrame, k: int = 12) -> DataFrame:
     """One minhash value per (doc, seed): min over the doc's shingles of the
-    seeded portable hash. ``units`` = (doc_id, shingle) exploded frame.
+    seeded hash. ``units`` = (doc_id, shingle) exploded frame.
 
-    One-pass form: all k mins are aggregates of a single groupBy(doc_id)
-    (map-side partials on the shingle frame, ONE shuffle of k-column doc
-    rows), then the tiny wide row explodes to the (doc_id, seed, mh) long
-    format — instead of shuffling a ×k-exploded shingle frame."""
-    mins = units.groupBy("doc_id").agg(
-        *[F.min(md5_long(F.col("shingle"), s)).alias(f"_m{s}") for s in range(k)]
+    One-pass form: the shingle is md5-hashed ONCE, the k seeded variants are
+    affine transforms of that base (minhash_seed_hash), and all k mins are
+    aggregates of a single groupBy(doc_id) (map-side partials, ONE shuffle
+    of k-column doc rows); the tiny wide row then explodes to the
+    (doc_id, seed, mh) long format."""
+    hashed = units.select(
+        "doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("_h")
+    )
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(minhash_seed_hash(F.col("_h"), s)).alias(f"_m{s}") for s in range(k)]
     )
     pairs = F.array(
         *[

@@ -106,13 +106,18 @@ QUERIES = {
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
-_H = "('0x' || substr(md5(seed::VARCHAR || '|' || shingle), 1, 15))::BIGINT"
 
 _UNITS = f"SELECT doc_id, unnest(list_distinct({_TOKS})) AS shingle FROM documents"
 
+# affine minhash family over ONE base md5 per shingle (mirror of
+# llm/dedup.minhash_seed_hash): h_s = ((2s+1)·h + s² + 7) mod P
+_P = 1_000_000_007
+_BASE = f"('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT % {_P}"
+
 _SIGS = f"""
-    SELECT doc_id, seed, MIN({_H}) AS mh
-    FROM ({_UNITS}) u, (SELECT unnest(range({MINHASH_K})) AS seed) s
+    SELECT doc_id, seed, MIN(((2 * seed + 1) * h + seed * seed + 7) % {_P}) AS mh
+    FROM (SELECT doc_id, {_BASE} AS h FROM ({_UNITS})) u,
+         (SELECT unnest(range({MINHASH_K})) AS seed) s
     GROUP BY doc_id, seed
 """
 
