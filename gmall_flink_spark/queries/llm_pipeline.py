@@ -145,8 +145,38 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target mixture: per-source keep percentage (hash buckets of 100); sources
+#: not listed keep MIX_DEFAULT. The deterministic form of data-mixture
+#: reweighting — same doc set every run, no RNG state.
+MIX = {"src0": 80, "src1": 40, "src2": 40}
+MIX_DEFAULT = 10
+
+
+def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source mixing: downsample each source to its target
+    rate via portable-hash bucketing (map-side predicate, no shuffle until
+    the audit aggregation). Reports total vs kept per source."""
+    docs = table(spark, sf_dir, "documents")
+    pct = F.col("source")
+    expr = F.lit(MIX_DEFAULT)
+    for src, p in sorted(MIX.items()):
+        expr = F.when(pct == src, F.lit(p)).otherwise(expr)
+    from gmall_flink_spark.functions.text import md5_long
+
+    kept = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100)) < expr
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ct"),
+            F.sum(kept.cast("bigint")).alias("kept_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
+    "llm_source_mix": llm_source_mix,
     "llm_hash_sample": llm_hash_sample,
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
@@ -178,6 +208,15 @@ ORACLE = {
         SELECT doc_id, overlap_ct, shingle_ct
         FROM totals JOIN hits USING (doc_id)
         ORDER BY doc_id
+    """,
+    "llm_source_mix": f"""
+        SELECT source, COUNT(*) AS total_ct,
+               CAST(SUM(CASE WHEN
+                   ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT % 100
+                   < (CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 40
+                                  WHEN 'src2' THEN 40 ELSE {MIX_DEFAULT} END)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS kept_ct
+        FROM documents GROUP BY 1 ORDER BY 1
     """,
     "llm_hash_sample": f"""
         SELECT source, COUNT(*) AS sample_ct,

@@ -78,6 +78,30 @@ def test_correlated_min_has_no_cartesian(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_routed_sink_readback_prunes_partitions(spark):
+    """K2 routed output is partitioned by sink_table; a reader filtering on
+    it must hit PartitionFilters (directory pruning), not scan all topics —
+    the layout contract that makes per-topic consumers cheap at scale."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sinks.upsert import topic_router
+    from gmall_flink_spark.sources.tables import table
+
+    out = "/tmp/gmall_plan_route"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    ev = table(spark, SF, "events").withColumn(
+        "sink_table", F.concat(F.lit("t"), (F.col("event_id") % 3).cast("string"))
+    )
+    topic_router(out)(ev, 0)
+    rd = spark.read.parquet(out).where(F.col("sink_table") == "t1")
+    p = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "sink_table" in p.split("PartitionFilters")[1][:200]
+
+
 def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
     """Resilience: with auto-broadcast disabled (a side outgrowing the
     threshold), the unhinted fact join replans as a shuffle join (SMJ or
