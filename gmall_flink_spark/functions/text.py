@@ -36,9 +36,41 @@ LANG_MARKERS = {
 
 def tokenize(text: Column | str) -> Column:
     """U2 tokenizer: split on single spaces, drop empties (pinned
-    deterministic replacement for the IK analyzer)."""
+    deterministic replacement for the IK analyzer; see ``segment`` for the
+    pluggable real-segmenter path)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def segment(df, text_col: str = "text", out_col: str = "toks"):
+    """Pluggable segmentation surface (U2): jieba-backed when the library is
+    present (the IK-analyzer equivalent for Chinese,
+    util/SplitKeywordUDTF.java:19-34), the pinned deterministic whitespace
+    tokenizer otherwise. Oracle-checked queries use ``tokenize`` directly —
+    this surface is for production corpora where a real segmenter exists;
+    the jieba path is an Arrow-batched mapInPandas with a self-contained
+    closure (workers have no repo on PYTHONPATH)."""
+    try:
+        import jieba  # noqa: F401  # pragma: no cover - not in test env
+    except ImportError:
+        return df.withColumn(out_col, tokenize(text_col))
+
+    import pandas as pd  # pragma: no cover - jieba path
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [*df.schema.fields, StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def run(batches):  # pragma: no cover - jieba path
+        import jieba
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(lambda t: [w for w in jieba.cut(t) if w.strip()])
+            yield pd.DataFrame(pdf)
+
+    return df.mapInPandas(run, schema)
 
 
 def token_count(text: Column | str) -> Column:

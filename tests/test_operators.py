@@ -156,3 +156,13 @@ def test_near_dup_matmul_kernel_equals_fold_kernel(spark):
     assert sorted(map(tuple, fast.select(cols).collect())) == sorted(
         map(tuple, base.select(cols).collect())
     )
+
+
+def test_segment_falls_back_to_pinned_tokenizer(spark):
+    """U2 pluggable segmentation: without jieba in the environment the
+    surface must degrade to the pinned deterministic tokenizer."""
+    from gmall_flink_spark.functions.text import segment
+
+    df = spark.createDataFrame([("a  b c",), ("",)], "text string")
+    out = segment(df)
+    assert [r["toks"] for r in out.orderBy("text").collect()] == [[], ["a", "b", "c"]]
