@@ -192,6 +192,57 @@ def jaccard_pairs(
     )
 
 
+def connected_components(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Connected components by iterative min-label propagation — the final
+    step of near-dup dedup (pair graph → clusters → keep one representative
+    per cluster). Pure DataFrame iteration: each round every node adopts the
+    minimum label among itself and its neighbours; converged when no label
+    changes (checked with one count per round — driver control flow only,
+    data never leaves executors; same shape as k-means Lloyd iteration).
+
+    Rounds needed = graph diameter (near-dup clusters are shallow: dup
+    groups are cliques or short chains). One shuffle per round on the node
+    id. Returns (doc_id, component) with component = min doc_id reachable.
+
+    ``edges`` = (doc_a, doc_b) undirected; ``nodes`` defaults to the docs
+    appearing in any edge (derived WITHOUT re-running the edge pipeline).
+    """
+    # materialize the edge list once: the loop joins it every round, and a
+    # separately-derived nodes frame would re-execute the whole upstream
+    # pipeline (LSH + jaccard) a second time
+    e = edges.localCheckpoint(eager=True)
+    sym = e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
+        e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-3
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        updated = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr") < F.col("component")).alias("_chg"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """Per-doc simhash, one-pass: each distinct token is hashed ONCE
     (md5_long) and every bit-b vote (±1) is derived from bit b of that hash

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_spark.functions.text import fingerprint
 from gmall_flink_spark.llm.dedup import (
+    connected_components,
     distinct_tokens,
     jaccard_pairs,
     lsh_bands,
@@ -91,6 +92,22 @@ def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified LSH pair
+    graph (j >= 0.9) — the step that turns pairs into dedup decisions
+    (component id = the kept representative, everything else drops). Output
+    is the per-doc component mapping for docs in any cluster."""
+    docs = table(spark, sf_dir, "documents")
+    units = distinct_tokens(docs)
+    cands = lsh_candidates(
+        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    jac = jaccard_pairs(units, cands)
+    edges = jac.where(10 * F.col("inter") >= 9 * F.col("uni")).select("doc_a", "doc_b")
+    return connected_components(edges).orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
     docs = table(spark, sf_dir, "documents")
@@ -103,6 +120,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -201,6 +219,28 @@ ORACLE = {
                CAST(SUM(CASE WHEN 2 * inter >= uni THEN 1 ELSE 0 END) AS BIGINT) AS j05_ct,
                MAX(inter) AS max_inter
         FROM jac
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE
+        cands AS ({_CANDS}),
+        jac AS ({_jaccard(_UNITS)}),
+        edges AS (
+            SELECT j.doc_a, j.doc_b
+            FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+            WHERE 10 * j.inter >= 9 * j.uni
+        ),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        )
+        SELECT doc_id, MIN(r) AS component
+        FROM reach GROUP BY doc_id ORDER BY doc_id
     """,
     "dedup_simhash": f"""
         WITH hashed AS (
