@@ -74,6 +74,29 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (ntile / dense_rank / percent_rank):
+    customers quartiled by account balance within their nation; per
+    (nation, quartile) count and exact-cents balance total. Deterministic:
+    the window orders by (c_acctbal, c_custkey) so ties split stably."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    ranked = cust.select(
+        F.col("c_nationkey").alias("nation_id"),
+        F.ntile(4).over(w).alias("quartile"),
+        cents.alias("bal_cents"),
+    )
+    return (
+        ranked.groupBy("nation_id", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("cust_ct"),
+            F.sum("bal_cents").alias("bal_cents_total"),
+        )
+        .orderBy("nation_id", "quartile")
+    )
+
+
 def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations: customers in the BUILDING segment INTERSECT high-value
     customers, EXCEPT recent-order customers — counted per nation."""
@@ -99,6 +122,7 @@ QUERIES = {
     "pivot_status_by_priority": pivot_status_by_priority,
     "cube_status_priority": cube_status_priority,
     "segment_set_ops": segment_set_ops,
+    "customer_value_quartiles": customer_value_quartiles,
 }
 
 ORACLE = {
@@ -132,6 +156,18 @@ ORACLE = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY status NULLS FIRST, priority NULLS FIRST
+    """,
+    "customer_value_quartiles": """
+        WITH r AS (
+            SELECT c_nationkey AS nation_id,
+                   ntile(4) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer
+        )
+        SELECT nation_id, quartile, COUNT(*) AS cust_ct,
+               CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_total
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "segment_set_ops": """
         WITH keys AS (
