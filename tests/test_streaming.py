@@ -525,6 +525,46 @@ def test_hash_sample_stream_equals_batch(spark):
     assert rows(got) == rows(batch.select("doc_id"))
 
 
+def test_streaming_clean_corpus_equals_batch_keep_set(spark):
+    """The streaming clean-corpus ingest (quality -> decontaminate ->
+    cross-batch dedup, plans/clean_corpus_stream.py) replayed over 3
+    micro-batches must keep exactly the docs the batch pipeline keeps."""
+    from gmall_flink_spark.functions.text import fingerprint
+    from gmall_flink_spark.llm.dedup import word_shingles
+    from gmall_flink_spark.operators.dedup import keep_first
+    from gmall_flink_spark.plans.clean_corpus_stream import (
+        clean_corpus_writer,
+        quality_keep,
+    )
+    from gmall_flink_spark.sinks.dedup_sink import read_state
+
+    docs = table(spark, SF, "documents")
+    bench_docs = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench_sh = word_shingles(bench_docs, n=5)
+
+    slices = os.path.join(TMP, "clean_corpus_slices")
+    split_into_files(corpus, 3, "doc_id", slices)
+    state = os.path.join(TMP, "clean_corpus_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, corpus)
+    run_available_now(sdf, foreach_batch=clean_corpus_writer(state, bench_sh))
+
+    q = quality_keep(corpus)
+    contaminated = (
+        word_shingles(q, n=5)
+        .join(bench_sh.select("shingle").distinct(), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = q.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "source", fingerprint("text", prefix_tokens=8).alias("fp")
+    )
+    batch = keep_first(survivors, ["fp"], ["doc_id"])
+    assert rows(read_state(spark, state)) == rows(batch)
+
+
 def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
     """Streaming corpus exact-dedup: replay documents in 3 micro-batches
     through the bucketed seen-fingerprint sink; the final survivor set must
