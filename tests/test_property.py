@@ -106,3 +106,33 @@ def test_decimal_sum_is_partition_order_independent(spark, vals):
         F.sum((F.col("c") / 100).cast("decimal(18,2)")).alias("s")
     ).collect()[0]["s"]
     assert agg(one) == agg(many)
+
+
+@given(
+    raws=st.lists(
+        st.one_of(
+            st.text(max_size=40),
+            st.sampled_from(
+                [
+                    '{"database":"g","table":"t","type":"insert","ts":1,"data":{"a":"1"}}',
+                    '{"table":null}',
+                    '{"table":"t"}',
+                    "[1,2,3]",
+                    '{"table":"t","data":{"a":null}}',
+                    "",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_envelope_parse_split_partitions_every_row(spark, raws):
+    """P1 totality: for ANY input strings, parse_envelope_split never throws
+    and every row lands in exactly one of (parsed, dead)."""
+    from gmall_flink_spark.operators.cdc import parse_envelope_split
+
+    df = spark.createDataFrame([(r,) for r in raws], "value string")
+    ok, dead = parse_envelope_split(df)
+    assert ok.count() + dead.count() == len(raws)
