@@ -244,6 +244,38 @@ def custom_agg_sumsq_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of value vs props.k per event_type, computed
+    EXACTLY: the five moment sums accumulate as integers (value in cents),
+    so no FP crosses a shuffle; the correlation is ONE double formula over
+    exact sums — deterministic where built-in ``corr`` (FP running sums)
+    is partition-order-dependent."""
+    ev = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = F.get_json_object("props", "$.k").cast("bigint")
+    both = ev.where(y.isNotNull()).select("event_type", x.alias("x"), y.alias("y"))
+    agg = both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # combine moments in DECIMAL(38,0): n·sxx products overflow int64 once
+    # row counts pass ~10^5 per group (the 100 TB cliff int64 moments hit)
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    cov = (n * d("sxy") - sx * sy).cast("double")
+    vx = (n * d("sxx") - sx * sx).cast("double")
+    vy = (n * d("syy") - sy * sy).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_xy"),
+    ).orderBy("event_type")
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (EXISTS) — free in Spark beyond the reference's equi-joins
     (SURVEY §2.4 note): orders with at least one late lineitem, counted per
@@ -421,6 +453,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q19_discount_bands": q19_discount_bands,
     "events_props_stats": events_props_stats,
+    "events_value_corr": events_value_corr,
     "rollup_revenue": rollup_revenue,
     "stats_value_quantiles": stats_value_quantiles,
     "custom_agg_sumsq_cents": custom_agg_sumsq_cents,
@@ -499,6 +532,29 @@ ORACLE = {
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY order_id
+    """,
+    "events_value_corr": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM b GROUP BY 1
+        )
+        SELECT event_type, n,
+               round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                            * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                     6) AS corr_xy
+        FROM agg ORDER BY 1
     """,
     "events_props_stats": """
         SELECT event_type,

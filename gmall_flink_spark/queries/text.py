@@ -140,9 +140,30 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: docs bucketed by floor(log2(token_ct))
+    (the standard power-of-2 histogram for sequence-length planning), with
+    exact token totals per bucket."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    n = F.size("toks")
+    bucket = F.floor(F.log2(n)).cast("bigint")
+    return (
+        docs.where(n > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(n.cast("bigint")).alias("tok_total"),
+            F.min(n.cast("bigint")).alias("tok_min"),
+            F.max(n.cast("bigint")).alias("tok_max"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_gopher_flags": text_gopher_flags,
+    "text_length_histogram": text_length_histogram,
     "keyword_split": keyword_split,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -171,6 +192,15 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_length_histogram": f"""
+        WITH t AS (SELECT len({_TOKS}) AS n FROM documents)
+        SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
+               COUNT(*) AS doc_ct,
+               CAST(SUM(n) AS BIGINT) AS tok_total,
+               MIN(n) AS tok_min, MAX(n) AS tok_max
+        FROM t WHERE n > 0
+        GROUP BY 1 ORDER BY 1
+    """,
     "text_gopher_flags": f"""
         WITH t AS (
             SELECT source, {_TOKS} AS toks, text FROM documents
