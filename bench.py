@@ -94,6 +94,9 @@ HEADLINE = [
     "llm_embed_quantize",
     "llm_clean_corpus",
     "media_exact_dedup",
+    "text_gopher_flags",
+    "events_value_corr",
+    "dedup_components",
 ]
 
 
