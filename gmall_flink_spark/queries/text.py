@@ -140,6 +140,39 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term) with top-3 terms per doc (doc_id < 20 slice):
+    tf = term count in doc, idf = ln(N / df). Counts stay exact integers
+    until ONE deterministic double formula per row; ranking orders by
+    (round(tfidf,6) DESC, term) so ties break stably. The df frame is the
+    same inverted index the dedup suite shuffles on — one hash shuffle per
+    aggregation, no driver loops."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension (metadata-scale, not data)
+    terms = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = (
+        tf.where(F.col("doc_id") < 20)
+        .join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution: docs bucketed by floor(log2(token_ct))
     (the standard power-of-2 histogram for sequence-length planning), with
@@ -164,6 +197,7 @@ QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_gopher_flags": text_gopher_flags,
     "text_length_histogram": text_length_histogram,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "keyword_split": keyword_split,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -192,6 +226,28 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_tfidf_top_terms": f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df USING (term), n
+            WHERE doc_id < 20
+        )
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk,
+               term, tf, df, tfidf
+        FROM scored
+        QUALIFY rk <= 3
+        ORDER BY doc_id, rk
+    """,
     "text_length_histogram": f"""
         WITH t AS (SELECT len({_TOKS}) AS n FROM documents)
         SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,

@@ -78,6 +78,25 @@ def test_correlated_min_has_no_cartesian(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_hot_path_is_whole_stage_codegen(spark):
+    """The scan-agg hot path must sit inside WholeStageCodegen spans (no
+    interpreted expression islands) — the stay-JVM-side contract."""
+    from gmall_flink_spark.queries.relational import q1_pricing_summary, q6_forecast_revenue
+    from gmall_flink_spark.queries.text import text_gopher_flags
+
+    # raw query fns (the registry wrapper would re-pin AQE, which hides
+    # codegen spans in the pre-execution plan string)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for fn in (q1_pricing_summary, q6_forecast_revenue, text_gopher_flags):
+            p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            # "*(n) Op" prefix = the operator sits in WholeStageCodegen stage n
+            assert "*(" in p, fn.__name__
+            assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def test_routed_sink_readback_prunes_partitions(spark):
     """K2 routed output is partitioned by sink_table; a reader filtering on
     it must hit PartitionFilters (directory pruning), not scan all topics —
