@@ -166,3 +166,23 @@ def test_segment_falls_back_to_pinned_tokenizer(spark):
     df = spark.createDataFrame([("a  b c",), ("",)], "text string")
     out = segment(df)
     assert [r["toks"] for r in out.orderBy("text").collect()] == [[], ["a", "b", "c"]]
+
+
+def test_sql_api_parity_q6(spark):
+    """The SQL-string surface (register_views + spark.sql) must agree with
+    the DataFrame form — the engine's FlinkSQL-equivalent entry point."""
+    from gmall_flink_spark.queries.relational import q6_forecast_revenue
+    from gmall_flink_spark.sources.tables import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS line_ct
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """).collect()
+    want = q6_forecast_revenue(spark, sf).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
