@@ -85,7 +85,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_topk",
     "embed_near_dup",
-    # round 2 additions: subquery-shaped relational + corpus pipeline ops
+    # round 2 additions (everything below): subquery-shaped relational +
+    # corpus pipeline ops — R1_HEADLINE_N keeps cross-round totals comparable
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q13_order_count_histogram",
@@ -98,6 +99,11 @@ HEADLINE = [
     "events_value_corr",
     "dedup_components",
 ]
+
+#: first N entries = the round-1 headline set; their subtotal is emitted as
+#: `r01_comparable_sec` so per-round totals compare like-for-like even as
+#: the suite grows
+R1_HEADLINE_N = 35
 
 
 def main() -> None:
@@ -141,6 +147,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "query_ct": len(timings),
+        "r01_comparable_sec": round(
+            sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3
+        ),
         "queries": timings,
         "sf": sf,
     }
