@@ -173,7 +173,27 @@ def dws_nation_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("stt", "nation_name")
 
 
+def window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k (the streaming leaderboard shape): per 1-day tumbling
+    window, the top-2 event types by count — window agg then rank within
+    the window key (one shuffle per stage, no global sort of events)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    counts = tumble_agg(
+        ev, "ts", "1 day", ["event_type"], [F.count(F.lit(1)).alias("ev_ct")]
+    )
+    w = Window.partitionBy("stt").orderBy(F.desc("ev_ct"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("stt", "edt", "rk", "event_type", "ev_ct")
+        .orderBy("stt", "rk")
+    )
+
+
 QUERIES = {
+    "window_topk_types": window_topk_types,
     "window_event_counts": window_event_counts,
     "dws_brand_order_window": dws_brand_order_window,
     "dws_nation_order_window": dws_nation_order_window,
@@ -269,6 +289,22 @@ ORACLE = {
                CAST(SUM(amount) AS DOUBLE) AS amount_sum
         FROM od JOIN part ON sku_id = p_partkey
         GROUP BY 1, 2, 3 ORDER BY stt, brand
+    """,
+    "window_topk_types": f"""
+        WITH counts AS (
+            SELECT strftime({_bucket(86400)}, '%Y-%m-%d %H:%M:%S') AS stt,
+                   strftime({_bucket(86400)} + INTERVAL '86400 seconds',
+                            '%Y-%m-%d %H:%M:%S') AS edt,
+                   event_type, COUNT(*) AS ev_ct
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT stt, edt,
+               row_number() OVER (PARTITION BY stt
+                                  ORDER BY ev_ct DESC, event_type) AS rk,
+               event_type, ev_ct
+        FROM counts
+        QUALIFY rk <= 2
+        ORDER BY stt, rk
     """,
     "window_event_counts": f"""
         SELECT strftime({_bucket(600)}, '%Y-%m-%d %H:%M:%S') AS stt,
