@@ -82,3 +82,66 @@ def quantize_i8_sum(vec: Column, norm: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+def pack_greedy(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tok_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy sequence packing: walk each group's docs in ``order_col``
+    order, appending to the current bin until adding the next doc would
+    exceed ``budget`` tokens, then open a new bin (an oversized doc gets a
+    bin of its own). Returns one row per doc:
+    ``group_cols + [bin, doc, tok]``.
+
+    Scale posture (100 TB): packing is inherently sequential, so the
+    parallel unit is the group key — callers shard the corpus (e.g.
+    source x hash-shard) so every group is bounded. Each group's
+    (doc, tok) pairs are gathered once (one shuffle) and folded entirely
+    JVM-side with a higher-order ``aggregate`` — no Python in the loop, no
+    driver-side state, and bins never span shards, which is exactly how a
+    multi-writer training-shard packer behaves."""
+    def step(acc: Column, x: Column) -> Column:
+        overflow = (acc["fill"] + x["tok"]) > budget
+        nbin = F.when(overflow, acc["bin"] + 1).otherwise(acc["bin"])
+        nfill = F.when(overflow, x["tok"]).otherwise(acc["fill"] + x["tok"])
+        entry = F.struct(
+            nbin.alias("bin"), x["doc"].alias("doc"), x["tok"].alias("tok")
+        )
+        return F.struct(
+            nfill.alias("fill"),
+            nbin.alias("bin"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    packed = (
+        df.select(
+            *group_cols,
+            F.struct(
+                F.col(order_col).cast("bigint").alias("doc"),
+                F.col(tok_col).cast("bigint").alias("tok"),
+            ).alias("item"),
+        )
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("item")).alias("items"))
+        .select(
+            *group_cols,
+            F.aggregate(
+                "items",
+                F.struct(
+                    F.lit(0).cast("bigint").alias("fill"),
+                    F.lit(0).cast("bigint").alias("bin"),
+                    F.array()
+                    .cast("array<struct<bin:bigint,doc:bigint,tok:bigint>>")
+                    .alias("out"),
+                ),
+                step,
+            )["out"].alias("packed"),
+        )
+    )
+    return packed.select(*group_cols, F.explode("packed").alias("e")).select(
+        *group_cols, "e.bin", "e.doc", "e.tok"
+    )

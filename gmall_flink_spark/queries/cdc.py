@@ -313,8 +313,49 @@ def cart_uu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCD2 audit slice: full history is corpus-sized, so the checked surface is
+#: a deterministic 2% of dimension keys (the window logic runs identically).
+SCD2_MOD = 50
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history build from the changelog (the batch form of
+    the reference's DIM layer upserts, app/dim/DimApp.java: each update
+    closes the previous version): per key, versions ordered by (ts, id)
+    carry valid_from and valid_to = next version's valid_from (NULL while
+    current). The key filter sits below the window, so Spark prunes the
+    scan to the audited keys before any shuffle."""
+    from pyspark.sql import Window
+
+    env = drop_bootstrap(cart_envelope(spark, sf_dir))
+    cart = (
+        src_filter(env, "cart_info", ["insert", "update"])
+        .select(
+            d("sku_id").cast("bigint").alias("sku_id"),
+            d("id").cast("bigint").alias("id"),
+            d("sku_num").cast("bigint").alias("sku_num"),
+            F.col("ts"),
+        )
+        .where(F.pmod(F.col("sku_id"), F.lit(SCD2_MOD)) == 0)
+    )
+    w = Window.partitionBy("sku_id").orderBy("ts", "id")
+    return (
+        cart.withColumn("ver", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "sku_id",
+            "ver",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "sku_num",
+        )
+        .orderBy("sku_id", "ver")
+    )
+
+
 QUERIES = {
     "cdc_cart_add": cdc_cart_add,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_dead_letter_stats": cdc_dead_letter_stats,
     "cart_uu_daily": cart_uu_daily,
     "cdc_order_detail_wide": cdc_order_detail_wide,
@@ -455,6 +496,24 @@ ORACLE = {
                    CAST(SUM(l_orderkey * 10 + l_linenumber) AS BIGINT)
             FROM lineitem WHERE {_CART_OK} AND l_linenumber % 2 = 1
         ) ORDER BY sink_table
+    """,
+    "cdc_scd2_history": f"""
+        WITH cart AS (
+            SELECT l_partkey AS sku_id,
+                   (l_orderkey * 10 + l_linenumber) AS id,
+                   CAST(l_quantity AS BIGINT) AS sku_num,
+                   CAST(epoch(l_shipdate) AS BIGINT) AS ts
+            FROM lineitem
+            WHERE {_CART_OK} AND l_partkey % {SCD2_MOD} = 0
+        )
+        SELECT sku_id,
+               CAST(row_number() OVER w AS BIGINT) AS ver,
+               ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               sku_num
+        FROM cart
+        WINDOW w AS (PARTITION BY sku_id ORDER BY ts, id)
+        ORDER BY sku_id, ver
     """,
     "cdc_sku_last_state": f"""
         WITH cart AS (

@@ -174,6 +174,71 @@ def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: sequence-packing budget (whitespace tokens per packed sequence) and the
+#: shard fan-out that bounds each sequential packing unit.
+PACK_BUDGET = 256
+PACK_SHARDS = 4
+
+#: deterministic split thresholds over 100 hash buckets: train <90, val <95,
+#: test otherwise.
+SPLIT_TRAIN = 90
+SPLIT_VAL = 95
+
+
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing audit: shard each source PACK_SHARDS ways
+    (bins never span shards — the parallel unit), pack docs into
+    PACK_BUDGET-token bins in doc_id order, and report per-bin doc count,
+    token fill, and doc-id span. The fold runs JVM-side per group
+    (llm/corpus.py::pack_greedy); only the tiny per-bin audit shuffles."""
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.llm.corpus import pack_greedy
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.col("doc_id"),
+        token_count("text").alias("tok"),
+    )
+    return (
+        pack_greedy(docs, ["source", "shard"], "doc_id", "tok", PACK_BUDGET)
+        .groupBy("source", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("tok").alias("tok_total"),
+            F.min("doc").alias("first_doc"),
+            F.max("doc").alias("last_doc"),
+        )
+        .orderBy("source", "shard", "bin")
+    )
+
+
+def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: portable-hash bucket of
+    doc_id → split (map-only, seed-free, stable across runs/engines — the
+    dataset-versioning property), audited per source x split."""
+    from gmall_flink_spark.functions.text import md5_long, token_count
+
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"), "doc_id", token_count("text").alias("tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("tok").alias("tok_total"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_source_mix": llm_source_mix,
@@ -181,6 +246,8 @@ QUERIES = {
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_clean_corpus": llm_clean_corpus,
+    "llm_pack_sequences": llm_pack_sequences,
+    "llm_split_assign": llm_split_assign,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -290,5 +357,51 @@ ORACLE = {
                CAST(SUM(qsum) AS BIGINT) AS qsum_total,
                CAST(SUM(norm_e4) AS BIGINT) AS norm_e4_total
         FROM q GROUP BY 1 ORDER BY 1
+    """,
+    "llm_pack_sequences": f"""
+        WITH RECURSIVE base AS (
+            SELECT source, doc_id % {PACK_SHARDS} AS shard, doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS tok,
+                   row_number() OVER (PARTITION BY source, doc_id % {PACK_SHARDS}
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        packed AS (
+            SELECT source, shard, rn, doc_id, tok,
+                   tok AS fill,
+                   CAST(CASE WHEN tok > {PACK_BUDGET} THEN 1 ELSE 0 END
+                        AS BIGINT) AS bin
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.source, b.shard, b.rn, b.doc_id, b.tok,
+                   CASE WHEN p.fill + b.tok > {PACK_BUDGET}
+                        THEN b.tok ELSE p.fill + b.tok END,
+                   CASE WHEN p.fill + b.tok > {PACK_BUDGET}
+                        THEN p.bin + 1 ELSE p.bin END
+            FROM packed p
+            JOIN base b ON b.source = p.source AND b.shard = p.shard
+                       AND b.rn = p.rn + 1
+        )
+        SELECT source, shard, bin, COUNT(*) AS doc_ct,
+               CAST(SUM(tok) AS BIGINT) AS tok_total,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "llm_split_assign": f"""
+        WITH t AS (
+            SELECT source,
+                   ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS bucket,
+                   doc_id, CAST(len({_TOKS}) AS BIGINT) AS tok
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS doc_ct,
+               CAST(SUM(tok) AS BIGINT) AS tok_total,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }

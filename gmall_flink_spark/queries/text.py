@@ -193,8 +193,43 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher duplicate-n-gram
+    family): per source, total vs distinct 3-gram counts and the number of
+    docs whose duplicate-3-gram fraction exceeds 20%. All integer
+    arithmetic (5 * dup_ct > total_ct ⇔ ratio > 0.2), built entirely from
+    JVM higher-order functions — the shuffle only moves four counters per
+    source."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    n = F.size("toks")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.array_join(F.slice("toks", i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_counts = docs.select(
+        "source",
+        F.size(grams).alias("total3"),
+        F.size(F.array_distinct(grams)).alias("distinct3"),
+    )
+    dup = F.col("total3") - F.col("distinct3")
+    return (
+        with_counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum(dup).alias("rep3_ct"),
+            F.sum("total3").alias("total3_ct"),
+            F.sum((5 * dup > F.col("total3")).cast("bigint")).alias("flagged_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
+    "text_repetition": text_repetition,
     "text_gopher_flags": text_gopher_flags,
     "text_length_histogram": text_length_histogram,
     "text_tfidf_top_terms": text_tfidf_top_terms,
@@ -282,6 +317,25 @@ ORACLE = {
                                        OR f_symbols) THEN 1 ELSE 0 END) AS BIGINT)
                    AS keep_ct
         FROM f GROUP BY 1 ORDER BY 1
+    """,
+    "text_repetition": f"""
+        WITH t AS (
+            SELECT source,
+                   list_transform(range(len(toks) - 2),
+                                  i -> array_to_string(toks[i + 1 : i + 3], ' '))
+                       AS g
+            FROM (SELECT source, {_TOKS} AS toks FROM documents)
+        ),
+        c AS (
+            SELECT source, len(g) AS total3, len(list_distinct(g)) AS distinct3
+            FROM t
+        )
+        SELECT source, COUNT(*) AS doc_ct,
+               CAST(SUM(total3 - distinct3) AS BIGINT) AS rep3_ct,
+               CAST(SUM(total3) AS BIGINT) AS total3_ct,
+               CAST(SUM(CASE WHEN 5 * (total3 - distinct3) > total3
+                             THEN 1 ELSE 0 END) AS BIGINT) AS flagged_ct
+        FROM c GROUP BY 1 ORDER BY 1
     """,
     "text_bpe_tokens": r"""
         WITH t AS (

@@ -186,3 +186,30 @@ def test_sql_api_parity_q6(spark):
     """).collect()
     want = q6_forecast_revenue(spark, sf).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pack_greedy_bins(spark):
+    from gmall_flink_spark.llm.corpus import pack_greedy
+
+    rows = [
+        # group g: 60+50 fit in 128, +30 fits (140>128? 60+50=110, +30=140 no)
+        ("g", 1, 60),
+        ("g", 2, 50),
+        ("g", 3, 30),   # 110+30 > 128 -> new bin
+        ("g", 4, 98),   # 30+98 = 128 == budget -> same bin (not >)
+        ("g", 5, 200),  # oversized -> bin of its own
+        ("g", 6, 10),   # after oversized doc, fill=200 -> new bin
+        ("h", 7, 128),  # exact-budget single doc in its own group
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, tok long")
+    out = pack_greedy(df, ["grp"], "doc_id", "tok", budget=128)
+    got = {(r.grp, r.doc): (r.bin, r.tok) for r in out.collect()}
+    assert got == {
+        ("g", 1): (0, 60),
+        ("g", 2): (0, 50),
+        ("g", 3): (1, 30),
+        ("g", 4): (1, 98),
+        ("g", 5): (2, 200),
+        ("g", 6): (3, 10),
+        ("h", 7): (0, 128),
+    }
