@@ -277,11 +277,13 @@ def cdc_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     malformed-row quarantine counts per source topic — rows the reference
     silently swallows (app/dim/DimApp.java:60-74) but a production pipeline
     must account for."""
-    from gmall_flink_spark.operators.cdc import parse_envelope_split
-    from gmall_flink_spark.sources.cdc_synth import cart_raw_topic, orders_raw_topic
+    from gmall_flink_spark.sources.cdc_synth import (
+        cart_dead_letters,
+        orders_dead_letters,
+    )
 
-    _, dead_o = parse_envelope_split(orders_raw_topic(spark, sf_dir))
-    _, dead_c = parse_envelope_split(cart_raw_topic(spark, sf_dir))
+    dead_o = orders_dead_letters(spark, sf_dir)
+    dead_c = cart_dead_letters(spark, sf_dir)
     return (
         dead_o.select(F.lit("order_info").alias("source"), "raw_len")
         .unionAll(dead_c.select(F.lit("cart_info").alias("source"), "raw_len"))
@@ -325,7 +327,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry valid_from and valid_to = next version's valid_from (NULL while
     current). The key filter sits below the window, so Spark prunes the
     scan to the audited keys before any shuffle."""
-    from pyspark.sql import Window
+    from gmall_flink_spark.operators.scd2 import scd2_versions
 
     env = drop_bootstrap(cart_envelope(spark, sf_dir))
     cart = (
@@ -338,10 +340,8 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.pmod(F.col("sku_id"), F.lit(SCD2_MOD)) == 0)
     )
-    w = Window.partitionBy("sku_id").orderBy("ts", "id")
     return (
-        cart.withColumn("ver", F.row_number().over(w).cast("bigint"))
-        .withColumn("valid_to", F.lead("ts").over(w))
+        scd2_versions(cart, "sku_id", ["ts", "id"], "ts")
         .select(
             "sku_id",
             "ver",

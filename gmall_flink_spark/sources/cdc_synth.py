@@ -248,6 +248,30 @@ def cart_raw_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dead(spark: SparkSession, sf_dir: str, name: str, raw_builder) -> DataFrame:
+    """Dead-letter quarantine at rest: the bronze landing step splits each
+    topic into parsed envelope + malformed rows ONCE at ingest
+    (parse_envelope_split); consumers scan the quarantine table instead of
+    re-parsing the whole topic per query."""
+    from gmall_flink_spark.operators.cdc import parse_envelope_split
+    from gmall_flink_spark.sources.materialize import materialized
+
+    return materialized(
+        spark,
+        sf_dir,
+        name,
+        lambda: parse_envelope_split(raw_builder(spark, sf_dir))[1],
+    )
+
+
+def orders_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dead(spark, sf_dir, "order_info_dead", orders_cdc_json)
+
+
+def cart_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dead(spark, sf_dir, "cart_info_dead", cart_cdc_json)
+
+
 def orders_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed(spark, sf_dir, "order_info_env", orders_cdc_json)
 

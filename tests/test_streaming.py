@@ -670,3 +670,34 @@ def test_upsert_rewrites_only_touched_buckets(spark):
     # and the merge is still correct
     batch = keep_last(ev, ["user_id"], ["ts", "event_id"])
     assert rows(read_state(spark, state)) == rows(batch)
+
+
+def test_scd2_sink_equals_batch_history(spark):
+    """Incremental SCD2: replay a changelog in 3 micro-batches through the
+    bucketed history sink; the final table must equal the batch
+    scd2_versions over the whole changelog (versions renumbered and
+    valid_to re-closed as later versions arrive across batches)."""
+    from gmall_flink_spark.operators.scd2 import scd2_versions
+    from gmall_flink_spark.sinks.scd2 import read_state, scd2_writer
+
+    changelog = (
+        table(spark, SF, "lineitem")
+        .where(F.col("l_partkey") % 5 == 0)
+        .select(
+            F.col("l_partkey").alias("sku_id"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+            F.col("l_quantity").cast("bigint").alias("sku_num"),
+            F.col("l_shipdate").cast("timestamp").cast("long").alias("ts"),
+        )
+    )
+    slices = os.path.join(TMP, "scd2_slices")
+    split_into_files(changelog, 3, "id", slices)
+    state = os.path.join(TMP, "scd2_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, changelog)
+    run_available_now(
+        sdf, foreach_batch=scd2_writer(state, "sku_id", ["ts", "id"], "ts")
+    )
+    batch = scd2_versions(changelog, "sku_id", ["ts", "id"], "ts")
+    assert rows(read_state(spark, state)) == rows(batch)
