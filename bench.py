@@ -98,6 +98,11 @@ HEADLINE = [
     "text_gopher_flags",
     "events_value_corr",
     "dedup_components",
+    "llm_pack_sequences",
+    "llm_split_assign",
+    "text_repetition",
+    "cdc_scd2_history",
+    "cdc_dead_letter_stats",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
@@ -124,15 +129,18 @@ def main() -> None:
     # one-time test-topic synthesis.
     from gmall_flink_spark.sources.cdc_synth import (
         activity_envelope,
+        cart_dead_letters,
         cart_envelope,
         coupon_envelope,
         detail_envelope,
+        orders_dead_letters,
         orders_envelope,
     )
     from gmall_flink_spark.sources.log_synth import page_log_parsed
 
     for build in (orders_envelope, cart_envelope, detail_envelope,
-                  activity_envelope, coupon_envelope, page_log_parsed):
+                  activity_envelope, coupon_envelope, page_log_parsed,
+                  orders_dead_letters, cart_dead_letters):
         build(spark, sf_dir)
 
     timings: dict[str, float] = {}
