@@ -135,3 +135,17 @@ def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
     assert sorted(map(tuple, got)) == sorted(map(tuple, base))
+
+
+def test_no_rowwise_python_or_cartesian_in_any_registry_plan(spark):
+    """Global guard over the WHOLE registry: no query's physical plan may
+    contain a row-at-a-time Python UDF (BatchEvalPython — Arrow-batched
+    MapInPandas/ArrowEval are fine) or an unbounded CartesianProduct.
+    Catches the two worst 100 TB regressions wherever they sneak in."""
+    bad: dict[str, list[str]] = {}
+    for name in sorted(_Q):
+        p = plan(spark, name)
+        hits = [m for m in ("BatchEvalPython", "CartesianProduct") if m in p]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"forbidden plan nodes: {bad}"
