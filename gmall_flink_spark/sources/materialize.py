@@ -29,16 +29,25 @@ from pyspark.sql import DataFrame, SparkSession
 CACHE_ROOT = "/tmp/gmall_synth_cache"
 
 
-def materialized(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def materialized(
+    spark: SparkSession, sf_dir: str, name: str, build, n_files: int = 16
+) -> DataFrame:
     """Return the cached parquet for (sf_dir, name), building it on first
     use. Concurrency-safe: built under a unique tmp dir, atomically renamed;
-    losers of the race clean up and read the winner's copy."""
+    losers of the race clean up and read the winner's copy.
+
+    ``n_files`` spreads the cache over that many parquet files: the
+    synthesis plans produce 1-2 output partitions, and a 1-2-file bronze
+    table caps every downstream scan at 1-2 cores (a 20 MB file is a single
+    row group, so ``maxPartitionBytes`` can't split it). Sizing bronze
+    files for scan parallelism is the landing-step's job — at cluster scale
+    the same knob is the writer's target file size."""
     key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(CACHE_ROOT, key, name)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.__build_{uuid.uuid4().hex[:8]}__"
-        build().write.mode("overwrite").parquet(tmp)
+        build().repartition(n_files).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
