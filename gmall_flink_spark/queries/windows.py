@@ -192,8 +192,39 @@ def window_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: burst window sized to the testdata's event rate (150 users x 5 types over
+#: a month → ~6 h is the "burst" scale here; production sets seconds).
+BURST_WINDOW_US = 360 * 60 * 1_000_000
+
+
+def events_burst_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style burst detection (the Flink-CEP pattern family, expressed
+    relationally): alert on the 3rd same-type event of a user inside the
+    burst window — ts(n) - ts(n-2) <= W via lag(2) over the (user, type)
+    ordering. One shuffle on the key; microsecond integer arithmetic keeps
+    the predicate engine-portable."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        ev.withColumn("us2", F.lag("us", 2).over(w))
+        .where(F.col("us2").isNotNull() & (F.col("us") - F.col("us2") <= BURST_WINDOW_US))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.col("us") - F.col("us2")).alias("span_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "window_topk_types": window_topk_types,
+    "events_burst_alert": events_burst_alert,
     "window_event_counts": window_event_counts,
     "dws_brand_order_window": dws_brand_order_window,
     "dws_nation_order_window": dws_nation_order_window,
@@ -213,6 +244,20 @@ def _bucket_of(col: str, size_s: int) -> str:
 
 
 ORACLE = {
+    "events_burst_alert": f"""
+        WITH t AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+        ),
+        l AS (
+            SELECT *, lag(us, 2) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY us, event_id) AS us2
+            FROM t
+        )
+        SELECT user_id, event_type, event_id, us - us2 AS span_us
+        FROM l
+        WHERE us2 IS NOT NULL AND us - us2 <= {BURST_WINDOW_US}
+        ORDER BY event_id
+    """,
     "window_sliding_counts": f"""
         WITH hops AS (
             SELECT event_type,

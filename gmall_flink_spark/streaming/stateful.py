@@ -261,3 +261,41 @@ def is_new_repair_stream(
     return sdf.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def burst_alert_stream(
+    sdf: DataFrame,
+    keys: list[str],
+    us_col: str = "us",
+    order_col: str = "event_id",
+    window_us: int = 60_000_000,
+) -> DataFrame:
+    """CEP-style burst detection, streaming twin of
+    queries/windows.py::events_burst_alert: alert on the 3rd same-key event
+    inside ``window_us``. State per key: the last two event times — the
+    fixed-size tail a CEP NFA would keep for a count(3)-within-interval
+    pattern. Assumes in-order ingestion per key (the harness replays
+    event-time-ordered slices; same contract as the other stateful twins)."""
+    out_fields = [f for f in sdf.schema.fields]
+    out_schema = StructType(list(out_fields)).add("span_us", "long")
+    state_schema = "t1 long, t2 long"  # last-but-one, last; -1 = unset
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        t1, t2 = state.get if state.exists else (-1, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([us_col, order_col])
+            spans = []
+            for us in pdf[us_col]:
+                spans.append(us - t1 if t1 >= 0 else -1)
+                t1, t2 = t2, int(us)
+            pdf = pdf.assign(span_us=pd.array(spans, dtype="int64"))
+            hits = pdf[(pdf["span_us"] >= 0) & (pdf["span_us"] <= window_us)]
+            if len(hits):
+                yield hits
+        state.update((t1, t2))
+
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

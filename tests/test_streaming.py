@@ -701,3 +701,25 @@ def test_scd2_sink_equals_batch_history(spark):
     )
     batch = scd2_versions(changelog, "sku_id", ["ts", "id"], "ts")
     assert rows(read_state(spark, state)) == rows(batch)
+
+
+def test_burst_alert_stream_matches_batch(spark, events_slices):
+    """CEP-style burst detection: the streaming twin (last-two-event-times
+    state) over replayed in-order slices must emit exactly the batch lag(2)
+    window query's alerts."""
+    from gmall_flink_spark.queries.windows import BURST_WINDOW_US, events_burst_alert
+    from gmall_flink_spark.streaming.stateful import burst_alert_stream
+
+    batch = events_burst_alert(spark, SF)
+    ev = table(spark, SF, "events")
+    sdf = (
+        stream_from(spark, events_slices, ev)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("us"))
+    )
+    got = run_available_now(
+        burst_alert_stream(
+            sdf, ["user_id", "event_type"], window_us=BURST_WINDOW_US
+        )
+    )
+    cols = ["user_id", "event_type", "event_id", "span_us"]
+    assert rows(got.select(*cols), cols) == rows(batch, cols)
