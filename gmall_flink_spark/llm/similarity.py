@@ -187,3 +187,54 @@ def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1)
             F.col("cluster").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
         )
     return cents.select(F.col("c_id").alias("cluster"), F.col("c_vec").alias("vec"))
+
+
+def ivf_probes(queries: DataFrame, centroids: DataFrame, nprobe: int) -> DataFrame:
+    """Top-``nprobe`` nearest centroids per query (broadcast argmax top-n) —
+    the multi-probe half of IVF search: more probes buy recall at the cost
+    of scanning more inverted lists. Returns one row per (query, probe):
+    (q_id, q_vec, q_norm, probe_cluster)."""
+    c = with_norm(centroids).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
+    )
+    q = with_norm(queries)
+    scored = q.join(F.broadcast(c), how="cross").withColumn(
+        "pcos", cosine(F.col("vec"), F.col("norm"), F.col("c_vec"), F.col("c_norm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("pcos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("norm").alias("q_norm"),
+            F.col("c_id").alias("probe_cluster"),
+        )
+    )
+
+
+def ivf_topk_multiprobe(
+    assigned: DataFrame, queries: DataFrame, centroids: DataFrame, nprobe: int, k: int
+) -> DataFrame:
+    """Multi-probe IVF top-k: search the union of the query's ``nprobe``
+    nearest clusters. ``assigned`` is the ivf_assign output (each vector in
+    exactly one cluster, so no candidate is scored twice). The probe set is
+    a broadcast — at scale the cluster id is the table's partition key and
+    each probe is a partition-pruned scan."""
+    scored = (
+        assigned.join(
+            F.broadcast(ivf_probes(queries, centroids, nprobe)),
+            F.col("cluster") == F.col("probe_cluster"),
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("vec"), F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos")
+    )

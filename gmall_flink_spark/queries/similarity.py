@@ -84,6 +84,25 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 3
+
+
+def sim_ivf_topk_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: top-5 per query searching the union of the
+    query's 3 nearest clusters (the recall lever over single-probe
+    sim_ivf_topk; recall@5 vs brute force is pinned by
+    tests/test_operators.py::test_ivf_multiprobe_recall)."""
+    from gmall_flink_spark.llm.similarity import ivf_topk_multiprobe
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivf_topk_multiprobe(assigned, queries, cents, nprobe=NPROBE, k=5).orderBy(
+        "q_id", "rk"
+    )
+
+
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index *training*: one Lloyd iteration refining the seed centroids,
     then the re-assignment histogram. Iterative + FP-mean arithmetic (whose
@@ -107,6 +126,7 @@ QUERIES = {
     "sim_ivf_clusters": sim_ivf_clusters,
     "sim_kmeans_clusters": sim_kmeans_clusters,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_topk_probes": sim_ivf_topk_probes,
 }
 
 _NORMED = """
@@ -155,6 +175,36 @@ ORACLE = {
     "sim_ivf_clusters": f"""
         SELECT cluster, COUNT(*) AS member_ct
         FROM ({_ASSIGNED}) GROUP BY cluster ORDER BY cluster
+    """,
+    "sim_ivf_topk_probes": f"""
+        WITH a AS ({_ASSIGNED}),
+        q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm
+              FROM ({_NORMED}) WHERE vec_id < {N_QUERIES}),
+        probes AS (
+            SELECT q_id, q_vec, q_norm, c_id AS probe_cluster FROM (
+                SELECT q.q_id, q.q_vec, q.q_norm, c.vec_id AS c_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_dot_product(q.q_vec, c.v)
+                                          / (q.q_norm * c.norm), 6) DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM q CROSS JOIN (SELECT * FROM ({_NORMED})
+                                   WHERE vec_id < {N_CENTROIDS}) c
+            ) WHERE rk <= {NPROBE}
+        ),
+        scored AS (
+            SELECT q_id, a.vec_id AS neighbor_id,
+                   round(list_dot_product(q_vec, a.v) / (q_norm * a.norm), 6) AS cos
+            FROM probes JOIN a ON a.cluster = probes.probe_cluster
+                             AND a.vec_id != probes.q_id
+        )
+        SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+               cos
+        FROM scored
+        QUALIFY rk <= 5
+        ORDER BY q_id, rk
     """,
     "sim_ivf_topk": f"""
         WITH a AS ({_ASSIGNED}),
