@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Empirical scaling probe: run representative registry queries against a
+K-times-replicated input (each table becomes a directory of K symlinks to
+the sf0.1 parquet — the engine sees K x the rows through the same code
+path) and report time ratios. A family whose ratio grows ~linearly (or
+better, sublinearly per-row) survives scale-up; a super-linear ratio is a
+cliff to investigate. Results recorded in SCALE.md.
+
+Usage: python scripts/scaling_probe.py [K] (default 5; needs a quiet host)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+#: dims stay 1x (at scale dims grow far slower than facts; replicating
+#: customer K x would also break PK semantics for join results)
+FACTS = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+PROBES = [
+    "q1_pricing_summary",       # scan + agg
+    "q5_region_revenue",        # snowflake join + agg
+    "q18_large_orders",         # join + group-having + topk
+    "window_event_counts",      # event-time tumble agg
+    "dedup_keep_first",         # keyed window dedup
+    "text_quality",             # tokenizer + per-doc scoring
+    "minhash_band_buckets",     # shingle -> signature -> bands
+    "llm_pack_sequences",       # grouped JVM fold
+    "events_burst_alert",       # keyed lag window
+]
+
+
+def build_scaled_dir(base: str, k: int) -> str:
+    root = f"/tmp/gmall_scale_x{k}"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    for t in TABLES:
+        d = os.path.join(root, f"{t}.parquet")
+        os.makedirs(d)
+        copies = k if t in FACTS else 1
+        for i in range(copies):
+            os.symlink(os.path.join(base, f"{t}.parquet"), os.path.join(d, f"copy-{i}.parquet"))
+    return root
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scaled = build_scaled_dir(base, k)
+
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    queries["q1_pricing_summary"](spark, base).write.format("noop").mode("overwrite").save()
+
+    print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s} {'ratio':>6s}")
+    for name in PROBES:
+        # untimed 1x warm-up so codegen/compilation doesn't land in the
+        # 1x column and flatter the ratio
+        queries[name](spark, base).write.format("noop").mode("overwrite").save()
+        t: dict[str, float] = {}
+        for tag, d in (("1x", base), ("kx", scaled)):
+            t0 = time.perf_counter()
+            queries[name](spark, d).write.format("noop").mode("overwrite").save()
+            t[tag] = time.perf_counter() - t0
+        print(f"{name:28s} {t['1x']:7.2f} {t['kx']:7.2f} {t['kx']/t['1x']:6.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
