@@ -443,8 +443,69 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id")
 
 
+#: funnel step window (µs): each stage must follow within an hour
+FUNNEL_STEP_US = 3_600_000_000
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage conversion funnel per day (view → click → purchase, each
+    stage within an hour of the previous): sequenced conditional
+    aggregation via keyed interval joins (J5 family) — the user key is the
+    only shuffle; stage windows are integer-µs predicates."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.date_format("ts", "yyyy-MM-dd").alias("d"),
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "d")
+        .agg(F.min("us").alias("v_us"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    vc = (
+        v.join(clicks, "user_id")
+        .where(
+            (F.col("c_us") > F.col("v_us"))
+            & (F.col("c_us") <= F.col("v_us") + FUNNEL_STEP_US)
+        )
+        .groupBy("user_id", "d")
+        .agg(F.min("c_us").alias("c1_us"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    vcp = (
+        vc.join(purchases, "user_id")
+        .where(
+            (F.col("p_us") > F.col("c1_us"))
+            & (F.col("p_us") <= F.col("c1_us") + FUNNEL_STEP_US)
+        )
+        .select("user_id", "d")
+        .distinct()
+    )
+    stage1 = v.groupBy("d").agg(F.count(F.lit(1)).alias("viewer_ct"))
+    stage2 = vc.groupBy("d").agg(F.count(F.lit(1)).alias("click_conv_ct"))
+    stage3 = vcp.groupBy("d").agg(F.count(F.lit(1)).alias("purchase_conv_ct"))
+    return (
+        stage1.join(stage2, "d", "left")
+        .join(stage3, "d", "left")
+        .select(
+            "d",
+            "viewer_ct",
+            F.coalesce("click_conv_ct", F.lit(0)).alias("click_conv_ct"),
+            F.coalesce("purchase_conv_ct", F.lit(0)).alias("purchase_conv_ct"),
+        )
+        .orderBy("d")
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "events_funnel": events_funnel,
     "asof_click_attribution": asof_click_attribution,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
@@ -468,6 +529,36 @@ QUERIES = {
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLE = {
+    "events_funnel": f"""
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us,
+                   strftime(ts, '%Y-%m-%d') AS d
+            FROM events
+        ),
+        v AS (SELECT user_id, d, MIN(us) AS v_us FROM ev
+              WHERE event_type = 'view' GROUP BY 1, 2),
+        vc AS (
+            SELECT v.user_id, v.d, MIN(c.us) AS c1_us
+            FROM v JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+                            AND c.us > v.v_us AND c.us <= v.v_us + {FUNNEL_STEP_US}
+            GROUP BY 1, 2
+        ),
+        vcp AS (
+            SELECT DISTINCT vc.user_id, vc.d
+            FROM vc JOIN ev p ON p.user_id = vc.user_id
+                             AND p.event_type = 'purchase'
+                             AND p.us > vc.c1_us
+                             AND p.us <= vc.c1_us + {FUNNEL_STEP_US}
+        )
+        SELECT v.d,
+               COUNT(*) AS viewer_ct,
+               CAST(COALESCE(MAX(s2.ct), 0) AS BIGINT) AS click_conv_ct,
+               CAST(COALESCE(MAX(s3.ct), 0) AS BIGINT) AS purchase_conv_ct
+        FROM v
+        LEFT JOIN (SELECT d, COUNT(*) AS ct FROM vc GROUP BY 1) s2 USING (d)
+        LEFT JOIN (SELECT d, COUNT(*) AS ct FROM vcp GROUP BY 1) s3 USING (d)
+        GROUP BY 1 ORDER BY 1
+    """,
     "q10_returned_items": """
         SELECT c_custkey AS cust_id, c_name AS cust_name, n_name AS nation_name,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
