@@ -142,7 +142,60 @@ def uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV sketch size; the sketch hash is md5_long >> 12 (48 bits) so the
+#: estimator numerator (k-1)*M stays inside int64 and the whole estimate is
+#: ONE exact integer division in both engines (collisions among the k
+#: smallest of 2^48 values are negligible at any realistic group size)
+KMV_K = 64
+KMV_M = 1 << 48
+
+
+def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-distinct daily UV via a deterministic KMV (k-minimum-values)
+    sketch over the portable 60-bit md5 hash — unlike HLL this is exactly
+    reproducible cross-engine, so the approximation itself is
+    oracle-checked (the estimator is pinned as pure integer arithmetic:
+    (k-1) * (M // h_k), h_k = k-th smallest hash). Exact count rides along
+    so the error is visible; when a day has fewer than k distinct users the
+    sketch degrades to exact. At 100 TB the sketch is a k-value state per
+    group versus an exact-distinct shuffle of every key."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.functions.text import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"), "user_id"
+    ).distinct()
+    hashed = pairs.withColumn(
+        "h", F.shiftright(md5_long(F.col("user_id").cast("string")), 12)
+    )
+    w = Window.partitionBy("cur_date").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cur_date")
+        .agg(
+            F.count(F.lit(1)).alias("exact_ct"),
+            F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("h_k"),
+        )
+        .select(
+            "cur_date",
+            "exact_ct",
+            F.when(F.col("exact_ct") < KMV_K, F.col("exact_ct"))
+            .otherwise(
+                # integer `div` keeps the estimator exact cross-engine
+                # (bigint `/` would go through double and lose precision)
+                F.expr(f"{(KMV_K - 1) * KMV_M}L div greatest(h_k, 1L)")
+            )
+            .cast("bigint")
+            .alias("kmv_ct"),
+        )
+        .orderBy("cur_date")
+    )
+
+
 QUERIES = {
+    "uv_daily_kmv": uv_daily_kmv,
     "dedup_keep_first": dedup_keep_first,
     "dedup_keep_last": dedup_keep_last,
     "uv_daily": uv_daily,
@@ -166,6 +219,33 @@ ORACLE = {
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         ORDER BY user_id
+    """,
+    "uv_daily_kmv": f"""
+        WITH p AS (
+            SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS cur_date, user_id
+            FROM events
+        ),
+        h AS (
+            SELECT cur_date,
+                   ('0x' || substr(md5('0|' || user_id::VARCHAR), 1, 15))::BIGINT >> 12
+                       AS h
+            FROM p
+        ),
+        r AS (
+            SELECT cur_date, h,
+                   row_number() OVER (PARTITION BY cur_date ORDER BY h) AS rk
+            FROM h
+        ),
+        agg AS (
+            SELECT cur_date, COUNT(*) AS exact_ct,
+                   MAX(CASE WHEN rk = {KMV_K} THEN h END) AS h_k
+            FROM r GROUP BY 1
+        )
+        SELECT cur_date, exact_ct,
+               CAST(CASE WHEN exact_ct < {KMV_K} THEN exact_ct
+                         ELSE {(KMV_K - 1) * KMV_M} // greatest(h_k, 1)
+                    END AS BIGINT) AS kmv_ct
+        FROM agg ORDER BY 1
     """,
     "uv_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS cur_date,

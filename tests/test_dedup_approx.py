@@ -17,3 +17,17 @@ def test_uv_daily_approx_within_rsd_bound(spark):
         assert abs(r.uv_approx - r.uv_exact) <= max(5, 0.05 * r.uv_exact), (
             f"{r.cur_date}: approx {r.uv_approx} vs exact {r.uv_exact}"
         )
+
+
+def test_uv_daily_kmv_within_error_bound(spark):
+    """Unlike HLL, the KMV sketch (uv_daily_kmv, oracle-checked in the
+    registry) is deterministic — pin its relative error at ~2 sigma of the
+    1/sqrt(k) KMV bound (k=64 -> 12.5% sigma, cap 30%)."""
+    from gmall_flink_spark.queries.dedup import uv_daily_kmv
+
+    rows = uv_daily_kmv(spark, SF_ORACLE).collect()
+    assert rows, "expected at least one day of UV"
+    for r in rows:
+        assert abs(r.kmv_ct - r.exact_ct) <= max(5, 0.30 * r.exact_ct), (
+            f"{r.cur_date}: kmv {r.kmv_ct} vs exact {r.exact_ct}"
+        )
