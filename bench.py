@@ -103,6 +103,10 @@ HEADLINE = [
     "text_repetition",
     "cdc_scd2_history",
     "cdc_dead_letter_stats",
+    "events_burst_alert",
+    "events_funnel",
+    "sim_ivf_topk_probes",
+    "uv_daily_kmv",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
