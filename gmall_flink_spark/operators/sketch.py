@@ -1,0 +1,40 @@
+"""Deterministic distinct-count sketches (KMV / k-minimum-values).
+
+The sketch hash is the portable md5_long shifted to 48 bits so the
+estimator numerator (k-1)*M fits int64 and the whole estimate is ONE exact
+integer division — reproducible across engines, which is what lets the
+approximate op pass the DuckDB hash gate (queries/dedup.py::uv_daily_kmv)
+AND lets the streaming sink's merged state agree exactly with the batch
+query (sinks/kmv_sink.py).
+
+KMV is mergeable by construction: the k smallest hashes of a union are a
+subset of the union of each side's k smallest — per-batch state is k
+values per group, never the key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.text import md5_long
+
+KMV_K = 64
+KMV_M = 1 << 48
+
+
+def kmv_hash(key: Column) -> Column:
+    """48-bit portable sketch hash of a key column."""
+    return F.shiftright(md5_long(key.cast("string")), 12)
+
+
+def kmv_estimate(n_col: str, hk_col: str) -> Column:
+    """Distinct-count estimate from a group's stored sketch: exact while the
+    group holds fewer than k hashes, else (k-1)*M div h_k (h_k = k-th
+    smallest). Pure integer arithmetic end-to-end (`div`, never `/`).
+    Takes column NAMES because SQL `div` is only reachable via expr."""
+    return (
+        F.when(F.col(n_col) < KMV_K, F.col(n_col))
+        .otherwise(F.expr(f"{(KMV_K - 1) * KMV_M}L div greatest({hk_col}, 1L)"))
+        .cast("bigint")
+    )

@@ -142,34 +142,25 @@ def uv_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: KMV sketch size; the sketch hash is md5_long >> 12 (48 bits) so the
-#: estimator numerator (k-1)*M stays inside int64 and the whole estimate is
-#: ONE exact integer division in both engines (collisions among the k
-#: smallest of 2^48 values are negligible at any realistic group size)
-KMV_K = 64
-KMV_M = 1 << 48
+from gmall_flink_spark.operators.sketch import KMV_K, KMV_M, kmv_estimate, kmv_hash
 
 
 def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-distinct daily UV via a deterministic KMV (k-minimum-values)
-    sketch over the portable 60-bit md5 hash — unlike HLL this is exactly
-    reproducible cross-engine, so the approximation itself is
-    oracle-checked (the estimator is pinned as pure integer arithmetic:
-    (k-1) * (M // h_k), h_k = k-th smallest hash). Exact count rides along
-    so the error is visible; when a day has fewer than k distinct users the
-    sketch degrades to exact. At 100 TB the sketch is a k-value state per
-    group versus an exact-distinct shuffle of every key."""
+    sketch over the portable 48-bit hash (operators/sketch.py) — unlike HLL
+    this is exactly reproducible cross-engine, so the approximation itself
+    is oracle-checked. Exact count rides along so the error is visible;
+    when a day has fewer than k distinct users the sketch degrades to
+    exact. At 100 TB the sketch is a k-value state per group versus an
+    exact-distinct shuffle of every key; the streaming form merges the same
+    state per micro-batch (sinks/kmv_sink.py)."""
     from pyspark.sql import Window
-
-    from gmall_flink_spark.functions.text import md5_long
 
     ev = table(spark, sf_dir, "events")
     pairs = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("cur_date"), "user_id"
     ).distinct()
-    hashed = pairs.withColumn(
-        "h", F.shiftright(md5_long(F.col("user_id").cast("string")), 12)
-    )
+    hashed = pairs.withColumn("h", kmv_hash(F.col("user_id")))
     w = Window.partitionBy("cur_date").orderBy("h")
     ranked = hashed.withColumn("rk", F.row_number().over(w))
     return (
@@ -181,14 +172,7 @@ def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cur_date",
             "exact_ct",
-            F.when(F.col("exact_ct") < KMV_K, F.col("exact_ct"))
-            .otherwise(
-                # integer `div` keeps the estimator exact cross-engine
-                # (bigint `/` would go through double and lose precision)
-                F.expr(f"{(KMV_K - 1) * KMV_M}L div greatest(h_k, 1L)")
-            )
-            .cast("bigint")
-            .alias("kmv_ct"),
+            kmv_estimate("exact_ct", "h_k").alias("kmv_ct"),
         )
         .orderBy("cur_date")
     )

@@ -723,3 +723,23 @@ def test_burst_alert_stream_matches_batch(spark, events_slices):
     )
     cols = ["user_id", "event_type", "event_id", "span_us"]
     assert rows(got.select(*cols), cols) == rows(batch, cols)
+
+
+def test_kmv_sink_estimates_equal_batch_sketch(spark, events_slices):
+    """Mergeability pin: the KMV sketch maintained incrementally across
+    replayed micro-batches must yield EXACTLY the batch query's estimates —
+    min-k of a union is insensitive to batching."""
+    from gmall_flink_spark.queries.dedup import uv_daily_kmv
+    from gmall_flink_spark.sinks.kmv_sink import kmv_estimates, kmv_writer
+
+    ev = table(spark, SF, "events")
+    state = os.path.join(TMP, "kmv_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, events_slices, ev).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("cur_date"), "user_id"
+    )
+    run_available_now(sdf, foreach_batch=kmv_writer(state, "cur_date", "user_id"))
+    got = kmv_estimates(spark, state, "cur_date")
+    batch = uv_daily_kmv(spark, SF).select("cur_date", "kmv_ct")
+    assert rows(got) == rows(batch)
