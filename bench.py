@@ -107,6 +107,9 @@ HEADLINE = [
     "events_funnel",
     "sim_ivf_topk_probes",
     "uv_daily_kmv",
+    "sim_kmeans_clusters",
+    "llm_token_budget",
+    "text_quality_deciles",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

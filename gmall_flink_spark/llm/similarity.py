@@ -153,13 +153,28 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+#: centroid quantization scale for the deterministic k-means update
+KMEANS_Q = 1_000_000
+
+
 def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1) -> DataFrame:
     """Lloyd's k-means refinement over the embedding column — the iterative
     shape IVF training needs, in pure DataFrame ops (no MLlib, no driver
     loops over data): assign (broadcast argmax) → new centroid = per-cluster
-    element-wise mean (posexplode → groupBy(cluster, pos) avg → rebuild
-    array). Each iteration is one shuffle on (cluster, pos); vectors stay
+    element-wise mean (posexplode → groupBy(cluster, pos) → rebuild array).
+    Each iteration is one shuffle on (cluster, pos); vectors stay
     distributed throughout.
+
+    The mean is the QUANTIZED-SUM mean ``floor(sum(round(x*Q)) / ct) / Q``
+    (Q = 1e6): components round to integers before the per-cluster sum, so
+    the update is independent of partition/accumulation order — a plain
+    double ``avg`` drifts in the last bits when the shuffle order changes,
+    making training non-reproducible across cluster layouts (and
+    non-oracle-checkable). The int64 sum is exact (|x| ~ 1 → |xq| ~ 1e6,
+    safe to ~9e12 members per cluster), floor(s/ct) is double-exact because
+    the true fraction is >= 1/ct away from the floor boundary, and the 1e-6
+    centroid granularity is far below any IVF assignment boundary that
+    matters.
 
     Returns the refined centroids as (cluster, vec)."""
     cents = with_norm(centroids).select(
@@ -173,7 +188,16 @@ def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1)
             ),
         )
         dims = assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
-        means = dims.groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+        means = (
+            dims.groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * KMEANS_Q).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("ct"),
+            )
+            .withColumn(
+                "m", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q))
+            )
+        )
         rebuilt = (
             means.groupBy("cluster")
             .agg(

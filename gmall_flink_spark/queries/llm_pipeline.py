@@ -52,6 +52,34 @@ def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fixed-size per-stratum sample size
+STRATUM_K = 8
+
+
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic sample: the STRATUM_K docs with the
+    smallest portable hash per source (bottom-k-by-hash = uniform without
+    replacement, seed-free). The fixed-size counterpart of the rate-based
+    ``hash_sample`` — eval slices and audits want exactly-k per stratum, a
+    rate can't guarantee that. Bottom-k state is mergeable exactly like the
+    KMV sketch (min-k of a union), so at 100 TB each partition keeps a
+    local k and one small shuffle merges per stratum — the corpus is never
+    globally sorted."""
+    from gmall_flink_spark.functions.text import md5_long, token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+        token_count("text").cast("bigint").alias("tok"),
+    )
+    return (
+        topk_per_group(docs, "source", [F.asc("h"), F.asc("doc_id")], k=STRATUM_K)
+        .select("source", "rn", "doc_id", "tok")
+        .orderBy("source", "rn")
+    )
+
+
 def llm_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 longest docs per source (window row_number — one shuffle on
     the group key, no global sort of the corpus)."""
@@ -239,10 +267,57 @@ def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: token budget per source (whitespace tokens) and the hash-bucket
+#: granularity of the cut. The budget cut is bucket-granular BY DESIGN:
+#: pass 1 aggregates tokens per (source, hash-bucket) — one small shuffle;
+#: pass 2 runs the cumulative sum on the tiny bucket table and keeps whole
+#: buckets while the running total fits. The corpus itself is never
+#: sorted — at 100 TB a per-doc running sum would order every row of a
+#: source on one reducer, while the bucket table stays ~BUCKETS rows per
+#: source no matter the corpus size.
+TOKEN_BUDGET = 600
+BUDGET_BUCKETS = 16
+
+
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cut audit: docs land in a deterministic hash
+    bucket (uniform, seed-free), buckets are taken in index order while the
+    source's cumulative token count stays within TOKEN_BUDGET. One row per
+    (source, bucket) with the running total and the kept/cut decision —
+    the sampling manifest a budgeted training run materializes."""
+    from gmall_flink_spark.functions.text import md5_long, token_count
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(BUDGET_BUCKETS)).alias(
+            "bucket"
+        ),
+        token_count("text").alias("tok"),
+    )
+    per_bucket = docs.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("doc_ct"), F.sum("tok").alias("tok_subtotal")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_bucket.withColumn("cum_tok", F.sum("tok_subtotal").over(w))
+        .withColumn(
+            "kept", (F.col("cum_tok") <= TOKEN_BUDGET).cast("bigint")
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
+    "llm_token_budget": llm_token_budget,
     "llm_source_mix": llm_source_mix,
     "llm_hash_sample": llm_hash_sample,
+    "llm_stratified_sample": llm_stratified_sample,
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_clean_corpus": llm_clean_corpus,
@@ -263,6 +338,26 @@ _SHINGLES5 = f"""
 """
 
 ORACLE = {
+    "llm_token_budget": f"""
+        WITH per_bucket AS (
+            SELECT source,
+                   ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                       % {BUDGET_BUCKETS} AS bucket,
+                   COUNT(*) AS doc_ct,
+                   CAST(SUM(len({_TOKS})) AS BIGINT) AS tok_subtotal
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, bucket, doc_ct, tok_subtotal,
+               CAST(SUM(tok_subtotal) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tok,
+               CAST(CASE WHEN SUM(tok_subtotal) OVER (
+                   PARTITION BY source ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING
+               ) <= {TOKEN_BUDGET} THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM per_bucket ORDER BY source, bucket
+    """,
     "llm_decontaminate": f"""
         WITH sh AS ({_SHINGLES5}),
         bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
@@ -293,6 +388,18 @@ ORACLE = {
         WHERE ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT
               % 100 < {SAMPLE_PCT}
         GROUP BY 1 ORDER BY 1
+    """,
+    "llm_stratified_sample": f"""
+        SELECT source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                            doc_id
+               ) AS rn,
+               doc_id, CAST(len({_TOKS}) AS BIGINT) AS tok
+        FROM documents
+        QUALIFY rn <= {STRATUM_K}
+        ORDER BY source, rn
     """,
     "llm_source_topk": """
         SELECT source, doc_id, n_chars,

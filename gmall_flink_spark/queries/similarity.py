@@ -105,10 +105,12 @@ def sim_ivf_topk_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index *training*: one Lloyd iteration refining the seed centroids,
-    then the re-assignment histogram. Iterative + FP-mean arithmetic (whose
-    partial-sum order is partition-dependent) — not SQL-oracle-expressible,
-    so this is a rows-only entry: the cluster count (10) is the stable
-    contract, assignments can shift at FP boundaries."""
+    then the re-assignment histogram. The centroid update is the
+    quantized-sum mean (llm/similarity.py::kmeans_refine), which makes the
+    whole iteration independent of partition/accumulation order — the
+    property that lets an *iterative FP algorithm* be oracle-checked at
+    all, and at 100 TB makes index training bit-reproducible across
+    cluster layouts."""
     emb = prep(table(spark, sf_dir, "embeddings"))
     seeds = emb.where(F.col("vec_id") < N_CENTROIDS)
     refined = kmeans_refine(emb, seeds, iterations=1)
@@ -175,6 +177,43 @@ ORACLE = {
     "sim_ivf_clusters": f"""
         SELECT cluster, COUNT(*) AS member_ct
         FROM ({_ASSIGNED}) GROUP BY cluster ORDER BY cluster
+    """,
+    # one quantized-mean Lloyd iteration (mirror of kmeans_refine Q=1e6),
+    # then the re-assignment histogram
+    "sim_kmeans_clusters": f"""
+        WITH n AS ({_NORMED}),
+        a0 AS ({_ASSIGNED}),
+        dims AS (
+            SELECT cluster, i AS pos,
+                   CAST(round(v[i + 1] * 1000000) AS BIGINT) AS xq
+            FROM a0, (SELECT unnest(range(64)) AS i) idx
+            WHERE i < len(v)
+        ),
+        refined AS (
+            SELECT cluster, list(m ORDER BY pos) AS v
+            FROM (SELECT cluster, pos,
+                         floor(CAST(SUM(xq) AS BIGINT) * 1.0 / COUNT(*))
+                             / 1000000.0 AS m
+                  FROM dims GROUP BY 1, 2)
+            GROUP BY cluster
+        ),
+        rc AS (SELECT cluster AS c_id, v,
+                      sqrt(list_dot_product(v, v)) AS norm
+               FROM refined),
+        a1 AS (
+            SELECT vec_id, c_id AS cluster FROM (
+                SELECT n.vec_id, rc.c_id,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY round(list_dot_product(n.v, rc.v)
+                                          / (n.norm * rc.norm), 6) DESC,
+                                    rc.c_id
+                       ) AS rk
+                FROM n CROSS JOIN rc
+            ) WHERE rk = 1
+        )
+        SELECT cluster, COUNT(*) AS member_ct
+        FROM a1 GROUP BY cluster ORDER BY cluster
     """,
     "sim_ivf_topk_probes": f"""
         WITH a AS ({_ASSIGNED}),

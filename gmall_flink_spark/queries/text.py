@@ -227,8 +227,49 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filter audit: each doc gets an exact
+    integer quality score (stopword + vocabulary-diversity rates in basis
+    points, integer `div` so no FP threshold), docs are ranked into deciles
+    within their source (ntile over a total order — score then doc_id), and
+    the bottom four deciles are cut. Per-source quantile thresholds are the
+    standard corpus move when sources have different score distributions —
+    a global threshold over- or under-cuts per source. One row per
+    (source, decile) with the kept/cut decision.
+
+    Scale: one shuffle on source for the ntile ranking; the per-source sort
+    is the honest cost of an exact quantile cut (an approximate variant
+    would use approx-percentile thresholds map-side)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        stopword_count(F.col("toks")).cast("bigint").alias("stop"),
+        distinct_token_count(F.col("toks")).cast("bigint").alias("dist"),
+    ).where(F.col("n") > 0)
+    scored = base.withColumn(
+        "score", F.expr("(10000 * stop) div n + (10000 * dist) div n")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+        .withColumn("kept", (F.col("decile") > 4).cast("bigint"))
+        .orderBy("source", "decile")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
+    "text_quality_deciles": text_quality_deciles,
     "text_repetition": text_repetition,
     "text_gopher_flags": text_gopher_flags,
     "text_length_histogram": text_length_histogram,
@@ -261,6 +302,32 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_quality_deciles": f"""
+        WITH t AS (
+            SELECT source, doc_id,
+                   CAST(len(toks) AS BIGINT) AS n,
+                   CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS BIGINT)
+                       AS stop,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS dist
+            FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        scored AS (
+            SELECT source, doc_id,
+                   (10000 * stop) // n + (10000 * dist) // n AS score
+            FROM t WHERE n > 0
+        ),
+        ranked AS (
+            SELECT source, score,
+                   ntile(10) OVER (PARTITION BY source
+                                   ORDER BY score, doc_id) AS decile
+            FROM scored
+        )
+        SELECT source, decile, COUNT(*) AS doc_ct,
+               MIN(score) AS score_min, MAX(score) AS score_max,
+               CAST(CASE WHEN decile > 4 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM ranked GROUP BY source, decile
+        ORDER BY source, decile
+    """,
     "text_tfidf_top_terms": f"""
         WITH terms AS (
             SELECT doc_id, unnest({_TOKS}) AS term FROM documents
