@@ -110,6 +110,8 @@ HEADLINE = [
     "sim_kmeans_clusters",
     "llm_token_budget",
     "text_quality_deciles",
+    "text_winnow_fingerprint",
+    "llm_stratified_sample",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -113,6 +113,54 @@ def fingerprint(text: Column | str, prefix_tokens: int | None = None) -> Column:
     return F.md5(F.array_join(toks, " "))
 
 
+def char_gram_hashes(text_col: str, k: int) -> Column:
+    """Portable hashes of every character ``k``-gram of a column (the
+    rolling-hash stream document fingerprinting slides over). Same 60-bit
+    md5 contract as ``md5_long`` (seed 0), computed entirely with JVM
+    higher-order functions; empty array for docs shorter than ``k``."""
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {k} + 1), i -> "
+        f"cast(conv(substring(md5(concat('0|', substring({text_col}, i, {k}))), "
+        f"1, 15), 16, 10) as bigint))"
+    )
+    return F.when(F.length(text_col) >= k, grams).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow(grams: Column, w: int, n_grams: Column) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): slide a ``w``-window over the gram-hash stream and keep each
+    window's minimum, deduplicated. Guarantees a match of length >= w+k-1
+    between two docs shares at least one selected fingerprint, while
+    keeping ~2/(w+1) of the hashes — the density/recall dial for
+    document-fingerprint dedup. Streams shorter than ``w`` keep their
+    single minimum.
+
+    Implemented as an element-wise ``least`` over ``w`` shifted slices of
+    the gram array (a zip_with tree): mins[j] = least(grams[j..j+w-1]).
+    Two naive formulations measured much worse — transform-over-slices
+    makes Catalyst's projection collapse inline the whole gram computation
+    into every window (O(m²) hash evaluations, 60×+ slower), and an
+    ``aggregate`` fold that appends each window's min copies the growing
+    output array per element (O(m²) element copies, ~20× slower). The
+    slice tree references ``grams`` w times — w redundant hash-stream
+    evaluations per doc, linear and cheap.
+
+    ``n_grams`` must be a cheap expression for ``size(grams)`` (e.g.
+    ``length(text) - k + 1``); sizing off the gram array itself would
+    re-evaluate the hash stream just to count it."""
+    mins = None
+    for i in range(w):
+        s = F.slice(grams, 1 + i, n_grams - w + 1)
+        mins = s if mins is None else F.zip_with(mins, s, lambda a, b: F.least(a, b))
+    return F.array_distinct(
+        F.when(n_grams <= 0, F.array().cast("array<bigint>"))
+        .when(n_grams < w, F.array(F.array_min(grams)))
+        .otherwise(mins)
+    )
+
+
 def md5_long(x: Column, seed: int | Column = 0) -> Column:
     """Portable 60-bit hash (see module docstring contract)."""
     seed_c = F.lit(seed) if isinstance(seed, int) else seed

@@ -227,6 +227,60 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: winnowing parameters: character-gram size and window width — any match
+#: of WINNOW_K + WINNOW_W - 1 = 11+ chars is guaranteed to share a
+#: fingerprint, at ~2/(w+1) the density of the full hash stream
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting via winnowing (the MOSS
+    selection scheme): hash every character 8-gram, keep each 4-window's
+    minimum, dedup — per source, the gram volume, fingerprints selected,
+    distinct fingerprints, and the shared surplus (fp_total - fp_distinct,
+    the cross-document overlap signal that drives copy detection).
+
+    Scale: the gram/winnow stage is map-only JVM higher-order functions
+    (~2/(w+1) selection density bounds the explode volume); the only
+    shuffle is ONE per-source aggregate over the exploded fingerprints —
+    never the raw gram stream. The per-doc stats ride along on the pos-0
+    row of ``posexplode_outer`` so the corpus is scanned and hashed exactly
+    once (a separate distinct-count branch would recompute the whole hash
+    stream — measured 3-4× slower). At production scale the portable md5
+    gram hash (the cross-engine-checkable choice) would swap for
+    ``xxhash64``, which halves the map cost without changing the shape."""
+    from gmall_flink_spark.functions.text import char_gram_hashes, winnow
+
+    n_grams = F.greatest(F.length("text") - WINNOW_K + 1, F.lit(0))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            "doc_id",
+            "text",
+            char_gram_hashes("text", WINNOW_K).alias("grams"),
+        )
+        .withColumn("fps", winnow(F.col("grams"), WINNOW_W, n_grams))
+        .select("source", n_grams.alias("m"), F.size("fps").alias("fp_ct"), "fps")
+    )
+    first = F.col("pos").isNull() | (F.col("pos") == 0)
+    return (
+        docs.select(
+            "source", "m", "fp_ct", F.posexplode_outer("fps").alias("pos", "f")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum(first.cast("bigint")).alias("doc_ct"),
+            F.sum(F.when(first, F.col("m")).otherwise(0)).alias("gram_total"),
+            F.sum(F.when(first, F.col("fp_ct")).otherwise(0)).alias("fp_total"),
+            F.count_distinct("f").alias("fp_distinct"),
+        )
+        .withColumn("shared_ct", F.col("fp_total") - F.col("fp_distinct"))
+        .orderBy("source")
+    )
+
+
 def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality filter audit: each doc gets an exact
     integer quality score (stopword + vocabulary-diversity rates in basis
@@ -270,6 +324,7 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
+    "text_winnow_fingerprint": text_winnow_fingerprint,
     "text_repetition": text_repetition,
     "text_gopher_flags": text_gopher_flags,
     "text_length_histogram": text_length_histogram,
@@ -302,6 +357,42 @@ _PRED = (
 )
 
 ORACLE = {
+    "text_winnow_fingerprint": f"""
+        WITH g AS (
+            SELECT source,
+                   CASE WHEN len(text) >= {WINNOW_K} THEN
+                       list_transform(range(1, len(text) - {WINNOW_K} + 2),
+                           i -> ('0x' || substr(md5('0|' || substr(text, i, {WINNOW_K})),
+                                                1, 15))::BIGINT)
+                   ELSE [] END AS grams
+            FROM documents
+        ),
+        wnd AS (
+            SELECT source, len(grams) AS m,
+                   list_distinct(
+                       CASE WHEN len(grams) = 0 THEN []
+                            WHEN len(grams) < {WINNOW_W} THEN [list_min(grams)]
+                            ELSE list_transform(
+                                range(1, len(grams) - {WINNOW_W} + 2),
+                                j -> list_min(grams[j : j + {WINNOW_W} - 1]))
+                       END) AS fps
+            FROM g
+        ),
+        per_source AS (
+            SELECT source, COUNT(*) AS doc_ct,
+                   CAST(SUM(m) AS BIGINT) AS gram_total,
+                   CAST(SUM(len(fps)) AS BIGINT) AS fp_total
+            FROM wnd GROUP BY 1
+        ),
+        d AS (
+            SELECT source, COUNT(DISTINCT f) AS fp_distinct
+            FROM (SELECT source, unnest(fps) AS f FROM wnd) GROUP BY 1
+        )
+        SELECT source, doc_ct, gram_total, fp_total, fp_distinct,
+               CAST(fp_total - fp_distinct AS BIGINT) AS shared_ct
+        FROM per_source JOIN d USING (source)
+        ORDER BY source
+    """,
     "text_quality_deciles": f"""
         WITH t AS (
             SELECT source, doc_id,
