@@ -112,6 +112,7 @@ HEADLINE = [
     "text_quality_deciles",
     "text_winnow_fingerprint",
     "llm_stratified_sample",
+    "winnow_match_pairs",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

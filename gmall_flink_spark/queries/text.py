@@ -281,6 +281,79 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency cap for the winnow inverted index: the synthetic
+#: vocabulary makes some 8-grams near-universal (df 383 of 500 docs at
+#: sf0.01 — quadratic bucket at scale); pairs count only fingerprints
+#: discriminative enough to appear in <= WINNOW_MAX_DF docs, the same
+#: standard guard as NGRAM_MAX_DF / LSH_MAX_BUCKET.
+WINNOW_MAX_DF = 20
+WINNOW_TOP_PAIRS = 20
+
+
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy detection from winnowing fingerprints: invert the per-doc
+    fingerprint sets, drop non-discriminative fingerprints (df >
+    WINNOW_MAX_DF), self-join the index, and report the top-20 document
+    pairs by shared-fingerprint count (ties broken by ids). This is the
+    detection half of text_winnow_fingerprint — the MOSS report of
+    longest-overlap suspects.
+
+    Scale: the self-join shuffles on the fingerprint hash; the df cap
+    bounds every join bucket at MAX_DF (so a bucket contributes at most
+    MAX_DF² candidate rows no matter the corpus size), and candidate
+    volume ∝ genuinely-shared content, not corpus²."""
+    from gmall_flink_spark.functions.text import char_gram_hashes, winnow
+    from pyspark.sql import Window
+
+    n_grams = F.greatest(F.length("text") - WINNOW_K + 1, F.lit(0))
+    # Two plan traps here, both re-evaluating the md5 gram stream (measured
+    # 20-25 s vs 5 s for this stage at sf0.1):
+    #  - grams MUST land as a named column before winnow references it 5×
+    #    (CollapseProject only refuses to inline multiply-referenced aliases);
+    #  - explode (inner) synthesizes a `size(fps) > 0` filter that predicate
+    #    pushdown INLINES below the projects — the whole winnow expression
+    #    re-runs inside the filter. explode_outer emits no such filter; the
+    #    null rows drop on the generator OUTPUT attribute instead, which
+    #    can't push below the Generate.
+    inv = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            char_gram_hashes("text", WINNOW_K).alias("grams"),
+        )
+        .select("doc_id", winnow(F.col("grams"), WINNOW_W, n_grams).alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("f"))
+        .where(F.col("f").isNotNull())
+    )
+    w_df = Window.partitionBy("f")
+    # materialize the pruned inverted index once: it feeds BOTH sides of
+    # the self-join (and the df window), so without this the scan + md5
+    # gram stream + winnow re-executes three times (~3× the map cost; at
+    # production scale this materialization is the persisted index table)
+    keep = (
+        inv.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "f")
+        .localCheckpoint(eager=True)
+    )
+    a = keep.select(F.col("doc_id").alias("a_id"), "f")
+    b = keep.select(F.col("doc_id").alias("b_id"), "f")
+    pairs = (
+        a.join(b, "f")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_ct"))
+    )
+    w_rk = Window.orderBy(F.desc("shared_ct"), "a_id", "b_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w_rk))
+        .where(F.col("rk") <= WINNOW_TOP_PAIRS)
+        .select("rk", "a_id", "b_id", "shared_ct")
+        .orderBy("rk")
+    )
+
+
 def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality filter audit: each doc gets an exact
     integer quality score (stopword + vocabulary-diversity rates in basis
@@ -325,6 +398,7 @@ QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
     "text_winnow_fingerprint": text_winnow_fingerprint,
+    "winnow_match_pairs": winnow_match_pairs,
     "text_repetition": text_repetition,
     "text_gopher_flags": text_gopher_flags,
     "text_length_histogram": text_length_histogram,
@@ -392,6 +466,44 @@ ORACLE = {
                CAST(fp_total - fp_distinct AS BIGINT) AS shared_ct
         FROM per_source JOIN d USING (source)
         ORDER BY source
+    """,
+    "winnow_match_pairs": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN len(text) >= {WINNOW_K} THEN
+                       list_transform(range(1, len(text) - {WINNOW_K} + 2),
+                           i -> ('0x' || substr(md5('0|' || substr(text, i, {WINNOW_K})),
+                                                1, 15))::BIGINT)
+                   ELSE [] END AS grams
+            FROM documents
+        ),
+        wnd AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(grams) = 0 THEN []
+                            WHEN len(grams) < {WINNOW_W} THEN [list_min(grams)]
+                            ELSE list_transform(
+                                range(1, len(grams) - {WINNOW_W} + 2),
+                                j -> list_min(grams[j : j + {WINNOW_W} - 1]))
+                       END) AS fps
+            FROM g
+        ),
+        inv AS (SELECT doc_id, unnest(fps) AS f FROM wnd),
+        keep AS (
+            SELECT doc_id, f FROM (
+                SELECT doc_id, f, COUNT(*) OVER (PARTITION BY f) AS df FROM inv
+            ) WHERE df <= {WINNOW_MAX_DF}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared_ct
+            FROM keep a JOIN keep b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT row_number() OVER (ORDER BY shared_ct DESC, a_id, b_id) AS rk,
+               a_id, b_id, shared_ct
+        FROM pairs
+        QUALIFY rk <= {WINNOW_TOP_PAIRS}
+        ORDER BY rk
     """,
     "text_quality_deciles": f"""
         WITH t AS (
