@@ -113,6 +113,7 @@ HEADLINE = [
     "text_winnow_fingerprint",
     "llm_stratified_sample",
     "winnow_match_pairs",
+    "value_quantile_sketch",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -117,8 +117,56 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: quantile-sketch sample size (error ~ 1/sqrt(k) per quantile)
+SKETCH_K = 256
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch per event type: a bottom-K-by-portable-hash
+    uniform sample (the min-k construction shared with the KMV sketch —
+    deterministic, seed-free, and mergeable: min-k of a union is
+    batching-insensitive), quantiles read off the sample next to the exact
+    quantiles so the sketch error is visible. Unlike t-digest/GK sketches
+    the state is order-independent, which is what makes an *approximate
+    quantile* oracle-checkable cross-engine.
+
+    Scale: exact per-key quantiles sort every value of a key on one
+    reducer; the sketch keeps K rows per key (local bottom-k per partition,
+    one small merge), and the sample is reusable for every quantile."""
+    from gmall_flink_spark.functions.text import md5_long
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        md5_long(F.col("event_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "value")
+    sample = ev.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= SKETCH_K
+    )
+    sample_agg = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_sketch"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_sketch"),
+    )
+    full_agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_exact"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_exact"),
+    )
+    return (
+        full_agg.join(sample_agg, "event_type")
+        .select(
+            "event_type", "n_total", "n_sample",
+            "med_exact", "med_sketch", "p90_exact", "p90_sketch",
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "running_customer_totals": running_customer_totals,
+    "value_quantile_sketch": value_quantile_sketch,
     "pivot_status_by_priority": pivot_status_by_priority,
     "cube_status_priority": cube_status_priority,
     "segment_set_ops": segment_set_ops,
@@ -126,6 +174,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "value_quantile_sketch": f"""
+        WITH h AS (
+            SELECT event_type, value,
+                   ('0x' || substr(md5('0|' || event_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, value FROM (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h, value) AS rk
+                FROM h
+            ) WHERE rk <= {SKETCH_K}
+        ),
+        f AS (
+            SELECT event_type, COUNT(*) AS n_total,
+                   round(quantile_cont(value, 0.5), 6) AS med_exact,
+                   round(quantile_cont(value, 0.9), 6) AS p90_exact
+            FROM h GROUP BY 1
+        ),
+        ss AS (
+            SELECT event_type, COUNT(*) AS n_sample,
+                   round(quantile_cont(value, 0.5), 6) AS med_sketch,
+                   round(quantile_cont(value, 0.9), 6) AS p90_sketch
+            FROM s GROUP BY 1
+        )
+        SELECT event_type, n_total, n_sample,
+               med_exact, med_sketch, p90_exact, p90_sketch
+        FROM f JOIN ss USING (event_type)
+        ORDER BY event_type
+    """,
     "running_customer_totals": """
         SELECT o_custkey AS cust_id, o_orderkey AS order_id,
                row_number() OVER w AS order_seq,

@@ -743,3 +743,33 @@ def test_kmv_sink_estimates_equal_batch_sketch(spark, events_slices):
     got = kmv_estimates(spark, state, "cur_date")
     batch = uv_daily_kmv(spark, SF).select("cur_date", "kmv_ct")
     assert rows(got) == rows(batch)
+
+
+def test_lsh_index_sink_equals_batch_bands_and_candidates(spark):
+    """Streaming near-dup index: replay documents in 3 micro-batches through
+    the LSH band-index sink; the accumulated index must equal the batch band
+    frame EXACTLY, and the candidate view over the state must equal the
+    batch lsh_candidates with the same degenerate-bucket cap."""
+    from gmall_flink_spark.llm.dedup import (
+        distinct_tokens,
+        lsh_bands,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from gmall_flink_spark.sinks.lsh_sink import lsh_index_writer, lsh_state_candidates
+    from gmall_flink_spark.sinks._bucketed import read_state
+
+    docs = table(spark, SF, "documents")
+    slices = os.path.join(TMP, "lsh_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "lsh_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, docs)
+    run_available_now(sdf, foreach_batch=lsh_index_writer(state))
+
+    batch_bands = lsh_bands(minhash_signatures(distinct_tokens(docs), k=12), 3)
+    assert rows(read_state(spark, state)) == rows(batch_bands)
+    got = lsh_state_candidates(spark, state, max_bucket=50)
+    want = lsh_candidates(batch_bands, max_bucket=50)
+    assert rows(got) == rows(want)
