@@ -773,3 +773,25 @@ def test_lsh_index_sink_equals_batch_bands_and_candidates(spark):
     got = lsh_state_candidates(spark, state, max_bucket=50)
     want = lsh_candidates(batch_bands, max_bucket=50)
     assert rows(got) == rows(want)
+
+
+def test_ivf_index_sink_equals_batch_assign(spark):
+    """Streaming IVF maintenance: replay embeddings in 3 micro-batches
+    through the cluster-bucketed assignment sink; the accumulated index
+    must equal batch ivf_assign over the full table."""
+    from gmall_flink_spark.llm.similarity import ivf_assign, prep
+    from gmall_flink_spark.sinks.ivf_sink import ivf_index_assignments, ivf_index_writer
+
+    emb = prep(table(spark, SF, "embeddings"))
+    cents = emb.where(F.col("vec_id") < 10)
+    slices = os.path.join(TMP, "ivf_slices")
+    split_into_files(emb, 3, "vec_id", slices)
+    state = os.path.join(TMP, "ivf_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, emb)
+    run_available_now(sdf, foreach_batch=ivf_index_writer(state, cents))
+
+    got = ivf_index_assignments(spark, state)
+    want = ivf_assign(emb, cents).select("vec_id", "cluster")
+    assert rows(got) == rows(want)
