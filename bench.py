@@ -114,6 +114,7 @@ HEADLINE = [
     "llm_stratified_sample",
     "winnow_match_pairs",
     "value_quantile_sketch",
+    "events_trailing_hour",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -164,9 +164,40 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-one-hour window (RANGE frame over event-time
+    microseconds, per user slice): how many events and how much value the
+    same user produced in the 3600 s ending at each event — the
+    rate-limit / velocity-check idiom that tumbling windows can't express
+    (every row gets its own window). Value sums in exact cents.
+
+    Scale: one shuffle on the user key, per-user sort — same cost class as
+    any keyed window; the RANGE frame is a sliding cursor over the sorted
+    run, not a self-join."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
+    us = F.unix_micros(F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(3_600_000_000 - 1), 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            us.alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("trail_ct"),
+            F.sum(cents).over(w).alias("trail_cents"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
 QUERIES = {
     "running_customer_totals": running_customer_totals,
     "value_quantile_sketch": value_quantile_sketch,
+    "events_trailing_hour": events_trailing_hour,
     "pivot_status_by_priority": pivot_status_by_priority,
     "cube_status_priority": cube_status_priority,
     "segment_set_ops": segment_set_ops,
@@ -204,6 +235,18 @@ ORACLE = {
                med_exact, med_sketch, p90_exact, p90_sketch
         FROM f JOIN ss USING (event_type)
         ORDER BY event_type
+    """,
+    "events_trailing_hour": """
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               COUNT(*) OVER w AS trail_ct,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS trail_cents
+        FROM events
+        WHERE user_id % 100 = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id
     """,
     "running_customer_totals": """
         SELECT o_custkey AS cust_id, o_orderkey AS order_id,

@@ -34,6 +34,10 @@ PROBES = [
     "minhash_band_buckets",     # shingle -> signature -> bands
     "llm_pack_sequences",       # grouped JVM fold
     "events_burst_alert",       # keyed lag window
+    "text_winnow_fingerprint",  # map-only gram hashing + winnow selection
+    "winnow_match_pairs",       # df-capped fingerprint self-join
+    "value_quantile_sketch",    # bottom-k sample vs exact per-key quantiles
+    "llm_token_budget",         # two-pass bucket-granular budget cut
 ]
 
 
