@@ -149,3 +149,43 @@ def test_no_rowwise_python_or_cartesian_in_any_registry_plan(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"forbidden plan nodes: {bad}"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed the same way on the join key must sort-merge
+    join with ZERO Exchange nodes — the shuffle was paid once at write
+    time. This is the batch-layout lever for repeated 100 TB fact joins:
+    without it every query re-shuffles both sides."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sinks.bucketed_tables import write_bucketed
+    from gmall_flink_spark.sources.tables import table
+
+    write_bucketed(
+        table(spark, SF, "orders"), "b_orders", ["o_orderkey"], 8,
+        str(tmp_path / "orders"), sort=["o_orderkey"],
+    )
+    write_bucketed(
+        table(spark, SF, "lineitem"), "b_lineitem", ["l_orderkey"], 8,
+        str(tmp_path / "lineitem"), sort=["l_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.count("*").alias("n"))
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p
