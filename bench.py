@@ -126,7 +126,12 @@ R1_HEADLINE_N = 35
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="gmall-bench")
+    # console progress bars off: the driver keeps only the tail of the
+    # combined output, and progress-bar spam competes with the JSON line.
+    spark = get_spark(
+        app_name="gmall-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
@@ -186,7 +191,7 @@ def main() -> None:
     run_available_now(sdf, foreach_batch=log_split_sinks(sink_dir))
     stream_sec = round(time.perf_counter() - t0, 3)
 
-    out = {
+    detail = {
         "metric": "headline query suite wall time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -203,8 +208,39 @@ def main() -> None:
         },
         "sf": sf,
     }
-    print(json.dumps(out))
+    # Full per-query detail: stderr + a repo-local file. The driver records
+    # only the LAST ~2000 chars of stdout and parses the JSON line found
+    # there, so stdout carries exactly ONE compact line guaranteed to fit
+    # (round 2's 63-query line was ~2900 chars and got truncated ->
+    # BENCH_r02.json "parsed": null). The compact line carries the
+    # full-suite total plus as many per-query timings as fit the budget,
+    # r01-comparable names first so cross-round comparisons stay like-for-like.
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+
+    compact = {k: detail[k] for k in
+               ("metric", "value", "unit", "query_ct", "r01_comparable_sec")}
+    compact["rows_per_sec_stream"] = detail["streaming"]["rows_per_sec"]
+    compact["sf"] = sf
+    compact["queries"] = {}
+    budget = 1900
+    for name in HEADLINE:
+        if name not in timings:
+            continue
+        trial = dict(compact)
+        trial["queries"] = {**compact["queries"], name: round(timings[name], 2)}
+        if len(json.dumps(trial)) > budget:
+            break
+        compact["queries"] = trial["queries"]
+    sys.stdout.flush()
     spark.stop()
+    # last line of stdout, after spark teardown noise
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
