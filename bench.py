@@ -1,9 +1,14 @@
 #!/usr/bin/env python3
 """Benchmark harness (driver contract): run the headline queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and print ONE JSON line:
-    {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: stdout carries exactly ONE compact JSON line
+    {"metric": "...", "value": total_sec, "unit": "sec", "query_ct": N,
+     "queries": {name: sec, ...}, "queries_truncated": bool, "sf": ...}
+whose `queries` map holds as many per-query timings as fit a ~1900-char
+budget (the driver keeps only the stdout tail); `queries_truncated` flags
+when the map is a subset of the full suite. Full detail goes to stderr and
+BENCH_LOCAL.json (gitignored).
 
 Each query is fully materialized through the noop sink (no driver collect,
 no sink I/O in the timing).
@@ -228,15 +233,20 @@ def main() -> None:
     compact["rows_per_sec_stream"] = detail["streaming"]["rows_per_sec"]
     compact["sf"] = sf
     compact["queries"] = {}
+    compact["queries_truncated"] = True  # worst case; fixed up below
     budget = 1900
+    # incremental length accounting: fixed envelope + per-entry cost
+    used = len(json.dumps(compact))
     for name in HEADLINE:
         if name not in timings:
             continue
-        trial = dict(compact)
-        trial["queries"] = {**compact["queries"], name: round(timings[name], 2)}
-        if len(json.dumps(trial)) > budget:
+        entry_len = len(json.dumps({name: round(timings[name], 2)})) - 2
+        sep = 2 if compact["queries"] else 0  # ", " between entries
+        if used + sep + entry_len > budget:
             break
-        compact["queries"] = trial["queries"]
+        compact["queries"][name] = round(timings[name], 2)
+        used += sep + entry_len
+    compact["queries_truncated"] = len(compact["queries"]) < len(timings)
     sys.stdout.flush()
     spark.stop()
     # last line of stdout, after spark teardown noise

@@ -34,8 +34,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS), read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
+        # Older testdata stored ts as parquet TIMESTAMP(NANOS), read as long
+        # nanos (spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
         # exactly what DuckDB does when it loads TIMESTAMP_NS.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
@@ -43,6 +43,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer division: float `/1000` loses µs precision above 2^53
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Current testdata stores naive timestamp[us] (isAdjustedToUTC=false),
+    # which Spark 4 reads as TIMESTAMP_NTZ. Epoch functions (unix_micros,
+    # window RANGE frames over epoch) require TIMESTAMP; with the session
+    # timezone pinned to UTC (pin_oracle_conf) the cast keeps the wall clock
+    # and makes epoch math identical to DuckDB's naive-as-UTC semantics.
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 
