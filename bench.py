@@ -120,6 +120,13 @@ HEADLINE = [
     "winnow_match_pairs",
     "value_quantile_sketch",
     "events_trailing_hour",
+    # round 4 additions: SRP-LSH near-dup, blocked fuzzy join, path/retention
+    # analytics, PII scrub
+    "embed_srp_near_dup",
+    "fuzzy_name_pairs",
+    "events_transition_matrix",
+    "events_retention_cohorts",
+    "text_pii_scrub",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

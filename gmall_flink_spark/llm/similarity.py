@@ -262,3 +262,116 @@ def ivf_topk_multiprobe(
         .where(F.col("rk") <= k)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "cos")
     )
+
+
+# ---------------------------------------------------------------- SRP-LSH
+
+def srp_planes(n_planes: int, dim: int, salt: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix (signed random projections,
+    Charikar cosine-LSH). Each weight's sign is the parity of
+    md5("{salt}p{plane}d{dim}") — computed driver-side once, so the Spark
+    plan and the DuckDB oracle share the exact same literal hyperplanes and
+    the construction is reproducible across cluster layouts."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}p{p}d{d}".encode()).hexdigest(), 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _srp_proj_sql(plane: list[int], vec_sql: str, one_based: bool) -> str:
+    """±1-weighted projection as a left-associated `+`/`-` chain — identical
+    IEEE evaluation order in Spark SQL (0-based `vec[d]`) and DuckDB
+    (1-based `v[d+1]`), so the sign bit is bit-reproducible in both."""
+    terms = []
+    for d, s in enumerate(plane):
+        idx = d + 1 if one_based else d
+        terms.append(f"{'+' if s > 0 else '-'} {vec_sql}[{idx}]")
+    return "(0.0 " + " ".join(terms) + ")"
+
+
+def srp_signature(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+    vec: str = "vec",
+) -> DataFrame:
+    """One row per (vector, band): ``band`` id and the band's packed sign
+    bits ``bval``. Entirely JVM-side scalar expressions — no shuffle; the
+    downstream bucket groupBy/join shuffles on (band, bval), whose
+    cardinality grows with the corpus (2^band_bits per band times data
+    diversity), i.e. a scale-safe block key like the IVF cluster id."""
+    planes = srp_planes(n_planes, dim)
+    bits = [
+        F.when(F.expr(_srp_proj_sql(pl, vec, one_based=False)) > 0, 1).otherwise(0)
+        for pl in planes
+    ]
+    sig = vectors
+    n_bands = n_planes // band_bits
+    band_cols = []
+    for b in range(n_bands):
+        val = F.lit(0)
+        for i in range(band_bits):
+            val = val + bits[b * band_bits + i] * F.lit(2 ** (band_bits - 1 - i))
+        band_cols.append(F.struct(F.lit(b).alias("band"), val.alias("bval")))
+    return (
+        sig.withColumn("_bands", F.array(*band_cols))
+        .select("*", F.explode("_bands").alias("_b"))
+        .select(
+            *[c for c in vectors.columns],
+            F.col("_b.band").alias("band"),
+            F.col("_b.bval").alias("bval"),
+        )
+    )
+
+
+def srp_near_dup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH banding: vectors sharing any band
+    bucket become candidate pairs; candidates are verified with the exact
+    cosine and kept at ``cos >= threshold``. Complements the IVF-blocked
+    near_dup_pairs: SRP needs no trained centroids and its recall is tuned
+    by (n_planes, band_bits) instead of nprobe. Candidate generation is a
+    self-join on the (band, bval) bucket key — one shuffle, bounded buckets
+    (2^band_bits buckets per band, refined by data diversity at scale)."""
+    sig = srp_signature(with_norm(vectors), n_planes, band_bits, dim)
+    a = sig.select(
+        "band",
+        "bval",
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = sig.select(
+        "band",
+        "bval",
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("norm").alias("b_norm"),
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_vec", "a_norm", "b_vec", "b_norm")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cand.withColumn(
+            "cos",
+            cosine(F.col("a_vec"), F.col("a_norm"), F.col("b_vec"), F.col("b_norm")),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -194,10 +194,58 @@ def events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (path analysis): for each user's event
+    stream ordered by (ts, event_id), count from->to transitions and the
+    distinct users making each — the Markov-chain / funnel-edge view.
+
+    Scale: one shuffle on the user key + per-user sort for the lead();
+    the matrix aggregation is a tiny groupBy with map-side partials."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        t.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("trans_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort triangle: users grouped by first-active day
+    (cohort), counted per day-offset they return — the D1/D7/D30 retention
+    table every activity pipeline publishes.
+
+    Scale: (user, day) distinct is one shuffle; the cohort min is a
+    second keyed agg reusing that partitioning; the triangle itself is
+    tiny. No self-join over the raw events."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = daily.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        daily.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
 QUERIES = {
     "running_customer_totals": running_customer_totals,
     "value_quantile_sketch": value_quantile_sketch,
     "events_trailing_hour": events_trailing_hour,
+    "events_transition_matrix": events_transition_matrix,
+    "events_retention_cohorts": events_retention_cohorts,
     "pivot_status_by_priority": pivot_status_by_priority,
     "cube_status_priority": cube_status_priority,
     "segment_set_ops": segment_set_ops,
@@ -305,3 +353,30 @@ ORACLE = {
         GROUP BY 1 ORDER BY 1
     """,
 }
+
+ORACLE["events_transition_matrix"] = """
+    WITH t AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS trans_ct,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_ct
+    FROM t WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+"""
+
+ORACLE["events_retention_cohorts"] = """
+    WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_d FROM daily GROUP BY user_id)
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort,
+           date_diff('day', cohort_d, d) AS day_offset,
+           CAST(COUNT(DISTINCT daily.user_id) AS BIGINT) AS active_users
+    FROM daily JOIN first ON daily.user_id = first.user_id
+    GROUP BY cohort, day_offset
+    ORDER BY cohort, day_offset
+"""

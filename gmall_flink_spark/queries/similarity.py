@@ -262,3 +262,93 @@ ORACLE = {
         ORDER BY q_id, rk
     """,
 }
+
+
+# ---------------------------------------------------------------- SRP-LSH
+
+SRP_PLANES = 16
+SRP_BAND_BITS = 4
+SRP_DIM = 64
+SRP_THRESHOLD = 0.3
+
+
+def embed_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH stage 1: bucket histogram over (band, packed sign bits).
+    The bucket key is the blocking/partition key of the centroid-free
+    near-dup scale path (complement of the IVF cluster id)."""
+    from gmall_flink_spark.llm.similarity import srp_signature
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    sig = srp_signature(emb, SRP_PLANES, SRP_BAND_BITS, SRP_DIM)
+    return (
+        sig.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("member_ct"))
+        .orderBy("band", "bval")
+    )
+
+
+def embed_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH stage 2: banded candidate pairs verified at exact
+    cos >= 0.3 — embedding near-dup without trained centroids."""
+    from gmall_flink_spark.llm.similarity import srp_near_dup
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    return srp_near_dup(
+        emb, SRP_THRESHOLD, SRP_PLANES, SRP_BAND_BITS, SRP_DIM
+    ).orderBy("a_id", "b_id")
+
+
+QUERIES["embed_srp_buckets"] = embed_srp_buckets
+QUERIES["embed_srp_near_dup"] = embed_srp_near_dup
+
+
+def _srp_oracle_sig() -> str:
+    """DuckDB twin of llm.similarity.srp_signature: same md5-derived
+    hyperplanes, same left-associated projection chains (1-based v[d+1])."""
+    from gmall_flink_spark.llm.similarity import _srp_proj_sql, srp_planes
+
+    planes = srp_planes(SRP_PLANES, SRP_DIM)
+    bits = ",\n               ".join(
+        f"CASE WHEN {_srp_proj_sql(pl, 'v', one_based=True)} > 0"
+        f" THEN 1 ELSE 0 END AS bit{p}"
+        for p, pl in enumerate(planes)
+    )
+    n_bands = SRP_PLANES // SRP_BAND_BITS
+    band_val = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" + ".join(
+                f"bit{b * SRP_BAND_BITS + i} * {2 ** (SRP_BAND_BITS - 1 - i)}"
+                for i in range(SRP_BAND_BITS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+        SELECT vec_id, v, norm, band, CASE band {band_val} END AS bval
+        FROM (SELECT vec_id, v, norm, {bits} FROM ({_NORMED})),
+             (SELECT unnest(range({n_bands})) AS band)
+    """
+
+
+ORACLE["embed_srp_buckets"] = f"""
+    SELECT band, bval, COUNT(*) AS member_ct
+    FROM ({_srp_oracle_sig()})
+    GROUP BY band, bval ORDER BY band, bval
+"""
+
+ORACLE["embed_srp_near_dup"] = f"""
+    WITH sig AS ({_srp_oracle_sig()}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    ),
+    n AS ({_NORMED})
+    SELECT a_id, b_id,
+           round(list_dot_product(na.v, nb.v) / (na.norm * nb.norm), 6) AS cos
+    FROM cand JOIN n na ON na.vec_id = a_id JOIN n nb ON nb.vec_id = b_id
+    WHERE round(list_dot_product(na.v, nb.v) / (na.norm * nb.norm), 6)
+          >= {SRP_THRESHOLD}
+    ORDER BY a_id, b_id
+"""

@@ -394,6 +394,95 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- PII scrub
+
+#: detection patterns shared (semantically) with the oracle — kept to the
+#: regex subset Java and RE2 agree on
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\(\d{3}\) 555-\d{4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the corpus: count emails / phone
+    numbers / IPv4 addresses per source, mask them (<EMAIL>/<PHONE>/<IP>),
+    and prove the redacted text is clean (residual_ct). The synthetic
+    corpus carries no PII, so deterministic fixtures derived from doc_id
+    are appended first (~1 in 7/11/13 docs each) — the operator under test
+    is the detect/redact pipeline, which is all JVM-side regexp_* (no
+    Python in the scan path; at 100 TB this is a single map stage fused
+    into the parquet scan, then one small groupBy(source))."""
+    docs = table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call ("),
+                F.lpad((F.col("doc_id") % 800 + 200).cast("string"), 3, "0"),
+                F.lit(") 555-"),
+                F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", "source", injected.alias("t"))
+    email_ct = F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL), F.lit(0)))
+    phone_ct = F.size(F.regexp_extract_all("t", F.lit(PII_PHONE), F.lit(0)))
+    ip_ct = F.size(F.regexp_extract_all("t", F.lit(PII_IP), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    residual = (
+        F.size(F.regexp_extract_all(redacted, F.lit(PII_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(redacted, F.lit(PII_PHONE), F.lit(0)))
+        + F.size(F.regexp_extract_all(redacted, F.lit(PII_IP), F.lit(0)))
+    )
+    per_doc = d.select(
+        "source",
+        email_ct.alias("e"),
+        phone_ct.alias("p"),
+        ip_ct.alias("i"),
+        residual.alias("r"),
+        F.length(redacted).alias("red_len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum((F.col("e") + F.col("p") + F.col("i") > 0).cast("int"))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+            F.sum("e").cast("bigint").alias("email_ct"),
+            F.sum("p").cast("bigint").alias("phone_ct"),
+            F.sum("i").cast("bigint").alias("ip_ct"),
+            F.sum("r").cast("bigint").alias("residual_ct"),
+            F.sum("red_len").cast("bigint").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
@@ -408,6 +497,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -659,3 +749,51 @@ ORACLE = {
         FROM t ORDER BY doc_id
     """,
 }
+
+# DuckDB twin of text_pii_scrub: same injection arithmetic, same patterns
+# (RE2 dialect; 'g' = replace all, matching Spark's regexp_replace default)
+_PII_INJ = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call (' || lpad(CAST(doc_id % 800 + 200 AS VARCHAR), 3, '0')
+                 || ') 555-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+"""
+_PII_E = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_P = r"\(\d{3}\) 555-\d{4}"
+_PII_I = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+ORACLE["text_pii_scrub"] = f"""
+    WITH d AS (SELECT doc_id, source, {_PII_INJ} AS t FROM documents),
+    per AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{_PII_E}')) AS e,
+               len(regexp_extract_all(t, '{_PII_P}')) AS p,
+               len(regexp_extract_all(t, '{_PII_I}')) AS i,
+               regexp_replace(regexp_replace(regexp_replace(
+                   t, '{_PII_E}', '<EMAIL>', 'g'),
+                      '{_PII_P}', '<PHONE>', 'g'),
+                      '{_PII_I}', '<IP>', 'g') AS red
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(CASE WHEN e + p + i > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(SUM(e) AS BIGINT) AS email_ct,
+           CAST(SUM(p) AS BIGINT) AS phone_ct,
+           CAST(SUM(i) AS BIGINT) AS ip_ct,
+           CAST(SUM(len(regexp_extract_all(red, '{_PII_E}'))
+                    + len(regexp_extract_all(red, '{_PII_P}'))
+                    + len(regexp_extract_all(red, '{_PII_I}'))) AS BIGINT)
+               AS residual_ct,
+           CAST(SUM(len(red)) AS BIGINT) AS redacted_chars
+    FROM per GROUP BY source ORDER BY source
+"""

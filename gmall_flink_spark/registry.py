@@ -29,6 +29,7 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.similarity",
     "gmall_flink_spark.queries.multimodal",
     "gmall_flink_spark.queries.scale",
+    "gmall_flink_spark.queries.entity",
 ]
 
 
