@@ -145,3 +145,20 @@ def pack_greedy(
     return packed.select(*group_cols, F.explode("packed").alias("e")).select(
         *group_cols, "e.bin", "e.doc", "e.tok"
     )
+
+#: 60-bit hash range of functions.text.md5_long — maps h to u in (0, 1)
+_HASH_RANGE = float(2**60)
+
+
+def exp_jump_key(key: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis weighted-sampling key: ``-ln(u) / w`` with
+    ``u = (md5_long(key) + 0.5) / 2^60``. Keeping the k SMALLEST keys per
+    group draws a weighted sample without replacement (a row's inclusion
+    odds scale with ``w``), deterministically — u comes from the portable
+    hash, so the draw is seed-free, engine-portable, and mergeable
+    (min-k of a union) exactly like the bottom-k uniform sampler.
+    Rounded to 9 decimals so cross-engine FP ordering has a stable
+    tie-break surface (ties then break on the caller's id column)."""
+    u = (md5_long(key.cast("string")) + F.lit(0.5)) / F.lit(_HASH_RANGE)
+    return F.round(-F.log(u) / F.greatest(weight.cast("double"), F.lit(1.0)), 9)
+

@@ -312,12 +312,41 @@ def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted-sample size per stratum
+WEIGHTED_K = 8
+
+
+def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size WEIGHTED sample per source: the WEIGHTED_K docs with the
+    smallest Efraimidis-Spirakis key -ln(u)/w (llm/corpus.py::exp_jump_key,
+    w = token count) — longer docs are proportionally likelier to be drawn,
+    the standard corpus-curation move when sampling by token mass rather
+    than by document. Deterministic (hash-derived u), mergeable min-k state
+    like the uniform bottom-k sampler: one small shuffle per stratum, the
+    corpus is never sorted."""
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.llm.corpus import exp_jump_key
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        token_count("text").cast("bigint").alias("tok"),
+    )
+    keyed = docs.withColumn("k_key", exp_jump_key(F.col("doc_id"), F.col("tok")))
+    return (
+        topk_per_group(keyed, "source", [F.asc("k_key"), F.asc("doc_id")], k=WEIGHTED_K)
+        .select("source", "rn", "doc_id", "tok", "k_key")
+        .orderBy("source", "rn")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
     "llm_source_mix": llm_source_mix,
     "llm_hash_sample": llm_hash_sample,
     "llm_stratified_sample": llm_stratified_sample,
+    "llm_weighted_sample": llm_weighted_sample,
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_clean_corpus": llm_clean_corpus,
@@ -512,3 +541,24 @@ ORACLE = {
         FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+ORACLE["llm_weighted_sample"] = f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5('0|' || doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+               CAST(len({_TOKS}) AS BIGINT) AS tok
+        FROM documents
+    ),
+    keyed AS (
+        SELECT source, doc_id, tok,
+               round(-ln((h + 0.5) / 1152921504606846976.0)
+                     / greatest(CAST(tok AS DOUBLE), 1.0), 9) AS k_key
+        FROM d
+    )
+    SELECT source,
+           row_number() OVER (PARTITION BY source ORDER BY k_key, doc_id) AS rn,
+           doc_id, tok, k_key
+    FROM keyed
+    QUALIFY rn <= {WEIGHTED_K}
+    ORDER BY source, rn
+"""

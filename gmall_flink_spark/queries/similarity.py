@@ -266,8 +266,8 @@ ORACLE = {
 
 # ---------------------------------------------------------------- SRP-LSH
 
-SRP_PLANES = 16
-SRP_BAND_BITS = 4
+SRP_PLANES = 96
+SRP_BAND_BITS = 12
 SRP_DIM = 64
 SRP_THRESHOLD = 0.3
 
@@ -304,13 +304,15 @@ QUERIES["embed_srp_near_dup"] = embed_srp_near_dup
 
 def _srp_oracle_sig() -> str:
     """DuckDB twin of llm.similarity.srp_signature: same md5-derived
-    hyperplanes, same left-associated projection chains (1-based v[d+1])."""
-    from gmall_flink_spark.llm.similarity import _srp_proj_sql, srp_planes
+    hyperplanes; each projection is list_dot_product against the same
+    literal ±1 array (bit-identical left fold to the Spark _dot)."""
+    from gmall_flink_spark.llm.similarity import srp_planes
 
     planes = srp_planes(SRP_PLANES, SRP_DIM)
     bits = ",\n               ".join(
-        f"CASE WHEN {_srp_proj_sql(pl, 'v', one_based=True)} > 0"
-        f" THEN 1 ELSE 0 END AS bit{p}"
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{float(w)}" for w in pl)
+        + "]) > 0 THEN 1 ELSE 0 END AS bit" + str(p)
         for p, pl in enumerate(planes)
     )
     n_bands = SRP_PLANES // SRP_BAND_BITS

@@ -299,3 +299,51 @@ def burst_alert_stream(
     return sdf.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def transition_stream(
+    sdf: DataFrame,
+    key: str,
+    type_col: str = "event_type",
+    us_col: str = "us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of queries/analytic.py::events_transition_matrix:
+    per-key last-event-type state; every arrival emits its (from, to)
+    transition edge (the first event per key emits nothing). The
+    transition-matrix aggregation downstream is an ordinary streaming
+    groupBy — this operator only materializes the lag(1) the batch twin
+    gets from a window function. Assumes in-order ingestion per key (the
+    harness replays event-time-ordered slices; same contract as the other
+    stateful twins)."""
+    key_field = next(f for f in sdf.schema.fields if f.name == key)
+    out_schema = StructType(
+        [key_field]
+    ).add("from_type", "string").add("to_type", "string")
+    state_schema = "prev string"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (prev,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([us_col, order_col])
+            froms, tos = [], []
+            for cur in pdf[type_col]:
+                if prev is not None:
+                    froms.append(prev)
+                    tos.append(cur)
+                prev = cur
+            if froms:
+                yield pd.DataFrame(
+                    {
+                        key: key_tuple[0],
+                        "from_type": froms,
+                        "to_type": tos,
+                    }
+                )
+        state.update((prev,))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -795,3 +795,27 @@ def test_ivf_index_sink_equals_batch_assign(spark):
     got = ivf_index_assignments(spark, state)
     want = ivf_assign(emb, cents).select("vec_id", "cluster")
     assert rows(got) == rows(want)
+
+
+def test_transition_stream_matches_batch(spark, events_slices):
+    """Path analysis: aggregating the streaming twin's per-arrival
+    transition edges (last-event-type state) must reproduce the batch
+    lead() transition matrix exactly."""
+    from gmall_flink_spark.queries.analytic import events_transition_matrix
+    from gmall_flink_spark.streaming.stateful import transition_stream
+
+    batch = events_transition_matrix(spark, SF)
+    ev = table(spark, SF, "events")
+    sdf = stream_from(spark, events_slices, ev).select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+    edges = run_available_now(transition_stream(sdf, "user_id"))
+    got = (
+        edges.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("trans_ct"),
+            F.countDistinct("user_id").alias("user_ct"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+    assert rows(got) == rows(batch)
