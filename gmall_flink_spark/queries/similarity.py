@@ -275,11 +275,13 @@ SRP_THRESHOLD = 0.3
 def embed_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH stage 1: bucket histogram over (band, packed sign bits).
     The bucket key is the blocking/partition key of the centroid-free
-    near-dup scale path (complement of the IVF cluster id)."""
-    from gmall_flink_spark.llm.similarity import srp_signature
+    near-dup scale path (complement of the IVF cluster id). Uses the
+    matmul signature kernel; bucket equality with the portable fold the
+    oracle mirrors is pinned by test_srp_fast_matches_portable."""
+    from gmall_flink_spark.llm.similarity import srp_signature_fast
 
     emb = prep(table(spark, sf_dir, "embeddings"))
-    sig = srp_signature(emb, SRP_PLANES, SRP_BAND_BITS, SRP_DIM)
+    sig = srp_signature_fast(emb, SRP_PLANES, SRP_BAND_BITS, SRP_DIM)
     return (
         sig.groupBy("band", "bval")
         .agg(F.count(F.lit(1)).alias("member_ct"))
