@@ -38,6 +38,13 @@ PROBES = [
     "winnow_match_pairs",       # df-capped fingerprint self-join
     "value_quantile_sketch",    # bottom-k sample vs exact per-key quantiles
     "llm_token_budget",         # two-pass bucket-granular budget cut
+    "embed_srp_near_dup",       # SRP signatures + band-bucket join (NB:
+                                #   replication is LSH-adversarial — every
+                                #   copy collides, so buckets grow Kx)
+    "events_transition_matrix", # keyed lead() + tiny matrix agg
+    "events_retention_cohorts", # distinct (user, day) + cohort triangle
+    "text_pii_scrub",           # map-only regexp detect/redact
+    "llm_weighted_sample",      # per-stratum min-k weighted keys
 ]
 
 
