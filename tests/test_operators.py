@@ -270,3 +270,36 @@ def test_srp_fast_matches_portable(spark):
     )
     assert slow.count() == fast.count() == n * 8
     assert diff == 0, f"{diff} differing (vec, band) rows"
+
+
+def test_jdbc_snapshot_s5(spark, tmp_path):
+    """S5 JDBC snapshot: seed embedded Derby from the parquet dim, then
+    prove both the serial and the partitioned (parallel range queries)
+    snapshot reproduce the source exactly, and that a filter pushes into
+    the remote query as a WHERE clause."""
+    from gmall_flink_spark.sources.jdbc import jdbc_seed, jdbc_snapshot
+    from gmall_flink_spark.sources.tables import table
+
+    url = f"jdbc:derby:{tmp_path}/s5db;create=true"
+    cust = table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    jdbc_seed(cust, url, "customer_dim")
+
+    src = sorted(map(tuple, cust.collect()))
+    serial = jdbc_snapshot(spark, url, "customer_dim")
+    assert sorted(map(tuple, serial.collect())) == src
+
+    hi = cust.agg(F.max("c_custkey")).collect()[0][0]
+    parallel = jdbc_snapshot(
+        spark, url, "customer_dim",
+        partition_column="c_custkey", num_partitions=4,
+        lower_bound=0, upper_bound=int(hi) + 1,
+    )
+    assert parallel.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, parallel.collect())) == src
+
+    pushed = parallel.where(F.col("c_acctbal") > 0)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "c_acctbal" in plan
+    assert pushed.count() == sum(1 for r in src if r[2] > 0)
