@@ -66,4 +66,12 @@ def pin_oracle_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver's plain session defaults to 200 shuffle partitions and a
+    # 10 MB broadcast threshold — size both the way get_spark does, so the
+    # gate runs the plans we designed (broadcast dims, right-sized shuffles)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     return spark
