@@ -203,6 +203,21 @@ def main() -> None:
     run_available_now(sdf, foreach_batch=log_split_sinks(sink_dir))
     stream_sec = round(time.perf_counter() - t0, 3)
 
+    # Stateful-streaming throughput: exact first-per-day UV dedup through
+    # the applyInPandasWithState state store (D4) — the per-row keyed-state
+    # cost class, vs the map-only parse path above.
+    from gmall_flink_spark.sources.tables import table as _table
+    from gmall_flink_spark.streaming.stateful import first_per_day_stream
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts")
+    ev_dir = f"{stream_base}/events"
+    ev.repartition(16).write.parquet(ev_dir)
+    n_ev = spark.read.parquet(ev_dir).count()
+    sev = spark.readStream.schema(ev.schema).parquet(ev_dir)
+    t0 = time.perf_counter()
+    run_available_now(first_per_day_stream(sev, "user_id"))
+    state_sec = round(time.perf_counter() - t0, 3)
+
     detail = {
         "metric": "headline query suite wall time",
         "value": round(sum(timings.values()), 3),
@@ -217,6 +232,12 @@ def main() -> None:
             "rows": n_rows,
             "sec": stream_sec,
             "rows_per_sec": round(n_rows / stream_sec) if stream_sec else None,
+        },
+        "streaming_stateful": {
+            "pipeline": "uv_first_per_day",
+            "rows": n_ev,
+            "sec": state_sec,
+            "rows_per_sec": round(n_ev / state_sec) if state_sec else None,
         },
         "sf": sf,
     }

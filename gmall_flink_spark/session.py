@@ -68,10 +68,15 @@ def pin_oracle_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the driver's plain session defaults to 200 shuffle partitions and a
     # 10 MB broadcast threshold — size both the way get_spark does, so the
-    # gate runs the plans we designed (broadcast dims, right-sized shuffles)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # gate runs the plans we designed (broadcast dims, right-sized
+    # shuffles). Only UNTOUCHED defaults are normalized: a deliberately-set
+    # value (a test disabling broadcast, an operator sizing its own
+    # shuffle) must survive the per-query re-pin.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
+    if spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "10485760b":
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     return spark
