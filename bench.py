@@ -259,9 +259,11 @@ def main() -> None:
     compact = {k: detail[k] for k in
                ("metric", "value", "unit", "query_ct", "r01_comparable_sec")}
     compact["rows_per_sec_stream"] = detail["streaming"]["rows_per_sec"]
+    compact["rows_per_sec_state"] = detail["streaming_stateful"]["rows_per_sec"]
     compact["sf"] = sf
     compact["queries"] = {}
-    compact["queries_truncated"] = True  # worst case; fixed up below
+    # worst case for length accounting: "false" is one char longer than "true"
+    compact["queries_truncated"] = False
     budget = 1900
     # incremental length accounting: fixed envelope + per-entry cost
     used = len(json.dumps(compact))

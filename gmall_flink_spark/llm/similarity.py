@@ -306,6 +306,8 @@ def srp_signature(
     100 TB corpus wants 16-20 bits (and more planes). With too-few bits
     the bucket join degenerates quadratically (measured: 4-bit bands at
     2 000 vectors = 3M candidate pairs, 47 s; 12-bit = ~4 k pairs)."""
+    if n_planes % band_bits:
+        raise ValueError(f"{n_planes=} must be a multiple of {band_bits=}")
     planes = srp_planes(n_planes, dim)
     bits = [
         F.when(
@@ -414,15 +416,16 @@ def srp_signature_fast(
     import numpy as np
     import pandas as pd
 
+    if n_planes % band_bits:
+        raise ValueError(f"{n_planes=} must be a multiple of {band_bits=}")
     planes = srp_planes(n_planes, dim)
     n_bands = n_planes // band_bits
     w_t = [[float(pl[d]) for pl in planes] for d in range(dim)]  # dim x planes
-    pack = [
-        [2 ** (band_bits - 1 - i) for i in range(band_bits)] for _ in range(n_bands)
-    ]
+    pack = [2 ** (band_bits - 1 - i) for i in range(band_bits)]
 
     def gen(batches):
         wt = np.asarray(w_t)  # dim x planes
+        pk = np.asarray(pack)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -431,7 +434,7 @@ def srp_signature_fast(
             out = []
             for b in range(n_bands):
                 seg = bits[:, b * band_bits : (b + 1) * band_bits]
-                bval = seg @ np.asarray(pack[b])
+                bval = seg @ pk
                 out.append(
                     pd.DataFrame(
                         {

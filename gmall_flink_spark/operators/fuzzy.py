@@ -62,13 +62,21 @@ def hamming1_pairs(
     return (
         a.join(b, ["pos", "bkey"])
         .where(F.col("a_id") < F.col("b_id"))
-        # construction guarantees <=1 differing masked position; the filter
-        # pins the contract (and rejects cross-length collisions)
+        # a key of length p-1 and one of length p collide on the position-p
+        # wildcard (both append nothing past the mask) — the length filter
+        # pins the equal-length contract; levenshtein pins hamming<=1
+        .where(F.length("a_key") == F.length("b_key"))
         .where(F.levenshtein(F.col("a_key"), F.col("b_key")) <= 1)
         .groupBy("a_id", "b_id")
         .agg(
             F.min("pos").alias("diff_pos"),
             F.first("a_key").alias("a_key"),
             F.first("b_key").alias("b_key"),
+        )
+        # identical keys (hamming 0) collide in EVERY bucket and differ at
+        # no position: diff_pos is NULL, matching the oracle's CASE
+        .withColumn(
+            "diff_pos",
+            F.when(F.col("a_key") != F.col("b_key"), F.col("diff_pos")),
         )
     )

@@ -40,6 +40,20 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
 
+def _batch_sorted(pdfs, sort_cols: list) -> "pd.DataFrame | None":
+    """Concatenate a group's Arrow chunks and sort ONCE. applyInPandasWithState
+    hands each group an iterator of chunks (split at
+    arrow.maxRecordsPerBatch) in arbitrary relative order — sorting each
+    chunk alone while threading state across them trusts cross-chunk order
+    the per-chunk sort already declared untrustworthy. A group's micro-batch
+    rows fit in memory by the same argument the sort itself needs them to."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    out = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    return out.sort_values(sort_cols)
+
+
 def keep_first_stream(
     sdf: DataFrame, keys: list[str], event_time: str, delay: str = "10 seconds"
 ) -> DataFrame:
@@ -61,8 +75,8 @@ def first_per_day_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        pdf = _batch_sorted(pdfs, [ts])
+        if pdf is not None:
             pdf["cur_date"] = pdf[ts].dt.strftime("%Y-%m-%d")
             fresh = pdf[~pdf["cur_date"].isin(seen)].drop_duplicates(
                 subset=["cur_date"], keep="first"
@@ -93,8 +107,8 @@ def new_user_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame
     ) -> Iterator[pd.DataFrame]:
         seen = set(state.get[0]) if state.exists else set()
         ever = bool(seen)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        pdf = _batch_sorted(pdfs, [ts])
+        if pdf is not None:
             days = pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates()
             fresh = [d for d in days if d not in seen]
             if fresh:
@@ -137,8 +151,8 @@ def returning_flags_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        pdf = _batch_sorted(pdfs, [ts])
+        if pdf is not None:
             days = [d for d in pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates()]
             out_days, out_flags = [], []
             for dstr in days:
@@ -247,8 +261,8 @@ def is_new_repair_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         first = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts)
+        pdf = _batch_sorted(pdfs, [ts])
+        if pdf is not None:
             cur = pdf[ts].dt.strftime("%Y-%m-%d")
             if first is None:
                 first = cur.iloc[0]
@@ -284,8 +298,8 @@ def burst_alert_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         t1, t2 = state.get if state.exists else (-1, -1)
-        for pdf in pdfs:
-            pdf = pdf.sort_values([us_col, order_col])
+        pdf = _batch_sorted(pdfs, [us_col, order_col])
+        if pdf is not None:
             spans = []
             for us in pdf[us_col]:
                 spans.append(us - t1 if t1 >= 0 else -1)
@@ -326,8 +340,8 @@ def transition_stream(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (prev,) = state.get if state.exists else (None,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values([us_col, order_col])
+        pdf = _batch_sorted(pdfs, [us_col, order_col])
+        if pdf is not None:
             froms, tos = [], []
             for cur in pdf[type_col]:
                 if prev is not None:
