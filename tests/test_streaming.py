@@ -819,3 +819,33 @@ def test_transition_stream_matches_batch(spark, events_slices):
         .orderBy("from_type", "to_type")
     )
     assert rows(got) == rows(batch)
+
+
+def test_stateful_twins_survive_arrow_chunk_splitting(spark, events_slices):
+    """Regression pin for the cross-chunk ordering fix: with Arrow batches
+    capped at 7 rows, a group's micro-batch arrives as many chunks in
+    arbitrary relative order — the twins must still equal their batch
+    forms (they concat + sort once instead of trusting chunk order)."""
+    from gmall_flink_spark.queries.analytic import events_transition_matrix
+    from gmall_flink_spark.streaming.stateful import transition_stream
+
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        batch = events_transition_matrix(spark, SF)
+        ev = table(spark, SF, "events")
+        sdf = stream_from(spark, events_slices, ev).select(
+            "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+        )
+        edges = run_available_now(transition_stream(sdf, "user_id"))
+        got = (
+            edges.groupBy("from_type", "to_type")
+            .agg(
+                F.count(F.lit(1)).alias("trans_ct"),
+                F.countDistinct("user_id").alias("user_ct"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+        assert rows(got) == rows(batch)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
