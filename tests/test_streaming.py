@@ -849,3 +849,67 @@ def test_stateful_twins_survive_arrow_chunk_splitting(spark, events_slices):
         assert rows(got) == rows(batch)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
+
+
+def test_watermark_drops_late_rows_observably(spark, tmp_path):
+    """W10: rows older than the watermark are DROPPED by the stateful dedup
+    operator, observable in StreamingQueryProgress
+    (numRowsDroppedByWatermark) — the ops counter a production pipeline
+    alerts on. Needs real sequential triggers: Trigger.AvailableNow plans
+    every batch's offsets (and watermark metadata) at query start, so a
+    whole-replay run never advances the filter watermark mid-run and drops
+    nothing — the same reason the availableNow equivalence harness can
+    replay history without losing it."""
+    import json as _json
+    import time as _time
+    import pandas as _pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    d = str(tmp_path / "wm_stream")
+    os.makedirs(d)
+    fresh = _pd.DataFrame(
+        {"user_id": [1, 2], "ts": _pd.to_datetime(["2024-01-02 10:00:00",
+                                                   "2024-01-02 11:00:00"])}
+    )
+    late = _pd.DataFrame(
+        {"user_id": [3, 4], "ts": _pd.to_datetime(["2024-01-01 09:00:00",
+                                                   "2024-01-01 09:30:00"])}
+    )
+    # micros, not pandas-default nanos — the declared stream schema says
+    # TIMESTAMP and the session reads parquet nanos as long
+    fresh["ts"] = fresh["ts"].astype("datetime64[us]")
+    late["ts"] = late["ts"].astype("datetime64[us]")
+    _pq.write_table(_pa.Table.from_pandas(fresh), f"{d}/a.parquet")
+
+    sdf = spark.readStream.schema("user_id long, ts timestamp").parquet(d)
+    dedup = sdf.withWatermark("ts", "0 seconds").dropDuplicates(["user_id", "ts"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("wm_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        for _ in range(120):  # wait for the fresh batch to commit
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            _time.sleep(0.5)
+        # now the watermark is 2024-01-02 11:00; land day-1 rows, all late
+        _pq.write_table(_pa.Table.from_pandas(late), f"{d}/b.parquet")
+        deadline = _time.time() + 30
+        dropped = 0
+        while _time.time() < deadline and dropped < 2:
+            _time.sleep(0.5)
+            dropped = sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for prog in q.recentProgress
+                for op in _json.loads(prog.json).get("stateOperators", [])
+            )
+    finally:
+        q.stop()
+    assert dropped == 2, f"expected both day-1 rows dropped, got {dropped}"
+    got = spark.sql("SELECT * FROM wm_drop_test")
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 2]
