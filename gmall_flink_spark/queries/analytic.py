@@ -223,14 +223,15 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cohort), counted per day-offset they return — the D1/D7/D30 retention
     table every activity pipeline publishes.
 
-    Scale: (user, day) distinct is one shuffle; the cohort min is a
-    second keyed agg reusing that partitioning; the triangle itself is
-    tiny. No self-join over the raw events."""
+    Scale: (user, day) distinct is one shuffle; the cohort is a window
+    min over the user partition — one more exchange, NOT a groupBy+self-
+    join (which re-shuffles the daily frame a third time); the triangle
+    itself is tiny. No self-join over the raw events."""
     ev = table(spark, sf_dir, "events")
     daily = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    first = daily.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    w = Window.partitionBy("user_id")
     return (
-        daily.join(first, "user_id")
+        daily.withColumn("cohort_d", F.min("d").over(w))
         .groupBy(
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort"),
             F.datediff("d", "cohort_d").alias("day_offset"),
