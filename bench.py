@@ -127,6 +127,8 @@ HEADLINE = [
     "events_transition_matrix",
     "events_retention_cohorts",
     "text_pii_scrub",
+    "llm_weighted_sample",
+    "text_surprisal_hist",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -483,6 +483,39 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_surprisal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring, reproducibly: each token's rarity class
+    is floor(log2(corpus_tokens / token_count)) — an INTEGER surprisal in
+    log2 units — so per-doc surprisal is an exact int sum (no FP
+    accumulation order to disagree with the oracle; log2's FP error can't
+    cross an integer boundary for int inputs < 2^53 off exact powers).
+    Output: per source, histogram of per-doc mean surprisal (x10 fixed
+    point). The deterministic stand-in for model-perplexity filtering.
+
+    Scale: one token-explode groupBy for the vocab (map-side partials), a
+    broadcast of the scalar total, the token->rarity join (vocab << corpus,
+    AQE broadcasts), one (source, doc) agg — shuffles carry counters."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", F.explode(tokenize("text")).alias("t"))
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("ct"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    rarity = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(F.log2(F.expr("total div ct").cast("double"))).cast("bigint").alias("r"),
+    )
+    per_doc = (
+        toks.join(rarity, "t")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_doc.select("source", F.expr("(10 * s) div n").alias("mean10x"))
+        .groupBy("source", "mean10x")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
+        .orderBy("source", "mean10x")
+    )
+
+
 QUERIES = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
@@ -498,6 +531,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
+    "text_surprisal_hist": text_surprisal_hist,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -796,4 +830,26 @@ ORACLE["text_pii_scrub"] = f"""
                AS residual_ct,
            CAST(SUM(len(red)) AS BIGINT) AS redacted_chars
     FROM per GROUP BY source ORDER BY source
+"""
+
+ORACLE["text_surprisal_hist"] = f"""
+    WITH toks AS (
+        SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS ct FROM toks GROUP BY t),
+    tot AS (SELECT COUNT(*) AS total FROM toks),
+    rarity AS (
+        SELECT t, CAST(floor(log2(CAST(total // ct AS DOUBLE))) AS BIGINT) AS r
+        FROM vocab, tot
+    ),
+    per_doc AS (
+        SELECT source, doc_id, SUM(r) AS s, COUNT(*) AS n
+        FROM toks JOIN rarity USING (t)
+        GROUP BY source, doc_id
+    )
+    SELECT source, CAST((10 * s) // n AS BIGINT) AS mean10x,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct
+    FROM per_doc
+    GROUP BY source, mean10x
+    ORDER BY source, mean10x
 """
