@@ -53,7 +53,12 @@ def touched_buckets(df: DataFrame) -> list[int]:
 
 def read_prior(spark: SparkSession, state_path: str, buckets: list[int]) -> DataFrame | None:
     """Prior state for the touched buckets only (directory-pruned scan)."""
-    if not os.path.exists(state_path) or not os.listdir(state_path):
+    # look for actual bucket directories: the _N_BUCKETS meta (or an
+    # all-deletes first batch) leaves the dir non-empty with no parquet,
+    # and spark.read.parquet on that cannot infer a schema
+    if not os.path.exists(state_path) or not any(
+        name.startswith(BUCKET_COL + "=") for name in os.listdir(state_path)
+    ):
         return None
     return spark.read.parquet(state_path).where(F.col(BUCKET_COL).isin(buckets))
 
@@ -88,3 +93,32 @@ def swap_buckets(
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Public read path for a bucketed state table (drops the bucket col)."""
     return spark.read.parquet(state_path).drop(BUCKET_COL)
+
+
+_LAST_BATCH = "_LAST_BATCH"
+
+
+def last_merged_batch(state_path: str) -> int:
+    """Highest micro-batch id already merged into this state (-1 = none).
+    Used by NON-idempotent merges (rollup sums/counts) to make
+    at-least-once foreachBatch redelivery a no-op; the naturally
+    idempotent sinks (keep-last upsert, set-union dedup/KMV/LSH) don't
+    need it."""
+    p = os.path.join(state_path, _LAST_BATCH)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def record_merged_batch(state_path: str, batch_id: int) -> None:
+    """Atomically record ``batch_id`` as merged (write-then-rename). The
+    residual window — a crash after some bucket swaps but before this
+    marker — still double-merges those buckets on replay; closing it needs
+    a transactional table format (Delta/Iceberg MERGE), which is what this
+    sink becomes in production (module docstring)."""
+    p = os.path.join(state_path, _LAST_BATCH)
+    tmp = p + ".__tmp__"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, p)

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.sinks._bucketed import (
     BUCKET_COL,
     check_buckets,
+    last_merged_batch,
     read_prior,
     read_state,
+    record_merged_batch,
     swap_buckets,
     touched_buckets,
     with_bucket,
@@ -62,9 +64,17 @@ def merge_rollup(
 
 def rollup_writer(state_path: str, keys: list[str], agg_fn, n_buckets: int = 16):
     """foreachBatch form: ``agg_fn(batch_df) -> partial DataFrame`` computes
-    the batch's partial aggregate (same keys + suffixed value columns)."""
+    the batch's partial aggregate (same keys + suffixed value columns).
+
+    Replay-safe: foreachBatch is at-least-once, and a sum/count merge is
+    NOT naturally idempotent (re-merging a delivered batch double-counts),
+    so the writer skips any batch id already recorded as merged
+    (_bucketed.last_merged_batch) and records the id after the merge."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_merged_batch(state_path):
+            return  # redelivery of an already-merged batch
         merge_rollup(state_path, agg_fn(batch_df), keys, n_buckets)
+        record_merged_batch(state_path, batch_id)
 
     return write

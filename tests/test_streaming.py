@@ -913,3 +913,51 @@ def test_watermark_drops_late_rows_observably(spark, tmp_path):
     assert dropped == 2, f"expected both day-1 rows dropped, got {dropped}"
     got = spark.sql("SELECT * FROM wm_drop_test")
     assert sorted(r["user_id"] for r in got.collect()) == [1, 2]
+
+
+def test_rollup_replay_of_merged_batch_is_noop(spark):
+    """foreachBatch is at-least-once; re-delivering an already-merged batch
+    id must not double-count the rollup sums (idempotency marker)."""
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "rollup_replay_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v int")
+
+    def partial(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("ev_ct"),
+            F.sum("v").cast("bigint").alias("v_sum"),
+        )
+
+    write = rollup_writer(state, ["k"], partial, n_buckets=4)
+    write(df, 0)
+    before = rows(read_state(spark, state))
+    write(df, 0)  # redelivery of batch 0 after a checkpoint-commit crash
+    assert rows(read_state(spark, state)) == before
+    write(df, 1)  # a genuinely new batch still merges
+    after = {r[0]: r for r in rows(read_state(spark, state), ["k", "ev_ct", "v_sum"])}
+    assert after["a"][1:] == (4, 6) and after["b"][1:] == (2, 10)
+
+
+def test_bucketed_state_survives_empty_first_batch(spark):
+    """An empty first micro-batch leaves the state dir holding only the
+    _N_BUCKETS meta; the next batch's prior-state read must treat that as
+    empty instead of crashing schema inference on a parquet-less dir."""
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "rollup_empty_first")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    schema = "k string, v int"
+    empty = spark.createDataFrame([], schema)
+    df = spark.createDataFrame([("a", 3)], schema)
+
+    def partial(d):
+        return d.groupBy("k").agg(F.sum("v").cast("bigint").alias("v_sum"))
+
+    write = rollup_writer(state, ["k"], partial, n_buckets=4)
+    write(empty, 0)
+    write(df, 1)
+    assert rows(read_state(spark, state)) == [("a", 3)]
