@@ -133,7 +133,10 @@ HEADLINE = [
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
 #: `r01_comparable_sec` so per-round totals compare like-for-like even as
-#: the suite grows
+#: the suite grows. Caveat: the metric holds the QUERY LIST fixed, not the
+#: measurement methodology — round 2 stripped terminal sorts from timing
+#: and re-blocked embed_near_dup on the IVF cluster, so r01_comparable
+#: deltas vs BENCH_r01 include those changes, not pure performance drift.
 R1_HEADLINE_N = 35
 
 

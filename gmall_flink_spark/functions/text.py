@@ -179,3 +179,31 @@ def bpe_token_count(text: Column | str) -> Column:
     it the way GPT-2-family pre-tokenizers segment)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+def gopher_flags(toks: Column, text: Column | str) -> dict[str, Column]:
+    """The Gopher-rule quality battery (length bounds, mean-word-length
+    band, stopword presence, symbol ratio) as named boolean flag columns —
+    the SINGLE Python source of these thresholds (used by the batch query,
+    the per-source flag report, and the streaming clean-corpus filter; the
+    DuckDB oracles mirror them in SQL and the parity gate pins the pair).
+    Every rule is an exact integer comparison, engine-portable."""
+    text_c = F.col(text) if isinstance(text, str) else text
+    n = F.size(toks)
+    chars = F.length(F.array_join(toks, ""))
+    symbols = F.length(F.regexp_replace(text_c, "[A-Za-z0-9 ]", ""))
+    return {
+        "f_short": n < 20,
+        "f_long": n > 85,
+        "f_word_len": (4 * n > chars) | (chars > 5 * n),
+        "f_no_stop": stopword_count(toks) == 0,
+        "f_symbols": 10 * symbols > F.length(text_c),
+    }
+
+
+def gopher_keep(toks: Column, text: Column | str) -> Column:
+    """True when no Gopher flag fires (the keep predicate)."""
+    from functools import reduce
+
+    flags = list(gopher_flags(toks, text).values())
+    return ~reduce(lambda a, b: a | b, flags)
+

@@ -192,7 +192,9 @@ def jaccard_pairs(
     )
 
 
-def connected_components(edges: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+def connected_components(
+    edges: DataFrame, nodes: DataFrame | None = None, max_rounds: int = 20
+) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dup dedup (pair graph → clusters → keep one representative
     per cluster). Pure DataFrame iteration: each round every node adopts the
@@ -219,7 +221,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None) -> Da
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
         eager=True
     )
-    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-3
+    converged = False
+    for _ in range(max_rounds):  # diameter bound; near-dup graphs converge in 2-3
         nbr_min = (
             sym.join(labels, sym.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
@@ -239,7 +242,17 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None) -> Da
         changed = updated.where(F.col("_chg")).limit(1).count()
         labels = updated.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent fall-through would return WRONG labels (a chain longer
+        # than max_rounds splits into multiple components and dedup keeps
+        # extra "representatives") — fail loudly; callers raise the bound
+        raise RuntimeError(
+            f"connected_components did not converge within {max_rounds} "
+            "rounds; the graph has a component with larger diameter — "
+            "raise max_rounds"
+        )
     return labels
 
 

@@ -21,23 +21,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gmall_flink_spark.functions.text import fingerprint, stopword_count, tokenize
+from gmall_flink_spark.functions.text import fingerprint, gopher_keep, tokenize
 from gmall_flink_spark.llm.dedup import word_shingles
 from gmall_flink_spark.sinks.dedup_sink import dedup_append
 
 
 def quality_keep(docs: DataFrame) -> DataFrame:
-    """The Gopher-rule keep predicate of queries/llm_pipeline (shared
-    thresholds), as a stateless filter."""
+    """The Gopher-rule keep predicate (functions/text.gopher_keep — one
+    Python source of the thresholds), as a stateless filter."""
     toked = docs.withColumn("toks", tokenize("text"))
-    n = F.size("toks")
-    chars = F.length(F.array_join("toks", ""))
-    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
-    keep = ~(
-        (n < 20) | (n > 85) | (4 * n > chars) | (chars > 5 * n)
-        | (stopword_count(F.col("toks")) == 0) | (10 * symbols > F.length("text"))
-    )
-    return toked.where(keep).drop("toks")
+    return toked.where(gopher_keep(F.col("toks"), "text")).drop("toks")
 
 
 def clean_corpus_writer(state_path: str, bench_shingles: DataFrame, n_buckets: int = 16):

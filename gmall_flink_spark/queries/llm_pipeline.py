@@ -119,7 +119,7 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     individual north-star ops into the pipeline a training-data run actually
     executes; rules apply in that order so each doc is dropped exactly
     once."""
-    from gmall_flink_spark.functions.text import fingerprint, stopword_count, tokenize
+    from gmall_flink_spark.functions.text import fingerprint, tokenize
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -127,13 +127,9 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0).withColumn(
         "toks", tokenize("text")
     )
-    n = F.size("toks")
-    chars = F.length(F.array_join("toks", ""))
-    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
-    q_ok = ~(
-        (n < 20) | (n > 85) | (4 * n > chars) | (chars > 5 * n)
-        | (stopword_count(F.col("toks")) == 0) | (10 * symbols > F.length("text"))
-    )
+    from gmall_flink_spark.functions.text import gopher_keep
+
+    q_ok = gopher_keep(F.col("toks"), "text")
     contaminated = (
         decontaminate_overlap(corpus, bench, n=NGRAM_N)
         .select("doc_id", F.lit(True).alias("contam"))

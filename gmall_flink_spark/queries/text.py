@@ -109,17 +109,12 @@ def text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol ratio), aggregated per source. Every rule is an exact integer
     comparison (e.g. mean word length in [3,10] ⇔ 3*n <= chars <= 10*n) so
     the filter decisions are engine-portable — no FP thresholds."""
+    from gmall_flink_spark.functions.text import gopher_flags
+
     docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
-    n = F.size("toks")
-    chars = F.length(F.array_join("toks", ""))
-    symbols = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
+    fl = gopher_flags(F.col("toks"), "text")
     flags = docs.select(
-        "source",
-        (n < 20).alias("f_short"),
-        (n > 85).alias("f_long"),
-        ((4 * n > chars) | (chars > 5 * n)).alias("f_word_len"),
-        (stopword_count(F.col("toks")) == 0).alias("f_no_stop"),
-        (10 * symbols > F.length("text")).alias("f_symbols"),
+        "source", *[c.alias(name) for name, c in fl.items()]
     )
     keep = ~(
         F.col("f_short") | F.col("f_long") | F.col("f_word_len")

@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 
 BUCKET_COL = "__bucket"
 _META = "_N_BUCKETS"
+_OLD_SUFFIX = ".__old__"
+
+
+def _recover_buckets(state_path: str) -> None:
+    """Heal a crash inside swap_buckets: a bucket moved aside (.__old__)
+    whose replacement never landed is restored; one whose replacement DID
+    land is stale and dropped. Called before every prior-state read."""
+    if not os.path.exists(state_path):
+        return
+    for name in os.listdir(state_path):
+        if not name.endswith(_OLD_SUFFIX):
+            continue
+        old = os.path.join(state_path, name)
+        dst = os.path.join(state_path, name[: -len(_OLD_SUFFIX)])
+        if os.path.exists(dst):
+            shutil.rmtree(old)
+        else:
+            os.replace(old, dst)
 
 
 def with_bucket(df: DataFrame, keys: list[str], n_buckets: int) -> DataFrame:
@@ -47,12 +65,22 @@ def check_buckets(state_path: str, n_buckets: int) -> None:
             )
 
 
+def pin_batch(df: DataFrame) -> DataFrame:
+    """Materialize the bucketed batch once (eager localCheckpoint):
+    touched_buckets's collect and the subsequent merge/write otherwise
+    each re-execute the full upstream batch transform — 2x the expensive
+    part of the ingest hot path (e.g. the shingle->minhash->bands pipeline
+    in the LSH sink)."""
+    return df.localCheckpoint(eager=True)
+
+
 def touched_buckets(df: DataFrame) -> list[int]:
     return [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
 
 
 def read_prior(spark: SparkSession, state_path: str, buckets: list[int]) -> DataFrame | None:
     """Prior state for the touched buckets only (directory-pruned scan)."""
+    _recover_buckets(state_path)
     # look for actual bucket directories: the _N_BUCKETS meta (or an
     # all-deletes first batch) leaves the dir non-empty with no parquet,
     # and spark.read.parquet on that cannot infer a schema
@@ -83,15 +111,25 @@ def swap_buckets(
         part = f"{BUCKET_COL}={b}"
         src = os.path.join(tmp, part)
         dst = os.path.join(state_path, part)
+        old = dst + _OLD_SUFFIX
+        # move the live dir ASIDE (atomic rename) before installing the
+        # replacement — rmtree-then-move would lose the bucket's entire
+        # state if the process dies between the two steps. A crash after
+        # the move-aside is healed by _recover_buckets on the next merge.
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(dst):
-            shutil.rmtree(dst)
+            os.replace(dst, old)
         if os.path.exists(src):  # a bucket can merge to empty (all deletes)
             os.replace(src, dst)
+        if os.path.exists(old):
+            shutil.rmtree(old)
     shutil.rmtree(tmp)
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Public read path for a bucketed state table (drops the bucket col)."""
+    _recover_buckets(state_path)
     return spark.read.parquet(state_path).drop(BUCKET_COL)
 
 

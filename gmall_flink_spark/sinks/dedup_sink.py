@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.operators.dedup import keep_first
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -40,9 +41,9 @@ def dedup_append(
     first arrival (by ``order_by``) owns the fingerprint forever."""
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
-    compacted = with_bucket(
+    compacted = pin_batch(with_bucket(
         keep_first(batch_df, [fingerprint_col], order_by), [fingerprint_col], n_buckets
-    )
+    ))
     buckets = touched_buckets(compacted)
     prior = read_prior(spark, state_path, buckets)
     fresh = compacted

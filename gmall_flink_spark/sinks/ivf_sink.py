@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.llm.similarity import ivf_assign
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -48,7 +49,7 @@ def ivf_index_merge(
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
     assigned = ivf_assign(batch_df, centroids).select("vec_id", "cluster")
-    batch = with_bucket(assigned, ["cluster"], n_buckets)
+    batch = pin_batch(with_bucket(assigned, ["cluster"], n_buckets))
     buckets = touched_buckets(batch)
     prior = read_prior(spark, state_path, buckets)
     merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.operators.sketch import KMV_K, kmv_estimate, kmv_hash
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     swap_buckets,
     touched_buckets,
@@ -36,10 +37,12 @@ def kmv_merge(
     """Merge one micro-batch into the per-group k-minimum-hash state."""
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
-    batch = with_bucket(
-        batch_df.select(group, kmv_hash(F.col(key)).alias("h")).distinct(),
-        [group],
-        n_buckets,
+    batch = pin_batch(
+        with_bucket(
+            batch_df.select(group, kmv_hash(F.col(key)).alias("h")).distinct(),
+            [group],
+            n_buckets,
+        )
     )
     buckets = touched_buckets(batch)
     prior = read_prior(spark, state_path, buckets)

@@ -29,6 +29,7 @@ from gmall_flink_spark.llm.dedup import (
 )
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -50,7 +51,7 @@ def lsh_index_merge(
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
     bands = lsh_bands(minhash_signatures(distinct_tokens(batch_df), k=k), rows_per_band)
-    batch = with_bucket(bands, ["band", "band_sig"], n_buckets)
+    batch = pin_batch(with_bucket(bands, ["band", "band_sig"], n_buckets))
     buckets = touched_buckets(batch)
     prior = read_prior(spark, state_path, buckets)
     merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)

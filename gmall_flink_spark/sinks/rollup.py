@@ -23,6 +23,7 @@ from gmall_flink_spark.sinks._bucketed import (
     BUCKET_COL,
     check_buckets,
     last_merged_batch,
+    pin_batch,
     read_prior,
     read_state,
     record_merged_batch,
@@ -52,7 +53,7 @@ def merge_rollup(
             raise ValueError(f"column {c!r} has no mergeable suffix (_ct/_sum/_min/_max)")
         aggs.append(fn(c).alias(c))
     check_buckets(state_path, n_buckets)
-    partial = with_bucket(batch_partial, keys, n_buckets)
+    partial = pin_batch(with_bucket(batch_partial, keys, n_buckets))
     buckets = touched_buckets(partial)
     merged = partial
     prior = read_prior(spark, state_path, buckets)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from gmall_flink_spark.operators.scd2 import scd2_versions
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -44,7 +45,7 @@ def scd2_merge(
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
     raw_cols = [c for c in batch_df.columns if c not in ("ver", "valid_to")]
-    batch = with_bucket(batch_df.select(*raw_cols), [key], n_buckets)
+    batch = pin_batch(with_bucket(batch_df.select(*raw_cols), [key], n_buckets))
     buckets = touched_buckets(batch)
     prior = read_prior(spark, state_path, buckets)
     merged_raw = batch

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from gmall_flink_spark.operators.dedup import keep_last
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
+    pin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -49,7 +50,9 @@ def upsert_into(
 
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
-    compacted = with_bucket(keep_last(batch_df, keys, order_by), keys, n_buckets)
+    compacted = pin_batch(
+        with_bucket(keep_last(batch_df, keys, order_by), keys, n_buckets)
+    )
     buckets = touched_buckets(compacted)
     prior = read_prior(spark, state_path, buckets)
     if prior is not None:

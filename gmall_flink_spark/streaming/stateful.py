@@ -54,6 +54,28 @@ def _batch_sorted(pdfs, sort_cols: list) -> "pd.DataFrame | None":
     return out.sort_values(sort_cols)
 
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style '<n> <unit>' interval string to milliseconds.
+    Rejects unknown units instead of silently assuming seconds ('1 minute'
+    read as 1 s would fire timers ~59 s early with no error)."""
+    parts = interval.split()
+    if len(parts) != 2 or parts[1].lower() not in _INTERVAL_UNIT_MS:
+        raise ValueError(
+            f"interval {interval!r} must be '<n> <unit>' with unit in "
+            f"{sorted(set(_INTERVAL_UNIT_MS))}"
+        )
+    return int(float(parts[0]) * _INTERVAL_UNIT_MS[parts[1].lower()])
+
+
 def keep_first_stream(
     sdf: DataFrame, keys: list[str], event_time: str, delay: str = "10 seconds"
 ) -> DataFrame:
@@ -209,7 +231,7 @@ def keep_last_timer_stream(
     sentinel event past ``max(ts) + delay`` to flush, as the equivalence
     test does.
     """
-    delay_ms = int(float(delay.split()[0]) * 1000)
+    delay_ms = _interval_ms(delay)
     cols = [f.name for f in sdf.schema.fields]
     out_schema = StructType(list(sdf.schema.fields))
     state_schema = StructType(list(sdf.schema.fields))

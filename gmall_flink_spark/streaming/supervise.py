@@ -40,7 +40,15 @@ def run_supervised(
                 .foreachBatch(foreach_batch)
                 .start()
             )
-            q.awaitTermination(timeout_s)
+            finished = q.awaitTermination(timeout_s)
+            if not finished:
+                # still running at the deadline: returning now would report
+                # success on a partial state AND leave the query writing
+                # concurrently with the caller — stop it and count a failure
+                q.stop()
+                raise TimeoutError(
+                    f"streaming query exceeded timeout_s={timeout_s}"
+                )
             return attempts
         except Exception:
             attempts += 1
