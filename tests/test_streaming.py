@@ -961,3 +961,41 @@ def test_bucketed_state_survives_empty_first_batch(spark):
     write(empty, 0)
     write(df, 1)
     assert rows(read_state(spark, state)) == [("a", 3)]
+
+
+def test_bucket_swap_crash_recovery(spark):
+    """A crash between move-aside and install leaves a bucket only at
+    <dir>.__old__; the next read must restore it (previously the live dir
+    was rmtree'd first, losing the bucket's state outright)."""
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "rollup_crash_recovery")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+
+    def partial(d):
+        return d.groupBy("k").agg(F.sum("v").cast("bigint").alias("v_sum"))
+
+    rollup_writer(state, ["k"], partial, n_buckets=4)(df, 0)
+    before = rows(read_state(spark, state))
+    # simulate the crash window: a bucket moved aside, replacement missing
+    bucket_dirs = [n for n in os.listdir(state) if n.startswith("__bucket=")]
+    victim = os.path.join(state, bucket_dirs[0])
+    os.replace(victim, victim + ".__old__")
+    assert rows(read_state(spark, state)) == before
+
+
+def test_interval_ms_units():
+    """Timer delays must honor the unit: '1 minute' is 60 000 ms, not 1 s;
+    unknown units raise instead of silently meaning seconds."""
+    from gmall_flink_spark.streaming.stateful import _interval_ms
+
+    assert _interval_ms("5 seconds") == 5_000
+    assert _interval_ms("1 minute") == 60_000
+    assert _interval_ms("500 milliseconds") == 500
+    assert _interval_ms("2 hours") == 7_200_000
+    with pytest.raises(ValueError):
+        _interval_ms("5 fortnights")
+    with pytest.raises(ValueError):
+        _interval_ms("5")
