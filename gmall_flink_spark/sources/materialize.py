@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 CACHE_ROOT = "/tmp/gmall_synth_cache"
 
 
+def _build_version(build) -> str:
+    """Content-version the cache on the builder's source module: editing a
+    synthesizer derivation then silently serving the stale cache cost a
+    debugging session (the manual '_env_v2' rename it replaces). Hashing
+    the whole defining module catches edits to the helpers the builder
+    closure calls, not just the closure body."""
+    import hashlib
+    import inspect
+
+    try:
+        mod = inspect.getmodule(build)
+        src = inspect.getsource(build) + (inspect.getsource(mod) if mod else "")
+    except (OSError, TypeError):
+        return "v0"
+    return hashlib.md5(src.encode()).hexdigest()[:10]
+
+
 def materialized(
     spark: SparkSession, sf_dir: str, name: str, build, n_files: int = 16
 ) -> DataFrame:
@@ -43,7 +60,7 @@ def materialized(
     files for scan parallelism is the landing-step's job — at cluster scale
     the same knob is the writer's target file size."""
     key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(CACHE_ROOT, key, name)
+    path = os.path.join(CACHE_ROOT, key, f"{name}-{_build_version(build)}")
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.__build_{uuid.uuid4().hex[:8]}__"

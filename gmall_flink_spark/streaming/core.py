@@ -94,10 +94,18 @@ def run_available_now(
     name = f"q{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_STREAM_TMP, "ckpt", name)
     writer = sdf.writeStream.option("checkpointLocation", ckpt).trigger(availableNow=True)
+
+    def _await(q) -> None:
+        # awaitTermination(timeout) returns False WITHOUT stopping a query
+        # that is still running — returning then would hand back a partial
+        # memory-sink table (or leave a foreachBatch writer mutating sink
+        # state concurrently with the caller)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"availableNow run exceeded timeout_s={timeout_s}")
+
     if foreach_batch is not None:
-        q = writer.foreachBatch(foreach_batch).start()
-        q.awaitTermination(timeout_s)
+        _await(writer.foreachBatch(foreach_batch).start())
         return None
-    q = writer.format("memory").queryName(name).outputMode(output_mode).start()
-    q.awaitTermination(timeout_s)
+    _await(writer.format("memory").queryName(name).outputMode(output_mode).start())
     return sdf.sparkSession.table(name)
