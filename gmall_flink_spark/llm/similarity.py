@@ -396,6 +396,13 @@ def _srp_signature_ids(
     )
 
 
+#: margin below which a matmul projection's sign is re-decided by the
+#: portable fold: ±1 weights over ~64 O(1) components accumulate at most
+#: ~dim·ulp ≈ 1e-14 of reordering noise, so 1e-9 catches every possible
+#: divergence while flagging only genuinely-near-orthogonal pairs.
+_SRP_EPS = 1e-9
+
+
 def srp_signature_fast(
     vectors: DataFrame,
     n_planes: int = 96,
@@ -407,12 +414,16 @@ def srp_signature_fast(
     """Vectorized production twin of srp_signature: one numpy matmul per
     Arrow batch via mapInPandas (sig = V @ W.T > 0, then band packing) —
     orders of magnitude less per-row overhead than the 96 portable
-    left-fold aggregates (6.5× end-to-end at sf0.1). In principle numpy's
-    pairwise summation could flip the sign of a projection within FP noise
-    of zero vs the portable fold; bucket equality on the gate's testdata
-    is pinned by tests/test_operators.py::test_srp_fast_matches_portable,
-    so the registry queries use this kernel and the local gate turns red
-    before the driver's would."""
+    left-fold aggregates (6.5× end-to-end at sf0.1). Numpy's pairwise
+    summation could flip the sign of a projection within FP noise of zero
+    vs the portable fold, so any projection with |dot| < _SRP_EPS is
+    recomputed with the exact sequential left-fold the portable path (and
+    the DuckDB oracle) uses — sign-zero cases are decided by the portable
+    arithmetic, not the matmul, making the kernels equal by construction
+    rather than only on the gate's testdata (r04 ADVICE). The flagged set
+    is FP-noise-rare, so the scalar recompute costs nothing measurable;
+    bucket equality is additionally pinned by
+    tests/test_operators.py::test_srp_fast_matches_portable."""
     import numpy as np
     import pandas as pd
 
@@ -430,7 +441,18 @@ def srp_signature_fast(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec].to_numpy())  # n x dim
-            bits = (v @ wt) > 0  # n x planes
+            proj = v @ wt  # n x planes
+            # projections within FP noise of zero: decide the sign with the
+            # portable sequential left-fold (acc = 0.0; acc += x*y in index
+            # order) so the fast kernel can't diverge from the oracle path
+            near = np.abs(proj) < _SRP_EPS
+            if near.any():
+                for i, p in zip(*np.nonzero(near)):
+                    acc = 0.0
+                    for d_ in range(v.shape[1]):
+                        acc += float(v[i, d_]) * wt[d_, p]
+                    proj[i, p] = acc
+            bits = proj > 0  # n x planes
             out = []
             for b in range(n_bands):
                 seg = bits[:, b * band_bits : (b + 1) * band_bits]

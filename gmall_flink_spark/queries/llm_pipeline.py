@@ -199,9 +199,18 @@ def llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: sequence-packing budget (whitespace tokens per packed sequence) and the
-#: shard fan-out that bounds each sequential packing unit.
+#: token mass each sequential packing unit targets. The shard COUNT is
+#: derived per run as ceil(total_tokens / PACK_SHARD_TOKENS), so packing
+#: parallelism grows with the corpus (a fixed shard count measured ~11×
+#: at the 10× probe because the sequential unit grew with input — r04
+#: "What's wrong" #4); 64Ki tokens ≈ 256 packed bins per shard locally,
+#: and at 100 TB the same knob sizes shards to a writer task's appetite.
 PACK_BUDGET = 256
-PACK_SHARDS = 4
+PACK_SHARD_TOKENS = 65536
+
+
+def _pack_shards(total_tokens: int) -> int:
+    return max(1, (int(total_tokens) + PACK_SHARD_TOKENS - 1) // PACK_SHARD_TOKENS)
 
 #: deterministic split thresholds over 100 hash buckets: train <90, val <95,
 #: test otherwise.
@@ -210,19 +219,27 @@ SPLIT_VAL = 95
 
 
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequence packing audit: shard each source PACK_SHARDS ways
-    (bins never span shards — the parallel unit), pack docs into
+    """Greedy sequence packing audit: shard the corpus into
+    ceil(total_tokens / PACK_SHARD_TOKENS) hash shards (bins never span
+    shards — the parallel unit self-sizes with the corpus), pack docs into
     PACK_BUDGET-token bins in doc_id order, and report per-bin doc count,
     token fill, and doc-id span. The fold runs JVM-side per group
-    (llm/corpus.py::pack_greedy); only the tiny per-bin audit shuffles."""
+    (llm/corpus.py::pack_greedy); only the tiny per-bin audit shuffles.
+    The shard count needs one scalar pre-aggregation (sum of tokens) —
+    the one-row cost every adaptive partitioner pays up front."""
     from gmall_flink_spark.functions.text import token_count
     from gmall_flink_spark.llm.corpus import pack_greedy
 
-    docs = table(spark, sf_dir, "documents").select(
+    base = table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("tok")
+    )
+    total_tok = base.agg(F.sum("tok")).first()[0] or 0
+    shards = _pack_shards(total_tok)
+    docs = base.select(
         "source",
-        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.pmod(F.col("doc_id"), F.lit(shards)).alias("shard"),
         F.col("doc_id"),
-        token_count("text").alias("tok"),
+        F.col("tok"),
     )
     return (
         pack_greedy(docs, ["source", "shard"], "doc_id", "tok", PACK_BUDGET)
@@ -491,12 +508,18 @@ ORACLE = {
         FROM q GROUP BY 1 ORDER BY 1
     """,
     "llm_pack_sequences": f"""
-        WITH RECURSIVE base AS (
-            SELECT source, doc_id % {PACK_SHARDS} AS shard, doc_id,
-                   CAST(len({_TOKS}) AS BIGINT) AS tok,
-                   row_number() OVER (PARTITION BY source, doc_id % {PACK_SHARDS}
-                                      ORDER BY doc_id) AS rn
+        WITH RECURSIVE shardct AS (
+            SELECT GREATEST(
+                (CAST(SUM(len({_TOKS})) AS BIGINT) + {PACK_SHARD_TOKENS} - 1)
+                    // {PACK_SHARD_TOKENS}, 1) AS s
             FROM documents
+        ),
+        base AS (
+            SELECT source, doc_id % sc.s AS shard, doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS tok,
+                   row_number() OVER (PARTITION BY source, doc_id % sc.s
+                                      ORDER BY doc_id) AS rn
+            FROM documents CROSS JOIN shardct sc
         ),
         packed AS (
             SELECT source, shard, rn, doc_id, tok,

@@ -66,12 +66,28 @@ def check_buckets(state_path: str, n_buckets: int) -> None:
 
 
 def pin_batch(df: DataFrame) -> DataFrame:
-    """Materialize the bucketed batch once (eager localCheckpoint):
+    """Materialize the bucketed batch once (persist + count):
     touched_buckets's collect and the subsequent merge/write otherwise
     each re-execute the full upstream batch transform — 2x the expensive
     part of the ingest hot path (e.g. the shingle->minhash->bands pipeline
-    in the LSH sink)."""
-    return df.localCheckpoint(eager=True)
+    in the LSH sink).
+
+    persist, not localCheckpoint (r04 ADVICE): persisted blocks are freed
+    deterministically by ``unpin_batch`` at the end of the sink's merge
+    (localCheckpoint blocks linger until Python GC + ContextCleaner catch
+    up — a long-running stream holds executor storage it no longer
+    needs), and an evicted/lost persisted block recomputes from lineage
+    instead of failing the job under executor loss."""
+    from pyspark.storagelevel import StorageLevel
+
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    return pinned
+
+
+def unpin_batch(df: DataFrame) -> None:
+    """Free a pin_batch DataFrame's blocks (call in the sink's finally)."""
+    df.unpersist(blocking=False)
 
 
 def touched_buckets(df: DataFrame) -> list[int]:
@@ -136,27 +152,52 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame:
 _LAST_BATCH = "_LAST_BATCH"
 
 
-def last_merged_batch(state_path: str) -> int:
-    """Highest micro-batch id already merged into this state (-1 = none).
-    Used by NON-idempotent merges (rollup sums/counts) to make
-    at-least-once foreachBatch redelivery a no-op; the naturally
-    idempotent sinks (keep-last upsert, set-union dedup/KMV/LSH) don't
-    need it."""
+def streaming_query_id(df: DataFrame) -> str:
+    """Checkpoint-stable identity of the streaming query a foreachBatch
+    DataFrame belongs to ('' when not running under a stream — direct
+    writer calls in tests). StreamExecution publishes it as a driver-thread
+    local property; unlike runId it survives restarts from the same
+    checkpoint, which is exactly the lineage batch ids are monotonic
+    within."""
+    qid = df.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")
+    return qid or ""
+
+
+def last_merged_batch(state_path: str, query_id: str = "") -> int:
+    """Highest micro-batch id already merged into this state by the SAME
+    streaming query lineage (-1 = none). Used by NON-idempotent merges
+    (rollup sums/counts) to make at-least-once foreachBatch redelivery a
+    no-op; the naturally idempotent sinks (keep-last upsert, set-union
+    dedup/KMV/LSH) don't need it.
+
+    The marker records the checkpoint's queryId next to the batch id: a
+    stream restarted with a FRESH checkpoint restarts batch ids at 0, and
+    a bare batch-id comparison would silently skip those genuinely new
+    batches (r04 ADVICE). A mismatched queryId therefore reads as "nothing
+    merged yet" — the non-idempotent caller still double-merges what the
+    dead lineage already folded in, so pair a fresh checkpoint with a
+    fresh state dir; this marker makes that mistake loud in tests instead
+    of silent."""
     p = os.path.join(state_path, _LAST_BATCH)
     if not os.path.exists(p):
         return -1
     with open(p) as fh:
-        return int(fh.read().strip())
+        lines = fh.read().splitlines()
+    if len(lines) == 1:  # pre-queryId marker format: bare batch id
+        return int(lines[0].strip())
+    recorded_qid, batch = lines[0], int(lines[1].strip())
+    return batch if recorded_qid == query_id else -1
 
 
-def record_merged_batch(state_path: str, batch_id: int) -> None:
-    """Atomically record ``batch_id`` as merged (write-then-rename). The
-    residual window — a crash after some bucket swaps but before this
-    marker — still double-merges those buckets on replay; closing it needs
-    a transactional table format (Delta/Iceberg MERGE), which is what this
-    sink becomes in production (module docstring)."""
+def record_merged_batch(state_path: str, batch_id: int, query_id: str = "") -> None:
+    """Atomically record ``batch_id`` as merged for ``query_id``
+    (write-then-rename). The residual window — a crash after some bucket
+    swaps but before this marker — still double-merges those buckets on
+    replay; closing it needs a transactional table format (Delta/Iceberg
+    MERGE), which is what this sink becomes in production (module
+    docstring)."""
     p = os.path.join(state_path, _LAST_BATCH)
     tmp = p + ".__tmp__"
     with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(f"{query_id}\n{batch_id}")
     os.replace(tmp, p)

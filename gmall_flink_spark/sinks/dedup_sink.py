@@ -20,6 +20,7 @@ from gmall_flink_spark.operators.dedup import keep_first
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -44,17 +45,20 @@ def dedup_append(
     compacted = pin_batch(with_bucket(
         keep_first(batch_df, [fingerprint_col], order_by), [fingerprint_col], n_buckets
     ))
-    buckets = touched_buckets(compacted)
-    prior = read_prior(spark, state_path, buckets)
-    fresh = compacted
-    if prior is not None:
-        fresh = compacted.join(
-            prior.select(F.col(fingerprint_col).alias("__seen")),
-            compacted[fingerprint_col] == F.col("__seen"),
-            "left_anti",
-        )
-    merged = fresh if prior is None else prior.select(*fresh.columns).unionAll(fresh)
-    swap_buckets(merged, state_path, buckets, n_buckets)
+    try:
+        buckets = touched_buckets(compacted)
+        prior = read_prior(spark, state_path, buckets)
+        fresh = compacted
+        if prior is not None:
+            fresh = compacted.join(
+                prior.select(F.col(fingerprint_col).alias("__seen")),
+                compacted[fingerprint_col] == F.col("__seen"),
+                "left_anti",
+            )
+        merged = fresh if prior is None else prior.select(*fresh.columns).unionAll(fresh)
+        swap_buckets(merged, state_path, buckets, n_buckets)
+    finally:
+        unpin_batch(compacted)
 
 
 def dedup_writer(

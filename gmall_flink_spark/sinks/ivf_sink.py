@@ -23,6 +23,7 @@ from gmall_flink_spark.llm.similarity import ivf_assign
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -50,12 +51,15 @@ def ivf_index_merge(
     check_buckets(state_path, n_buckets)
     assigned = ivf_assign(batch_df, centroids).select("vec_id", "cluster")
     batch = pin_batch(with_bucket(assigned, ["cluster"], n_buckets))
-    buckets = touched_buckets(batch)
-    prior = read_prior(spark, state_path, buckets)
-    merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
-    swap_buckets(
-        merged.dropDuplicates(["vec_id"]), state_path, buckets, n_buckets
-    )
+    try:
+        buckets = touched_buckets(batch)
+        prior = read_prior(spark, state_path, buckets)
+        merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
+        swap_buckets(
+            merged.dropDuplicates(["vec_id"]), state_path, buckets, n_buckets
+        )
+    finally:
+        unpin_batch(batch)
 
 
 def ivf_index_writer(state_path: str, centroids: DataFrame, n_buckets: int = 16):

@@ -18,6 +18,7 @@ from gmall_flink_spark.operators.sketch import KMV_K, kmv_estimate, kmv_hash
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     swap_buckets,
     touched_buckets,
@@ -44,17 +45,20 @@ def kmv_merge(
             n_buckets,
         )
     )
-    buckets = touched_buckets(batch)
-    prior = read_prior(spark, state_path, buckets)
-    merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
-    w = Window.partitionBy(group).orderBy("h")
-    kept = (
-        merged.dropDuplicates([group, "h"])
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= KMV_K)
-        .drop("rk")
-    )
-    swap_buckets(kept, state_path, buckets, n_buckets)
+    try:
+        buckets = touched_buckets(batch)
+        prior = read_prior(spark, state_path, buckets)
+        merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
+        w = Window.partitionBy(group).orderBy("h")
+        kept = (
+            merged.dropDuplicates([group, "h"])
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KMV_K)
+            .drop("rk")
+        )
+        swap_buckets(kept, state_path, buckets, n_buckets)
+    finally:
+        unpin_batch(batch)
 
 
 def kmv_writer(state_path: str, group: str, key: str, n_buckets: int = 16):

@@ -30,6 +30,7 @@ from gmall_flink_spark.llm.dedup import (
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -52,15 +53,18 @@ def lsh_index_merge(
     check_buckets(state_path, n_buckets)
     bands = lsh_bands(minhash_signatures(distinct_tokens(batch_df), k=k), rows_per_band)
     batch = pin_batch(with_bucket(bands, ["band", "band_sig"], n_buckets))
-    buckets = touched_buckets(batch)
-    prior = read_prior(spark, state_path, buckets)
-    merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
-    swap_buckets(
-        merged.dropDuplicates(["band", "band_sig", "doc_id"]),
-        state_path,
-        buckets,
-        n_buckets,
-    )
+    try:
+        buckets = touched_buckets(batch)
+        prior = read_prior(spark, state_path, buckets)
+        merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
+        swap_buckets(
+            merged.dropDuplicates(["band", "band_sig", "doc_id"]),
+            state_path,
+            buckets,
+            n_buckets,
+        )
+    finally:
+        unpin_batch(batch)
 
 
 def lsh_index_writer(

@@ -24,9 +24,11 @@ from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     last_merged_batch,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     record_merged_batch,
+    streaming_query_id,
     swap_buckets,
     touched_buckets,
     with_bucket,
@@ -54,13 +56,16 @@ def merge_rollup(
         aggs.append(fn(c).alias(c))
     check_buckets(state_path, n_buckets)
     partial = pin_batch(with_bucket(batch_partial, keys, n_buckets))
-    buckets = touched_buckets(partial)
-    merged = partial
-    prior = read_prior(spark, state_path, buckets)
-    if prior is not None:
-        merged = prior.select(*partial.columns).unionAll(partial)
-    out = merged.groupBy(*keys, BUCKET_COL).agg(*aggs)
-    swap_buckets(out, state_path, buckets, n_buckets)
+    try:
+        buckets = touched_buckets(partial)
+        merged = partial
+        prior = read_prior(spark, state_path, buckets)
+        if prior is not None:
+            merged = prior.select(*partial.columns).unionAll(partial)
+        out = merged.groupBy(*keys, BUCKET_COL).agg(*aggs)
+        swap_buckets(out, state_path, buckets, n_buckets)
+    finally:
+        unpin_batch(partial)
 
 
 def rollup_writer(state_path: str, keys: list[str], agg_fn, n_buckets: int = 16):
@@ -69,13 +74,17 @@ def rollup_writer(state_path: str, keys: list[str], agg_fn, n_buckets: int = 16)
 
     Replay-safe: foreachBatch is at-least-once, and a sum/count merge is
     NOT naturally idempotent (re-merging a delivered batch double-counts),
-    so the writer skips any batch id already recorded as merged
-    (_bucketed.last_merged_batch) and records the id after the merge."""
+    so the writer skips any batch id already recorded as merged BY THE
+    SAME query lineage (_bucketed.last_merged_batch keyed on the
+    checkpoint-stable queryId) and records (queryId, id) after the merge —
+    a fresh checkpoint's batch 0 against an old state dir is merged, not
+    silently skipped."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= last_merged_batch(state_path):
+        qid = streaming_query_id(batch_df)
+        if batch_id <= last_merged_batch(state_path, qid):
             return  # redelivery of an already-merged batch
         merge_rollup(state_path, agg_fn(batch_df), keys, n_buckets)
-        record_merged_batch(state_path, batch_id)
+        record_merged_batch(state_path, batch_id, qid)
 
     return write

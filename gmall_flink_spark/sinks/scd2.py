@@ -19,6 +19,7 @@ from gmall_flink_spark.operators.scd2 import scd2_versions
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -46,14 +47,17 @@ def scd2_merge(
     check_buckets(state_path, n_buckets)
     raw_cols = [c for c in batch_df.columns if c not in ("ver", "valid_to")]
     batch = pin_batch(with_bucket(batch_df.select(*raw_cols), [key], n_buckets))
-    buckets = touched_buckets(batch)
-    prior = read_prior(spark, state_path, buckets)
-    merged_raw = batch
-    if prior is not None:
-        merged_raw = prior.select(*batch.columns).unionAll(batch)
-    merged_raw = merged_raw.dropDuplicates([key, *order_cols])
-    versioned = scd2_versions(merged_raw, key, order_cols, from_col)
-    swap_buckets(versioned, state_path, buckets, n_buckets)
+    try:
+        buckets = touched_buckets(batch)
+        prior = read_prior(spark, state_path, buckets)
+        merged_raw = batch
+        if prior is not None:
+            merged_raw = prior.select(*batch.columns).unionAll(batch)
+        merged_raw = merged_raw.dropDuplicates([key, *order_cols])
+        versioned = scd2_versions(merged_raw, key, order_cols, from_col)
+        swap_buckets(versioned, state_path, buckets, n_buckets)
+    finally:
+        unpin_batch(batch)
 
 
 def scd2_writer(

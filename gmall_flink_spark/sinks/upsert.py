@@ -25,6 +25,7 @@ from gmall_flink_spark.operators.dedup import keep_last
 from gmall_flink_spark.sinks._bucketed import (
     check_buckets,
     pin_batch,
+    unpin_batch,
     read_prior,
     read_state,
     swap_buckets,
@@ -50,19 +51,23 @@ def upsert_into(
 
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
-    compacted = pin_batch(
+    pinned = pin_batch(
         with_bucket(keep_last(batch_df, keys, order_by), keys, n_buckets)
     )
-    buckets = touched_buckets(compacted)
-    prior = read_prior(spark, state_path, buckets)
-    if prior is not None:
-        # a batch row beats a prior row at an equal version (__src tiebreak):
-        # a re-put of the same version overwrites, like an HBase put.
-        merged = prior.select(*compacted.columns).withColumn("__src", F.lit(0)).unionAll(
-            compacted.withColumn("__src", F.lit(1))
-        )
-        compacted = keep_last(merged, keys, [*order_by, "__src"]).drop("__src")
-    swap_buckets(compacted, state_path, buckets, n_buckets)
+    try:
+        compacted = pinned
+        buckets = touched_buckets(compacted)
+        prior = read_prior(spark, state_path, buckets)
+        if prior is not None:
+            # a batch row beats a prior row at an equal version (__src tiebreak):
+            # a re-put of the same version overwrites, like an HBase put.
+            merged = prior.select(*compacted.columns).withColumn("__src", F.lit(0)).unionAll(
+                compacted.withColumn("__src", F.lit(1))
+            )
+            compacted = keep_last(merged, keys, [*order_by, "__src"]).drop("__src")
+        swap_buckets(compacted, state_path, buckets, n_buckets)
+    finally:
+        unpin_batch(pinned)
 
 
 def upsert_writer(state_path: str, keys: list[str], order_by: list[str], n_buckets: int = 16):

@@ -48,10 +48,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # window RANGE frames over epoch) require TIMESTAMP; with the session
     # timezone pinned to UTC (pin_oracle_conf) the cast keeps the wall clock
     # and makes epoch math identical to DuckDB's naive-as-UTC semantics.
+    # Under any OTHER session timezone the cast would silently shift epoch
+    # math by the zone offset — and no expression can preserve both the
+    # wall clock (date_format groupings) and the epoch (RANGE frames) at
+    # once outside UTC — so a non-UTC session fails loudly instead.
     from pyspark.sql.types import TimestampNTZType
 
     ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     if ntz_cols:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"table({name!r}) carries naive-timestamp columns {ntz_cols} whose "
+                f"TIMESTAMP cast is only wall-clock- and epoch-faithful under a UTC "
+                f"session (got {tz!r}); pin spark.sql.session.timeZone='UTC' "
+                f"(session.pin_oracle_conf) before reading"
+            )
         from pyspark.sql import functions as F
 
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})

@@ -1,0 +1,60 @@
+"""The bench harness is gate-critical (BENCH_r{N}.json): these pin the
+public-API terminal-sort stripper and the lineage-keyed replay marker."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_SMOKE
+
+
+def test_terminal_sort_stripped_only_when_terminal(spark):
+    """A query returning its orderBy result is timed without the global
+    sort; one that chains past the sort (top-k limit) keeps its plan."""
+    from pyspark.sql import functions as F
+
+    from bench import track_terminal_sort, unsorted_form
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    with track_terminal_sort():
+        ordered = df.groupBy("k").count().orderBy("k")
+        topk = df.orderBy(F.desc("id")).limit(3)
+    assert unsorted_form(ordered) is not ordered
+    assert "Sort" not in unsorted_form(ordered)._jdf.queryExecution().optimizedPlan().toString()
+    assert unsorted_form(topk) is topk
+    # and the patch is gone outside the context
+    plain = df.orderBy("id")
+    assert unsorted_form(plain) is plain
+
+
+def test_strip_preserves_rows(spark):
+    from bench import track_terminal_sort, unsorted_form
+    from gmall_flink_spark.registry import all_queries
+
+    q = all_queries()["q1_pricing_summary"]
+    with track_terminal_sort():
+        df = q(spark, SF_SMOKE)
+        stripped = unsorted_form(df)
+    assert sorted(map(tuple, stripped.collect()), key=repr) == sorted(
+        map(tuple, df.collect()), key=repr
+    )
+
+
+def test_merged_batch_marker_is_lineage_keyed(tmp_path):
+    """A fresh checkpoint restarts batch ids at 0: the marker must not
+    skip those batches just because an old lineage once merged batch 7."""
+    from gmall_flink_spark.sinks._bucketed import (
+        last_merged_batch,
+        record_merged_batch,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    assert last_merged_batch(state, "qid-a") == -1
+    record_merged_batch(state, 7, "qid-a")
+    assert last_merged_batch(state, "qid-a") == 7  # same lineage: skip <=7
+    assert last_merged_batch(state, "qid-b") == -1  # fresh checkpoint: merge
+    # pre-queryId marker format (bare batch id) still reads
+    with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
+        fh.write("5")
+    assert last_merged_batch(state, "anything") == 5

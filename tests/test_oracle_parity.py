@@ -19,7 +19,15 @@ def test_oracle_parity(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLE)))
-def test_rows_only(spark, name):
-    df = _QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
+_NO_ORACLE = sorted(set(_QUERIES) - set(_ORACLE))
+
+
+def test_every_query_is_oracle_checked():
+    """Every registered query currently ships a DuckDB oracle; the driver's
+    weaker rows-only check applies to none of them. (When this set was
+    parametrized into a rows-only runner, the empty parameter set surfaced
+    as an unexplained runtime skip — r04 "What's wrong" #5.) If a genuinely
+    non-SQL-expressible query is ever registered without an oracle, this
+    fails: either write the oracle or consciously re-add a rows-only
+    runner for the new name."""
+    assert _NO_ORACLE == []
