@@ -216,6 +216,11 @@ HEADLINE = [
     "text_pii_scrub",
     "llm_weighted_sample",
     "text_surprisal_hist",
+    # round 5 additions: near-dup representative selection, vocab building,
+    # overlapping-window document chunking
+    "dedup_rep_select",
+    "llm_vocab_topk",
+    "llm_chunk_split",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

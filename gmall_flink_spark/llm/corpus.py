@@ -84,6 +84,35 @@ def quantize_i8_sum(vec: Column, norm: Column) -> Column:
     )
 
 
+def chunk_spans(n: Column, size: int, stride: int) -> Column:
+    """Overlapping token-window spans for document chunking (the
+    fixed-context splitting step of RAG/training prep): for a doc of ``n``
+    tokens, an ``array<struct<start,len>>`` of windows starting every
+    ``stride`` tokens, each ``size`` tokens long (the final windows
+    truncate at the doc end). A tail window that covers no tokens beyond
+    its predecessor (``start + size - stride >= n``) is dropped — it would
+    be a strict subspan — except the first window, which always survives.
+
+    Entirely JVM higher-order functions (sequence/transform/filter) on a
+    scalar ``n`` — no explode required for span ACCOUNTING (size/aggregate
+    over the array stay map-side); consumers that need one row per chunk
+    explode the array and pay that fan-out explicitly."""
+    starts = F.sequence(F.lit(0).cast("bigint"), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    spans = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"), F.least(F.lit(size), n - s).alias("len")
+        ),
+    )
+    kept = F.filter(
+        spans,
+        lambda sp: (sp["start"] == 0) | (sp["start"] + F.lit(size - stride) < n),
+    )
+    return F.when(n > 0, kept).otherwise(
+        F.array().cast("array<struct<start:bigint,len:bigint>>")
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     group_cols: list[str],

@@ -353,6 +353,82 @@ def llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: vocabulary cut size for llm_vocab_topk
+VOCAB_TOP_K = 50
+
+#: chunking geometry for llm_chunk_split: 64-token windows every 48 tokens
+#: (16-token overlap) — the fixed-context splitting step of RAG/training prep
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+def llm_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking audit: split each doc into CHUNK_SIZE-token
+    windows every CHUNK_STRIDE tokens (llm/corpus.py::chunk_spans — strict
+    tail subspans dropped) and report per source the doc/token totals,
+    chunk count, chunk-token volume (the overlap inflation over
+    token_total), and how many chunks are full-size.
+
+    Scale: span accounting is computed per doc with array higher-order
+    functions — the chunks are never exploded, so the only shuffle is the
+    tiny per-source aggregate. A consumer materializing actual chunk rows
+    pays the explode fan-out deliberately, downstream of this audit."""
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.llm.corpus import chunk_spans
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("bigint").alias("n")
+    )
+    per_doc = docs.withColumn(
+        "spans", chunk_spans(F.col("n"), CHUNK_SIZE, CHUNK_STRIDE)
+    ).select(
+        "source",
+        "n",
+        F.size("spans").cast("bigint").alias("chunk_ct"),
+        F.aggregate(
+            "spans", F.lit(0).cast("bigint"), lambda acc, sp: acc + sp["len"]
+        ).alias("chunk_tokens"),
+        F.size(
+            F.filter("spans", lambda sp: sp["len"] == CHUNK_SIZE)
+        ).cast("bigint").alias("full_ct"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n").alias("token_total"),
+            F.sum("chunk_ct").alias("chunk_ct"),
+            F.sum("chunk_tokens").alias("chunk_tokens"),
+            F.sum("full_ct").alias("full_ct"),
+        )
+        .orderBy("source")
+    )
+
+
+def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — the tokenizer-training precursor every corpus
+    pipeline runs: global token frequencies with document frequency, cut to
+    the top VOCAB_TOP_K terms (ties broken lexicographically so the cut is
+    deterministic).
+
+    Scale: explode -> groupBy(token) is ONE shuffle with map-side partial
+    aggregation (counts and partial-distinct doc sets combine before the
+    exchange); the global cut is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — each partition keeps its local top-k and only
+    k rows per partition reach the driver-side merge, never a global
+    sort. At 100 TB the same plan holds; only k and the token-key shuffle
+    width grow."""
+    from gmall_flink_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("token_ct"),
+        F.count_distinct("doc_id").alias("doc_ct"),
+    )
+    return counts.orderBy(F.desc("token_ct"), "token").limit(VOCAB_TOP_K)
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
@@ -365,6 +441,8 @@ QUERIES = {
     "llm_clean_corpus": llm_clean_corpus,
     "llm_pack_sequences": llm_pack_sequences,
     "llm_split_assign": llm_split_assign,
+    "llm_vocab_topk": llm_vocab_topk,
+    "llm_chunk_split": llm_chunk_split,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -560,6 +638,38 @@ ORACLE = {
         FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+ORACLE["llm_chunk_split"] = f"""
+    WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
+    spans AS (
+        SELECT t.source, LEAST({CHUNK_SIZE}, t.n - s.start) AS len
+        FROM t, LATERAL (SELECT unnest(range(0, GREATEST(t.n, 1), {CHUNK_STRIDE})) AS start) s
+        WHERE t.n > 0
+          AND (s.start = 0 OR s.start + {CHUNK_SIZE - CHUNK_STRIDE} < t.n)
+    ),
+    d AS (
+        SELECT source, COUNT(*) AS doc_ct, CAST(SUM(n) AS BIGINT) AS token_total
+        FROM t GROUP BY source
+    ),
+    c AS (
+        SELECT source, COUNT(*) AS chunk_ct, CAST(SUM(len) AS BIGINT) AS chunk_tokens,
+               CAST(SUM(CASE WHEN len = {CHUNK_SIZE} THEN 1 ELSE 0 END) AS BIGINT) AS full_ct
+        FROM spans GROUP BY source
+    )
+    SELECT d.source, d.doc_ct, d.token_total,
+           COALESCE(c.chunk_ct, 0) AS chunk_ct,
+           COALESCE(c.chunk_tokens, 0) AS chunk_tokens,
+           COALESCE(c.full_ct, 0) AS full_ct
+    FROM d LEFT JOIN c ON d.source = c.source
+    ORDER BY d.source
+"""
+
+ORACLE["llm_vocab_topk"] = f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS token_ct,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_ct
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token ORDER BY token_ct DESC, token LIMIT {VOCAB_TOP_K}
+"""
 
 ORACLE["llm_weighted_sample"] = f"""
     WITH d AS (

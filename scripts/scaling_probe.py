@@ -45,6 +45,9 @@ PROBES = [
     "events_retention_cohorts", # distinct (user, day) + cohort triangle
     "text_pii_scrub",           # map-only regexp detect/redact
     "llm_weighted_sample",      # per-stratum min-k weighted keys
+    "dedup_rep_select",         # shared CC mapping + component argmax
+    "llm_vocab_topk",           # token-key agg + TakeOrdered cut
+    "llm_chunk_split",          # per-doc span arrays, no explode
 ]
 
 
