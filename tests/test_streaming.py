@@ -999,3 +999,32 @@ def test_interval_ms_units():
         _interval_ms("5 fortnights")
     with pytest.raises(ValueError):
         _interval_ms("5")
+
+
+def test_streaming_vocab_rollup_equals_batch(spark):
+    """Vocabulary maintenance as a continuous aggregate: per-batch token
+    counts merged through the rollup sink end exactly at the batch
+    llm_vocab_topk-style global counts — token frequency is algebraic
+    (count-sum), so the vocab table is maintainable per micro-batch on the
+    bucketed state layer instead of recomputed from the corpus."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "vocab_rollup_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    src = os.path.join(TMP, "docs_slices")
+    split_into_files(docs, 3, "doc_id", src)
+
+    def partial(df):
+        return (
+            df.select(F.explode(tokenize("text")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("token_ct"))
+        )
+
+    sdf = stream_from(spark, src, docs)
+    run_available_now(sdf, foreach_batch=rollup_writer(state, ["token"], partial))
+    got = read_state(spark, state)
+    assert rows(got) == rows(partial(docs))
