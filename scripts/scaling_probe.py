@@ -77,6 +77,17 @@ def main() -> None:
     queries = all_queries()
     queries["q1_pricing_summary"](spark, base).write.format("noop").mode("overwrite").save()
 
+    def clear_session_memos() -> None:
+        """Reset the session-memoized shared stages (winnow fingerprints,
+        near-dup components): the probe must time the FULL pipeline at both
+        scales — a warm-up that leaves the 1x memo populated would make the
+        timed 1x run a cache read and blow the ratio up artificially."""
+        from gmall_flink_spark.queries.llm_dedup import _COMPONENTS
+        from gmall_flink_spark.queries.text import _WINNOW_DOCS
+
+        _WINNOW_DOCS.clear()
+        _COMPONENTS.clear()
+
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s} {'ratio':>6s}")
     for name in PROBES:
         # untimed 1x warm-up so codegen/compilation doesn't land in the
@@ -84,6 +95,7 @@ def main() -> None:
         queries[name](spark, base).write.format("noop").mode("overwrite").save()
         t: dict[str, float] = {}
         for tag, d in (("1x", base), ("kx", scaled)):
+            clear_session_memos()
             t0 = time.perf_counter()
             queries[name](spark, d).write.format("noop").mode("overwrite").save()
             t[tag] = time.perf_counter() - t0
