@@ -189,3 +189,25 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
     assert "SortMergeJoin" in p
     assert "Exchange" not in p, p
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark):
+    """llm_vocab_topk's cut must execute as TakeOrderedAndProject (local
+    top-k per partition) — a global Sort before the limit would serialize
+    the whole vocabulary through one ordering at scale."""
+    from gmall_flink_spark.registry import all_queries
+
+    df = all_queries()["llm_vocab_topk"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_chunk_split_has_no_generate(spark):
+    """llm_chunk_split accounts spans with array higher-order functions —
+    the plan must contain no Generate (explode): chunk fan-out is the
+    consumer's explicit cost, never the audit's."""
+    from gmall_flink_spark.registry import all_queries
+
+    df = all_queries()["llm_chunk_split"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in p, p

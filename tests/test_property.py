@@ -136,3 +136,37 @@ def test_envelope_parse_split_partitions_every_row(spark, raws):
     df = spark.createDataFrame([(r,) for r in raws], "value string")
     ok, dead = parse_envelope_split(df)
     assert ok.count() + dead.count() == len(raws)
+
+
+@given(ns=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=20))
+@_SETTINGS
+def test_chunk_spans_cover_exactly_once_per_stride_window(spark, ns):
+    """chunk_spans invariants across the input space: spans start at 0 and
+    every stride boundary; each covers >=1 token within [0, n); the union
+    of spans covers every token; consecutive spans overlap by exactly
+    size - stride (except a truncated tail); no span is a subspan of its
+    predecessor."""
+    from gmall_flink_spark.llm.corpus import chunk_spans
+
+    size, stride = 16, 12
+    df = spark.createDataFrame([(n,) for n in ns], "n bigint")
+    got = df.select(
+        "n", chunk_spans(F.col("n"), size, stride).alias("spans")
+    ).collect()
+    for row in got:
+        n, spans = row.n, [(sp["start"], sp["len"]) for sp in row.spans]
+        if n == 0:
+            assert spans == []
+            continue
+        assert spans[0][0] == 0
+        covered = set()
+        prev_end = None
+        for start, ln in spans:
+            assert 1 <= ln <= size
+            assert start + ln <= n
+            assert start % stride == 0
+            if prev_end is not None:
+                assert start + ln > prev_end  # never a strict subspan
+            prev_end = start + ln
+            covered.update(range(start, start + ln))
+        assert covered == set(range(n))
