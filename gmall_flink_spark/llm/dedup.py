@@ -28,6 +28,12 @@ from gmall_flink_spark.functions.text import md5_long, tokenize
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    # spread first: the shingle/token explodes and their md5 hashing fuse
+    # onto the scan stage, and the single-row-group test parquet plans that
+    # scan as ONE task (sources/tables.py::spread — no-op on wide scans)
+    from gmall_flink_spark.sources.tables import spread
+
+    docs = spread(docs, id_col)
     return docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
 
 

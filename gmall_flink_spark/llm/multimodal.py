@@ -70,7 +70,12 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the multimodal table from `documents`: payload = utf-8
     text bytes (deterministic), kind = doc_id % 3, metadata arithmetic on
     doc_id. Stands in for a parquet corpus of real media blobs."""
-    d = table(spark, sf_dir, "documents")
+    from gmall_flink_spark.sources.tables import spread
+
+    # spread: the decode/feature mapInPandas kernels downstream get one
+    # Arrow stream per partition — a 1-task scan would serialize every
+    # payload through a single Python worker
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     did = F.col("doc_id")
     kind = F.array(*[F.lit(k) for k in KINDS])[(did % 3).cast("int")]
     return d.select(

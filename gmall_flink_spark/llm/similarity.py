@@ -32,8 +32,12 @@ def with_norm(df: DataFrame, vec: str = "vec") -> DataFrame:
 
 
 def prep(embeddings: DataFrame) -> DataFrame:
-    """Cast the float embedding to double once (all engines then agree)."""
-    return embeddings.select(
+    """Cast the float embedding to double once (all engines then agree).
+    Spread first: the fold/matmul kernels fuse onto the scan, and the
+    single-row-group test parquet plans that scan as one task."""
+    from gmall_flink_spark.sources.tables import spread
+
+    return spread(embeddings, "vec_id").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
     )
 

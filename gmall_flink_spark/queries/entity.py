@@ -24,7 +24,13 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer pairs whose names differ by at most one character
     (hamming<=1 record linkage), aggregated per differing position:
     pair count and key checksums."""
-    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from gmall_flink_spark.sources.tables import spread
+
+    # spread: the wildcard-key expansion fuses onto the scan, and the
+    # single-row-group test parquet plans that scan as one task
+    cust = spread(table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
     pairs = hamming1_pairs(
         cust, key_col="c_name", id_col="c_custkey", positions=NAME_DIGIT_POSITIONS
     )

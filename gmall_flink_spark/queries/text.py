@@ -251,8 +251,10 @@ def _winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (CollapseProject only refuses to inline multiply-referenced
         # aliases) — otherwise the md5 gram stream re-evaluates per
         # reference (measured 20-25s vs 5s for this stage at sf0.1).
+        from gmall_flink_spark.sources.tables import spread
+
         docs = (
-            table(spark, sf_dir, "documents")
+            spread(table(spark, sf_dir, "documents"), "doc_id")
             .select(
                 "source",
                 "doc_id",
