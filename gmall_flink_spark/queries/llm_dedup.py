@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gmall_flink_spark.functions.text import STOPWORDS, fingerprint
+from gmall_flink_spark.functions.text import fingerprint
 from gmall_flink_spark.llm.dedup import (
     connected_components,
     distinct_tokens,
@@ -92,17 +92,20 @@ def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: per-doc near-dup component mapping, memoized per (SparkContext, sf_dir):
-#: dedup_components and dedup_rep_select consume the same LSH → verify →
-#: connected-components pipeline (the suite's third-heaviest stage); at
-#: production scale the mapping is a persisted table both read. Keyed by
-#: applicationId so a recreated session rebuilds instead of serving a DF
-#: whose localCheckpoint blocks died with its context.
-_COMPONENTS: dict[tuple[str, str], DataFrame] = {}
+#: per-doc near-dup component mapping, memoized per (SparkContext, sf_dir,
+#: content stamp — see sources.tables.memo_key): dedup_components and
+#: dedup_rep_select consume the same LSH → verify → connected-components
+#: pipeline (the suite's third-heaviest stage); at production scale the
+#: mapping is a persisted table both read. A recreated session or an
+#: in-session rewrite of documents.parquet rebuilds instead of serving a
+#: dead/stale DF.
+_COMPONENTS: dict[tuple, DataFrame] = {}
 
 
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _COMPONENTS)
     if key not in _COMPONENTS:
         docs = table(spark, sf_dir, "documents")
         units = distinct_tokens(docs)
@@ -149,26 +152,11 @@ def dedup_rep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window partition can degenerate."""
     from pyspark.sql import Window
 
-    from gmall_flink_spark.functions.text import (
-        distinct_token_count,
-        stopword_count,
-        tokenize,
-    )
+    from gmall_flink_spark.queries.text import doc_quality_scores
 
-    docs = table(spark, sf_dir, "documents")
     comp = _components(spark, sf_dir)
-    scored = (
-        docs.withColumn("toks", tokenize("text"))
-        .select(
-            "doc_id",
-            F.size("toks").cast("bigint").alias("n"),
-            stopword_count(F.col("toks")).cast("bigint").alias("stop"),
-            distinct_token_count(F.col("toks")).cast("bigint").alias("dist"),
-        )
-        .where(F.col("n") > 0)
-        .select(
-            "doc_id", F.expr("(10000 * stop) div n + (10000 * dist) div n").alias("score")
-        )
+    scored = doc_quality_scores(table(spark, sf_dir, "documents")).select(
+        "doc_id", "score"
     )
     members = comp.join(scored, "doc_id")
     w = Window.partitionBy("component").orderBy(F.desc("score"), "doc_id")
@@ -198,8 +186,8 @@ QUERIES = {
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 
-#: DuckDB IN-list of the pinned stopwords (mirrors functions.text.STOPWORDS)
-_STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+# shared quality-score SQL (the DuckDB twin of queries.text.doc_quality_scores)
+from gmall_flink_spark.queries.text import SCORED_DOCS_SQL  # noqa: E402
 
 _UNITS = f"SELECT doc_id, unnest(list_distinct({_TOKS})) AS shingle FROM documents"
 
@@ -338,15 +326,7 @@ ORACLE = {
             SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
         ),
         comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
-        scored AS (
-            SELECT doc_id, (10000 * stop) // n + (10000 * dist) // n AS score
-            FROM (SELECT doc_id,
-                         CAST(len(toks) AS BIGINT) AS n,
-                         CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS BIGINT) AS stop,
-                         CAST(len(list_distinct(toks)) AS BIGINT) AS dist
-                  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
-            WHERE n > 0
-        ),
+        scored AS ({SCORED_DOCS_SQL}),
         ranked AS (
             SELECT c.component, c.doc_id, s.score,
                    row_number() OVER (PARTITION BY c.component

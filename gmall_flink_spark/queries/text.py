@@ -228,14 +228,17 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 8
 WINNOW_W = 4
 
-#: per-doc winnow fingerprints, memoized per (SparkContext, sf_dir):
-#: text_winnow_fingerprint and winnow_match_pairs consume the SAME gram
-#: stream (the two heaviest bench entries, ~11.7s combined at sf0.1 when
-#: each re-hashed the corpus — r04 "What's wrong" #3); at production scale
-#: this is the persisted fingerprint table both queries read. Keyed by
-#: applicationId so a stopped/recreated session (whose localCheckpoint
-#: blocks died with its context) rebuilds instead of serving a dead DF.
-_WINNOW_DOCS: dict[tuple[str, str], DataFrame] = {}
+#: per-doc winnow fingerprints, memoized per (SparkContext, sf_dir,
+#: content stamp): text_winnow_fingerprint and winnow_match_pairs consume
+#: the SAME gram stream (the two heaviest bench entries, ~11.7s combined
+#: at sf0.1 when each re-hashed the corpus — r04 "What's wrong" #3); at
+#: production scale this is the persisted fingerprint table both queries
+#: read. Keys come from sources.tables.memo_key: the applicationId part
+#: makes a stopped/recreated session (whose localCheckpoint blocks died
+#: with its context) rebuild instead of serving a dead DF, the content
+#: stamp makes an in-session rewrite of documents.parquet rebuild instead
+#: of serving stale data.
+_WINNOW_DOCS: dict[tuple, DataFrame] = {}
 
 
 def _winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,8 +246,9 @@ def _winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the winnowed fingerprint array per document — hashed once, eagerly
     localCheckpointed, shared by both winnow queries."""
     from gmall_flink_spark.functions.text import char_gram_hashes, winnow
+    from gmall_flink_spark.sources.tables import memo_key
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = memo_key(spark, sf_dir, "documents", _WINNOW_DOCS)
     if key not in _WINNOW_DOCS:
         n_grams = F.greatest(F.length("text") - WINNOW_K + 1, F.lit(0))
         # grams MUST land as a named column before winnow references it 5×
@@ -365,32 +369,43 @@ def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source ADAPTIVE quality filter audit: each doc gets an exact
-    integer quality score (stopword + vocabulary-diversity rates in basis
-    points, integer `div` so no FP threshold), docs are ranked into deciles
-    within their source (ntile over a total order — score then doc_id), and
-    the bottom four deciles are cut. Per-source quantile thresholds are the
-    standard corpus move when sources have different score distributions —
-    a global threshold over- or under-cuts per source. One row per
-    (source, decile) with the kept/cut decision.
-
-    Scale: one shuffle on source for the ntile ranking; the per-source sort
-    is the honest cost of an exact quantile cut (an approximate variant
-    would use approx-percentile thresholds map-side)."""
-    from pyspark.sql import Window
-
-    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
-    base = docs.select(
+def doc_quality_scores(docs: DataFrame) -> DataFrame:
+    """(source, doc_id, score): the engine's ONE integer quality score —
+    stopword + vocabulary-diversity rates in basis points, integer ``div``
+    so no FP threshold, empty docs dropped. Shared by the adaptive decile
+    filter (text_quality_deciles) and near-dup representative selection
+    (queries/llm_dedup.py::dedup_rep_select); the DuckDB twin is
+    SCORED_DOCS_SQL below — change BOTH or neither."""
+    toked = docs.withColumn("toks", tokenize("text"))
+    base = toked.select(
         "source",
         "doc_id",
         F.size("toks").cast("bigint").alias("n"),
         stopword_count(F.col("toks")).cast("bigint").alias("stop"),
         distinct_token_count(F.col("toks")).cast("bigint").alias("dist"),
     ).where(F.col("n") > 0)
-    scored = base.withColumn(
-        "score", F.expr("(10000 * stop) div n + (10000 * dist) div n")
+    return base.select(
+        "source",
+        "doc_id",
+        F.expr("(10000 * stop) div n + (10000 * dist) div n").alias("score"),
     )
+
+
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filter audit: each doc gets the shared
+    integer quality score (doc_quality_scores), docs are ranked into
+    deciles within their source (ntile over a total order — score then
+    doc_id), and the bottom four deciles are cut. Per-source quantile
+    thresholds are the standard corpus move when sources have different
+    score distributions — a global threshold over- or under-cuts per
+    source. One row per (source, decile) with the kept/cut decision.
+
+    Scale: one shuffle on source for the ntile ranking; the per-source sort
+    is the honest cost of an exact quantile cut (an approximate variant
+    would use approx-percentile thresholds map-side)."""
+    from pyspark.sql import Window
+
+    scored = doc_quality_scores(table(spark, sf_dir, "documents"))
     w = Window.partitionBy("source").orderBy("score", "doc_id")
     return (
         scored.withColumn("decile", F.ntile(10).over(w))
@@ -548,6 +563,21 @@ QUERIES = {
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 _STOP_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+#: DuckDB twin of doc_quality_scores — a (source, doc_id, score) relation
+#: body for interpolation as a CTE. Imported by queries/llm_dedup.py so
+#: dedup_rep_select's oracle scores with the SAME arithmetic.
+SCORED_DOCS_SQL = f"""
+    SELECT source, doc_id,
+           (10000 * stop) // n + (10000 * dist) // n AS score
+    FROM (
+        SELECT source, doc_id,
+               CAST(len(toks) AS BIGINT) AS n,
+               CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS BIGINT) AS stop,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS dist
+        FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
+    ) WHERE n > 0
+"""
+
 
 def _score(lang: str) -> str:
     marks = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
@@ -641,19 +671,7 @@ ORACLE = {
         ORDER BY rk
     """,
     "text_quality_deciles": f"""
-        WITH t AS (
-            SELECT source, doc_id,
-                   CAST(len(toks) AS BIGINT) AS n,
-                   CAST(len(list_filter(toks, x -> x IN {_STOP_IN})) AS BIGINT)
-                       AS stop,
-                   CAST(len(list_distinct(toks)) AS BIGINT) AS dist
-            FROM (SELECT source, doc_id, {_TOKS} AS toks FROM documents)
-        ),
-        scored AS (
-            SELECT source, doc_id,
-                   (10000 * stop) // n + (10000 * dist) // n AS score
-            FROM t WHERE n > 0
-        ),
+        WITH scored AS ({SCORED_DOCS_SQL}),
         ranked AS (
             SELECT source, score,
                    ntile(10) OVER (PARTITION BY source

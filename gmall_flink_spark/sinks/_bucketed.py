@@ -183,8 +183,13 @@ def last_merged_batch(state_path: str, query_id: str = "") -> int:
         return -1
     with open(p) as fh:
         lines = fh.read().splitlines()
-    if len(lines) == 1:  # pre-queryId marker format: bare batch id
-        return int(lines[0].strip())
+    if len(lines) < 2:
+        # empty (truncated/touched) or pre-queryId bare-batch-id marker:
+        # neither carries a lineage, so treat as "nothing merged". The
+        # legacy format especially must NOT be honored for an arbitrary
+        # queryId — that would re-open the fresh-checkpoint skip bug for
+        # every state dir written before lineage keying existed.
+        return -1
     recorded_qid, batch = lines[0], int(lines[1].strip())
     return batch if recorded_qid == query_id else -1
 

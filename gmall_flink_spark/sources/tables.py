@@ -57,7 +57,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     if ntz_cols:
         tz = spark.conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
+        # fixed zero-offset spellings only — a named zone with DST (e.g.
+        # Europe/London) is NOT equivalent even when its current offset is 0
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "UTC0",
+                      "Z", "+00:00", "GMT+00:00", "UTC+00:00"):
             raise ValueError(
                 f"table({name!r}) carries naive-timestamp columns {ntz_cols} whose "
                 f"TIMESTAMP cast is only wall-clock- and epoch-faithful under a UTC "
@@ -76,6 +79,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def memo_key(spark: SparkSession, sf_dir: str, name: str, memo: dict) -> tuple:
+    """Key for session-scoped DataFrame/value memos, safe against the two
+    staleness hazards of a bare (appId, sf_dir) key: the table's parquet
+    being REWRITTEN in-session under the same path (content stamp:
+    mtime_ns + size, one os.stat), and dead-session entries accumulating
+    forever (entries keyed by a different applicationId are evicted here,
+    so the memo only ever holds the live context's data)."""
+    import os as _os
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in memo if k[0] != app_id]:
+        del memo[k]
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        st = _os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = (0, 0)
+    return (app_id, sf_dir, name, stamp)
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Rebalance a narrow scan before heavy per-row compute.
 
@@ -89,9 +113,20 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     given); when the scan is already at least that wide — every
     production-scale table — return the plan unchanged, because there the
     exchange would be pure cost. Measured at sf0.1: the winnow gram stream
-    drops 3.5-7.9s -> 0.7-1.3s for a ~5 MB text shuffle."""
+    drops 3.5-7.9s -> 0.7-1.3s for a ~5 MB text shuffle.
+
+    Width is probed with ``inputFiles()`` — leaf-scan metadata, no job and
+    no physical planning (``df.rdd`` would re-plan the query on every call
+    and, under AQE, can eagerly execute upstream shuffle stages). A file
+    count understates multi-row-group files, erring toward a harmless
+    repartition; non-file sources (in-memory test frames) report 0 files
+    and likewise just repartition."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = 0
+    if width >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -54,7 +54,13 @@ def test_merged_batch_marker_is_lineage_keyed(tmp_path):
     record_merged_batch(state, 7, "qid-a")
     assert last_merged_batch(state, "qid-a") == 7  # same lineage: skip <=7
     assert last_merged_batch(state, "qid-b") == -1  # fresh checkpoint: merge
-    # pre-queryId marker format (bare batch id) still reads
+    # pre-queryId (bare batch id) and corrupted (empty) markers carry no
+    # lineage: both read as "nothing merged" — merging a delivered batch
+    # twice is recoverable state-dir hygiene, silently skipping a fresh
+    # checkpoint's batches is data loss
     with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
         fh.write("5")
-    assert last_merged_batch(state, "anything") == 5
+    assert last_merged_batch(state, "anything") == -1
+    with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
+        fh.write("")
+    assert last_merged_batch(state, "anything") == -1
