@@ -64,3 +64,34 @@ def test_merged_batch_marker_is_lineage_keyed(tmp_path):
     with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
         fh.write("")
     assert last_merged_batch(state, "anything") == -1
+
+
+def test_session_memo_invalidates_on_source_rewrite(spark, tmp_path):
+    """The shared-stage memos must rebuild when the source parquet is
+    rewritten in-session (same path, new content) — serving the stale
+    localCheckpoint would silently diverge from a fresh oracle read."""
+    import shutil
+    import time as _time
+
+    from gmall_flink_spark.queries.text import _winnow_docs
+
+    sf = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                f"{sf}/documents.parquet")
+    first = _winnow_docs(spark, sf)
+    assert _winnow_docs(spark, sf) is first  # memo hit on unchanged content
+    n_first = first.count()
+    # rewrite the table under the same path: fewer docs, new mtime
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"WHERE doc_id % 2 = 0) TO '{sf}/documents.half.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    _time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    shutil.move(f"{sf}/documents.half.parquet", f"{sf}/documents.parquet")
+    second = _winnow_docs(spark, sf)
+    assert second is not first
+    assert second.count() < n_first
