@@ -217,10 +217,13 @@ HEADLINE = [
     "llm_weighted_sample",
     "text_surprisal_hist",
     # round 5 additions: near-dup representative selection, vocab building,
-    # overlapping-window document chunking
+    # overlapping-window document chunking, source-mix rebalancing,
+    # MAD anomaly detection
     "dedup_rep_select",
     "llm_vocab_topk",
     "llm_chunk_split",
+    "llm_mix_rebalance",
+    "events_anomaly_mad",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

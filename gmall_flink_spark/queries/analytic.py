@@ -241,6 +241,50 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median absolute deviation
+    (MAD) outliers — |value − median| > 3·MAD. The robust-statistics
+    counterpart of z-score alerting (one extreme value can't move the
+    threshold, unlike mean/stddev).
+
+    Integer-exact construction so the oracle matches bit-for-bit with no FP
+    boundary: values become cents; ``med2c`` = 2× the interpolated median
+    of cents (even-count interpolation of integers halves are exact when
+    doubled), ``d = |2·cents − med2c|`` is an integer, ``mad4`` = 2× the
+    interpolated median of d (= 4× MAD in cents), and the outlier test is
+    the pure-integer ``2·d > 3·mad4``.
+
+    Scale: two windowed medians per event_type — exact medians cost a
+    per-key sort (the honest price; an approximate variant would use
+    percentile_approx map-side), then one tiny aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    med = ev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(c, 0.5)")).cast("bigint").alias("med2c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(2 * F.col("c") - F.col("med2c"))
+    )
+    mad = d.groupBy("event_type").agg(
+        (2 * F.expr("percentile(d, 0.5)")).cast("bigint").alias("mad4"),
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med2c").alias("med2c"),
+            F.max("mad4").alias("mad4"),
+            F.sum((2 * F.col("d") > 3 * F.col("mad4")).cast("bigint")).alias(
+                "outlier_ct"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "running_customer_totals": running_customer_totals,
     "value_quantile_sketch": value_quantile_sketch,
@@ -251,6 +295,7 @@ QUERIES = {
     "cube_status_priority": cube_status_priority,
     "segment_set_ops": segment_set_ops,
     "customer_value_quartiles": customer_value_quartiles,
+    "events_anomaly_mad": events_anomaly_mad,
 }
 
 ORACLE = {
@@ -354,6 +399,32 @@ ORACLE = {
         GROUP BY 1 ORDER BY 1
     """,
 }
+
+ORACLE["events_anomaly_mad"] = """
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2c
+        FROM c GROUP BY event_type
+    ),
+    d AS (
+        SELECT c.event_type, ABS(2 * c.c - m.med2c) AS d, m.n, m.med2c
+        FROM c JOIN med m ON c.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, CAST(2 * quantile_cont(d, 0.5) AS BIGINT) AS mad4
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type, MAX(d.n) AS n, MAX(d.med2c) AS med2c,
+           MAX(mad.mad4) AS mad4,
+           CAST(SUM(CASE WHEN 2 * d.d > 3 * mad.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS outlier_ct
+    FROM d JOIN mad ON d.event_type = mad.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
 
 ORACLE["events_transition_matrix"] = """
     WITH t AS (

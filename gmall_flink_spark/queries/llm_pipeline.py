@@ -447,6 +447,77 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("token_ct"), "token").limit(VOCAB_TOP_K)
 
 
+def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing — the data-mixing step of training-corpus
+    assembly: each source gets a deterministic target weight (derived from
+    the source id so the oracle shares it), its token-proportional target
+    is converted to a per-source sampling rate in basis points, and docs
+    are kept by the portable hash bucket (seed-free, reproducible — the
+    same mechanism as llm_hash_sample). One row per source: current size,
+    weight, rate, and the sampled result.
+
+    Integer-exact end-to-end: target = (total_tok · weight) div total_w,
+    rate_bp = min(10000, (10000 · target) div tok) — no FP proportions to
+    disagree on.
+
+    Scale: one per-source aggregate; the 20-row rate table broadcasts back
+    onto the corpus for the map-side keep predicate; one aggregate over the
+    kept rows. The global-window total runs on the tiny per-source table,
+    never the corpus."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.functions.text import md5_long, token_count
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        token_count("text").cast("bigint").alias("tok"),
+        F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(10000)).alias(
+            "bucket"
+        ),
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"), F.sum("tok").alias("tok_ct")
+    )
+    win = Window.partitionBy()
+    rates = (
+        per.withColumn(
+            "weight", F.expr("1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 5")
+        )
+        .withColumn("total_tok", F.sum("tok_ct").over(win))
+        .withColumn("total_w", F.sum("weight").over(win))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr("(10000 * ((total_tok * weight) div total_w)) div tok_ct"),
+            ),
+        )
+        .select("source", "doc_ct", "tok_ct", "weight", "rate_bp")
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate_bp")), "source")
+        .where(F.col("bucket") < F.col("rate_bp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_ct"),
+            F.sum("tok").alias("kept_tok"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "doc_ct",
+            "tok_ct",
+            "weight",
+            "rate_bp",
+            F.coalesce("kept_ct", F.lit(0)).alias("kept_ct"),
+            F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
@@ -461,6 +532,7 @@ QUERIES = {
     "llm_split_assign": llm_split_assign,
     "llm_vocab_topk": llm_vocab_topk,
     "llm_chunk_split": llm_chunk_split,
+    "llm_mix_rebalance": llm_mix_rebalance,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -656,6 +728,41 @@ ORACLE = {
         FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+ORACLE["llm_mix_rebalance"] = f"""
+    WITH docs AS (
+        SELECT source, CAST(len({_TOKS}) AS BIGINT) AS tok,
+               ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS bucket
+        FROM documents
+    ),
+    per AS (
+        SELECT source, COUNT(*) AS doc_ct, CAST(SUM(tok) AS BIGINT) AS tok_ct
+        FROM docs GROUP BY source
+    ),
+    rates AS (
+        SELECT source, doc_ct, tok_ct,
+               1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 5 AS weight,
+               CAST(LEAST(10000,
+                     (10000 * ((SUM(tok_ct) OVER () *
+                                (1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 5))
+                               // SUM(1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 5)
+                                  OVER ()))
+                     // tok_ct) AS BIGINT) AS rate_bp
+        FROM per
+    ),
+    kept AS (
+        SELECT d.source, COUNT(*) AS kept_ct, CAST(SUM(d.tok) AS BIGINT) AS kept_tok
+        FROM docs d JOIN rates r ON d.source = r.source
+        WHERE d.bucket < r.rate_bp
+        GROUP BY d.source
+    )
+    SELECT r.source, r.doc_ct, r.tok_ct, r.weight, r.rate_bp,
+           COALESCE(k.kept_ct, 0) AS kept_ct,
+           COALESCE(k.kept_tok, 0) AS kept_tok
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+"""
 
 ORACLE["llm_chunk_split"] = f"""
     WITH t AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents),
