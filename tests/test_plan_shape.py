@@ -211,3 +211,26 @@ def test_chunk_split_has_no_generate(spark):
     df = all_queries()["llm_chunk_split"](spark, SF)
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in p, p
+
+
+def test_mix_rebalance_broadcasts_rate_table(spark):
+    """llm_mix_rebalance's per-source rate table must reach the corpus as
+    a broadcast (map-side keep predicate) — and the global-total window
+    must never see corpus rows (a single-partition window over the corpus
+    would serialize it)."""
+    from gmall_flink_spark.registry import all_queries
+
+    df = all_queries()["llm_mix_rebalance"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_anomaly_mad_broadcasts_medians(spark):
+    """events_anomaly_mad joins the tiny per-type median/MAD tables back
+    onto events — both joins must be broadcasts, the outlier test map-side."""
+    from gmall_flink_spark.registry import all_queries
+
+    df = all_queries()["events_anomaly_mad"](spark, SF)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
