@@ -1028,3 +1028,40 @@ def test_streaming_vocab_rollup_equals_batch(spark):
     run_available_now(sdf, foreach_batch=rollup_writer(state, ["token"], partial))
     got = read_state(spark, state)
     assert rows(got) == rows(partial(docs))
+
+
+def test_streaming_chunk_accounting_rollup_equals_batch(spark):
+    """Chunk-split accounting as a continuous aggregate: per-batch span
+    stats (chunk/token counts per source) merged through the rollup sink
+    equal the batch llm_chunk_split audit — chunk accounting is algebraic
+    (pure sums), so the audit table maintains per micro-batch as docs land."""
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.llm.corpus import chunk_spans
+    from gmall_flink_spark.queries.llm_pipeline import CHUNK_SIZE, CHUNK_STRIDE
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "chunk_rollup_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("source", "doc_id", "text")
+    src = os.path.join(TMP, "chunk_docs_slices")
+    split_into_files(docs, 3, "doc_id", src)
+
+    def partial(df):
+        per_doc = df.select(
+            "source", token_count("text").cast("bigint").alias("n")
+        ).withColumn("spans", chunk_spans(F.col("n"), CHUNK_SIZE, CHUNK_STRIDE))
+        return per_doc.groupBy("source").agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n").alias("token_sum"),
+            F.sum(F.size("spans").cast("bigint")).alias("chunk_ct"),
+            F.sum(
+                F.aggregate(
+                    "spans", F.lit(0).cast("bigint"), lambda a, sp: a + sp["len"]
+                )
+            ).alias("chunktok_sum"),
+        )
+
+    sdf = stream_from(spark, src, docs)
+    run_available_now(sdf, foreach_batch=rollup_writer(state, ["source"], partial))
+    assert rows(read_state(spark, state)) == rows(partial(docs))
