@@ -27,13 +27,22 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.functions.text import md5_long, tokenize
 
 
-def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def doc_tokens(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spread_input: bool = True,
+) -> DataFrame:
     # spread first: the shingle/token explodes and their md5 hashing fuse
     # onto the scan stage, and the single-row-group test parquet plans that
-    # scan as ONE task (sources/tables.py::spread — no-op on wide scans)
-    from gmall_flink_spark.sources.tables import spread
+    # scan as ONE task (sources/tables.py::spread — no-op on wide scans).
+    # ``spread_input=False`` opts out for latency-sensitive callers whose
+    # input is small by construction (streaming micro-batches: an exchange
+    # per batch buys nothing when the batch is a few files of text).
+    if spread_input:
+        from gmall_flink_spark.sources.tables import spread
 
-    docs = spread(docs, id_col)
+        docs = spread(docs, id_col)
     return docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
 
 
@@ -50,8 +59,10 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def distinct_tokens(docs: DataFrame) -> DataFrame:
-    return doc_tokens(docs).select("doc_id", F.explode(F.array_distinct("toks")).alias("shingle"))
+def distinct_tokens(docs: DataFrame, spread_input: bool = True) -> DataFrame:
+    return doc_tokens(docs, spread_input=spread_input).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("shingle")
+    )
 
 
 #: modulus for the affine minhash family (prime, < 2^31 so every affine

@@ -493,6 +493,11 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("source", "doc_ct", "tok_ct", "weight", "rate_bp")
+        # materialize the tiny rate table (1 row per source): it feeds both
+        # the broadcast keep-join AND the final report join, and without
+        # this the per-source aggregate — a full corpus scan+tokenize —
+        # executes once per reference (measured: 3 FileScans, 0 reuse)
+        .localCheckpoint(eager=True)
     )
     kept = (
         docs.join(F.broadcast(rates.select("source", "rate_bp")), "source")

@@ -183,13 +183,18 @@ def last_merged_batch(state_path: str, query_id: str = "") -> int:
         return -1
     with open(p) as fh:
         lines = fh.read().splitlines()
-    if len(lines) < 2:
-        # empty (truncated/touched) or pre-queryId bare-batch-id marker:
-        # neither carries a lineage, so treat as "nothing merged". The
-        # legacy format especially must NOT be honored for an arbitrary
-        # queryId — that would re-open the fresh-checkpoint skip bug for
-        # every state dir written before lineage keying existed.
-        return -1
+    if not lines:
+        return -1  # truncated/empty marker: safe "nothing merged"
+    if len(lines) == 1:
+        # pre-lineage bare-batch-id marker. Honor it only for callers that
+        # ALSO have no lineage (direct batch invocations, query_id "") —
+        # the symmetric legacy semantic. For a streaming lineage it reads
+        # as "nothing merged": honoring it would re-open the
+        # fresh-checkpoint skip bug, while re-merging costs one
+        # double-count only if the SAME pre-upgrade checkpoint redelivers
+        # its last batch across the code upgrade — pair upgrades with a
+        # state-dir + checkpoint reset to exclude that window entirely.
+        return int(lines[0].strip()) if query_id == "" else -1
     recorded_qid, batch = lines[0], int(lines[1].strip())
     return batch if recorded_qid == query_id else -1
 

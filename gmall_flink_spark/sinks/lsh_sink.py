@@ -51,7 +51,12 @@ def lsh_index_merge(
     """Merge one micro-batch of (doc_id, text) docs into the band index."""
     spark = batch_df.sparkSession
     check_buckets(state_path, n_buckets)
-    bands = lsh_bands(minhash_signatures(distinct_tokens(batch_df), k=k), rows_per_band)
+    # spread_input=False: a micro-batch is small by construction, and an
+    # exchange per batch adds latency for no parallelism gain
+    bands = lsh_bands(
+        minhash_signatures(distinct_tokens(batch_df, spread_input=False), k=k),
+        rows_per_band,
+    )
     batch = pin_batch(with_bucket(bands, ["band", "band_sig"], n_buckets))
     try:
         buckets = touched_buckets(batch)

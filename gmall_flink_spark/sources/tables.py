@@ -89,14 +89,22 @@ def memo_key(spark: SparkSession, sf_dir: str, name: str, memo: dict) -> tuple:
     import os as _os
 
     app_id = spark.sparkContext.applicationId
-    for k in [k for k in memo if k[0] != app_id]:
-        del memo[k]
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
         st = _os.stat(path)
         stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         stamp = (0, 0)
+    # evict foreign-session entries AND same-session entries for this
+    # (sf_dir, name) whose stamp no longer matches — otherwise an
+    # in-session rewrite leaves the superseded entry (and its pinned
+    # localCheckpoint blocks) referenced for the session's lifetime
+    for k in [
+        k
+        for k in memo
+        if k[0] != app_id or (k[1:3] == (sf_dir, name) and k[3] != stamp)
+    ]:
+        del memo[k]
     return (app_id, sf_dir, name, stamp)
 
 

@@ -54,16 +54,19 @@ def test_merged_batch_marker_is_lineage_keyed(tmp_path):
     record_merged_batch(state, 7, "qid-a")
     assert last_merged_batch(state, "qid-a") == 7  # same lineage: skip <=7
     assert last_merged_batch(state, "qid-b") == -1  # fresh checkpoint: merge
-    # pre-queryId (bare batch id) and corrupted (empty) markers carry no
-    # lineage: both read as "nothing merged" — merging a delivered batch
-    # twice is recoverable state-dir hygiene, silently skipping a fresh
-    # checkpoint's batches is data loss
+    # pre-queryId (bare batch id) markers carry no lineage: honored only
+    # for equally lineage-less callers (query_id ""), read as "nothing
+    # merged" for any streaming lineage — merging a delivered batch twice
+    # is recoverable state-dir hygiene, silently skipping a fresh
+    # checkpoint's batches is data loss. Corrupted empty markers always
+    # read as "nothing merged".
     with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
         fh.write("5")
-    assert last_merged_batch(state, "anything") == -1
+    assert last_merged_batch(state, "") == 5
+    assert last_merged_batch(state, "any-stream-lineage") == -1
     with open(os.path.join(state, "_LAST_BATCH"), "w") as fh:
         fh.write("")
-    assert last_merged_batch(state, "anything") == -1
+    assert last_merged_batch(state, "") == -1
 
 
 def test_session_memo_invalidates_on_source_rewrite(spark, tmp_path):
@@ -76,8 +79,7 @@ def test_session_memo_invalidates_on_source_rewrite(spark, tmp_path):
     from gmall_flink_spark.queries.text import _winnow_docs
 
     sf = str(tmp_path)
-    shutil.copy("/root/testdata/sf0.001/documents.parquet",
-                f"{sf}/documents.parquet")
+    shutil.copy(f"{SF_SMOKE}/documents.parquet", f"{sf}/documents.parquet")
     first = _winnow_docs(spark, sf)
     assert _winnow_docs(spark, sf) is first  # memo hit on unchanged content
     n_first = first.count()
@@ -86,7 +88,7 @@ def test_session_memo_invalidates_on_source_rewrite(spark, tmp_path):
 
     con = duckdb.connect()
     con.execute(
-        f"COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"COPY (SELECT * FROM '{SF_SMOKE}/documents.parquet' "
         f"WHERE doc_id % 2 = 0) TO '{sf}/documents.half.parquet' (FORMAT PARQUET)"
     )
     con.close()
