@@ -46,11 +46,29 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: distinct (doc_id, token) units of the documents table, memoized per
+#: (session, sf_dir, content stamp — sources.tables.memo_key): the unit
+#: explode feeds BOTH the minhash-signature path and the jaccard verify in
+#: every LSH query, and Catalyst plans each reference as its own scan +
+#: tokenize + explode; one eager localCheckpoint serves them all (the same
+#: shared-stage pattern as _components / _winnow_docs).
+_DOC_UNITS: dict[tuple, DataFrame] = {}
+
+
+def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _DOC_UNITS)
+    if key not in _DOC_UNITS:
+        units = distinct_tokens(table(spark, sf_dir, "documents"))
+        _DOC_UNITS[key] = units.localCheckpoint(eager=True)
+    return _DOC_UNITS[key]
+
+
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH stage 1-3 (shingle→minhash→band): multi-member band
     buckets — each is a candidate near-dup cluster."""
-    docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(distinct_tokens(docs), k=MINHASH_K)
+    sigs = minhash_signatures(_doc_units(spark, sf_dir), k=MINHASH_K)
     bands = lsh_bands(sigs, ROWS_PER_BAND)
     return (
         bands.groupBy("band", "band_sig")
@@ -64,8 +82,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: bucket-join candidates (degenerate buckets
     > LSH_MAX_BUCKET skipped) verified by exact token-set jaccard, kept at
     j >= 0.9 (10*inter >= 9*union)."""
-    docs = table(spark, sf_dir, "documents")
-    units = distinct_tokens(docs)
+    units = _doc_units(spark, sf_dir)
     cands = lsh_candidates(
         lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
         max_bucket=LSH_MAX_BUCKET,
@@ -107,8 +124,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _COMPONENTS)
     if key not in _COMPONENTS:
-        docs = table(spark, sf_dir, "documents")
-        units = distinct_tokens(docs)
+        units = _doc_units(spark, sf_dir)
         cands = lsh_candidates(
             lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
             max_bucket=LSH_MAX_BUCKET,
