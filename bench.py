@@ -224,6 +224,7 @@ HEADLINE = [
     "llm_chunk_split",
     "llm_mix_rebalance",
     "events_anomaly_mad",
+    "sim_knn_label_vote",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

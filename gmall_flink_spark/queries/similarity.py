@@ -122,6 +122,59 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: kNN label-vote parameters: neighbor count and the deterministic query
+#: slice (every 20th vector) that keeps the audit a sample, not n².
+KNN_K = 5
+KNN_QUERY_MOD = 20
+
+
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier audit — the standard embedding-quality check a
+    training pipeline runs on a labeled slice: each sampled query vector is
+    classified by majority label of its top-KNN_K exact cosine neighbors
+    (ties broken to the smallest label), and accuracy is reported per true
+    label. Measures whether the embedding space separates the labels —
+    a low-accuracy label flags embedding or labeling problems before the
+    corpus ships.
+
+    Scale: the query slice broadcasts against the vector table (the
+    brute-force scoring path); the vote and accuracy aggregates are tiny.
+    At production scale the scoring side swaps for the IVF probe — the
+    audit shape is unchanged."""
+    from pyspark.sql import Window
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)
+    topk = brute_force_topk(emb, queries, k=KNN_K)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("q_id", "n_label").agg(
+        F.count(F.lit(1)).alias("vote_ct")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("vote_ct"), "n_label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("q_id", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.join(
+            queries.select(F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")),
+            "q_id",
+        )
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("q_ct"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("bigint")).alias(
+                "correct_ct"
+            ),
+        )
+        .orderBy("true_label")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "embed_near_dup": embed_near_dup,
@@ -129,6 +182,7 @@ QUERIES = {
     "sim_kmeans_clusters": sim_kmeans_clusters,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_topk_probes": sim_ivf_topk_probes,
+    "sim_knn_label_vote": sim_knn_label_vote,
 }
 
 _NORMED = """
@@ -334,6 +388,39 @@ def _srp_oracle_sig() -> str:
              (SELECT unnest(range({n_bands})) AS band)
     """
 
+
+ORACLE["sim_knn_label_vote"] = f"""
+    WITH n AS ({_NORMED}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    q AS (SELECT n.vec_id AS q_id, n.v AS q_vec, n.norm AS q_norm, lab.label AS true_label
+          FROM n JOIN lab ON n.vec_id = lab.vec_id
+          WHERE n.vec_id % {KNN_QUERY_MOD} = 0),
+    scored AS (
+        SELECT q_id, n.vec_id AS neighbor_id, true_label,
+               round(list_dot_product(q_vec, n.v) / (q_norm * n.norm), 6) AS cos
+        FROM q JOIN n ON n.vec_id != q.q_id
+    ),
+    topk AS (
+        SELECT q_id, neighbor_id, true_label,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored QUALIFY rk <= {KNN_K}
+    ),
+    votes AS (
+        SELECT t.q_id, t.true_label, lab.label AS n_label, COUNT(*) AS vote_ct
+        FROM topk t JOIN lab ON t.neighbor_id = lab.vec_id
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT q_id, true_label, n_label AS pred_label,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY vote_ct DESC, n_label) AS rk
+        FROM votes QUALIFY rk = 1
+    )
+    SELECT true_label, COUNT(*) AS q_ct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct_ct
+    FROM pred GROUP BY true_label ORDER BY true_label
+"""
 
 ORACLE["embed_srp_buckets"] = f"""
     SELECT band, bval, COUNT(*) AS member_ct
