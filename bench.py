@@ -225,6 +225,8 @@ HEADLINE = [
     "llm_mix_rebalance",
     "events_anomaly_mad",
     "sim_knn_label_vote",
+    "llm_bpe_pairs",
+    "text_boilerplate",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -447,6 +447,44 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("token_ct"), "token").limit(VOCAB_TOP_K)
 
 
+#: merge-candidate cut size for llm_bpe_pairs
+BPE_PAIR_TOP_K = 40
+
+
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate counting — the inner statistic of one
+    byte-pair-encoding merge round (tokenizer training): count every
+    adjacent token bigram across the corpus with its document frequency and
+    cut to the BPE_PAIR_TOP_K most frequent pairs (ties broken
+    lexicographically). Training a real BPE vocab iterates this exact
+    query, re-segmenting between rounds; the per-round cost is this plan.
+
+    Scale: the bigram list is built per doc with zip_with over two shifted
+    slices (no self-join, no positional explode join) — the only wide op is
+    the groupBy(pair) with map-side partial aggregation, and the global cut
+    is TakeOrderedAndProject (local top-k per partition), never a global
+    sort. Same one-shuffle shape as llm_vocab_topk at any corpus size."""
+    from gmall_flink_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("l")).where(F.size("l") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", F.lit(1), F.size("l") - 1),
+                F.slice("l", F.lit(2), F.size("l") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.count_distinct("doc_id").alias("doc_ct"),
+    )
+    return counts.orderBy(F.desc("pair_ct"), "pair").limit(BPE_PAIR_TOP_K)
+
+
 def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix rebalancing — the data-mixing step of training-corpus
     assembly: each source gets a deterministic target weight (derived from
@@ -536,6 +574,7 @@ QUERIES = {
     "llm_pack_sequences": llm_pack_sequences,
     "llm_split_assign": llm_split_assign,
     "llm_vocab_topk": llm_vocab_topk,
+    "llm_bpe_pairs": llm_bpe_pairs,
     "llm_chunk_split": llm_chunk_split,
     "llm_mix_rebalance": llm_mix_rebalance,
 }
@@ -820,4 +859,17 @@ ORACLE["llm_weighted_sample"] = f"""
     FROM keyed
     QUALIFY rn <= {WEIGHTED_K}
     ORDER BY source, rn
+"""
+
+ORACLE["llm_bpe_pairs"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    pairs AS (
+        SELECT doc_id,
+               unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS pair
+        FROM t WHERE len(l) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_ct
+    FROM pairs GROUP BY pair
+    ORDER BY pair_ct DESC, pair LIMIT {BPE_PAIR_TOP_K}
 """

@@ -542,7 +542,92 @@ def text_surprisal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: boilerplate-detection parameters: shingle width, the per-source document
+#: frequency at which a shingle counts as boilerplate (templates/footers
+#: repeat across a source's docs; content doesn't), and the per-doc
+#: boilerplate fraction (basis points) above which a doc is flagged.
+BP_N = 3
+BP_MIN_DF = 2
+BP_DOC_BP = 1000
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection — the CCNet/RefinedWeb-style cleanup
+    step that near-dup ops miss: a shingle repeating across >= BP_MIN_DF
+    docs *of the same source* is template text (nav bars, footers, legal
+    blurbs), and a doc whose distinct shingles are >= BP_DOC_BP/10000
+    boilerplate is mostly template. Reports per source the boilerplate
+    dictionary size, total boilerplate hits, average per-doc boilerplate
+    fraction (basis points, integer-exact), and flagged-doc count.
+
+    Scale: ONE (source, shingle) shuffle builds the df table (map-side
+    partial counts over per-doc-distinct shingles); the boilerplate
+    dictionary is its high-df residue — orders smaller than the shingle
+    stream — so the hit count joins the shingle stream against the
+    dictionary on the SAME key (exchange reuse; AQE broadcasts the
+    dictionary when it fits) and only hit rows reach the per-doc
+    aggregate. Per-doc totals come from size(array_distinct(...)) on the
+    scan — no second pass over shingles. No self-join anywhere, so unlike
+    the pairwise ops no df cap is needed: cost is linear in corpus
+    shingles at any scale."""
+    from gmall_flink_spark.functions.text import tokenize
+
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("source", "doc_id", tokenize("text").alias("toks")).where(
+        F.size("toks") >= BP_N
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - BP_N),
+        lambda i: F.array_join(F.slice("toks", i + 1, BP_N), " "),
+    )
+    shingles = toked.select(
+        "source", "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+    df_tab = shingles.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    bp_dict = df_tab.where(F.col("df") >= BP_MIN_DF).select("source", "shingle")
+    hits = (
+        shingles.join(bp_dict, ["source", "shingle"])
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("bp_ct"))
+    )
+    per_doc = (
+        toked.select(
+            "source", "doc_id", F.size(F.array_distinct(sh)).cast("bigint").alias("shingle_ct")
+        )
+        .join(hits, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "shingle_ct",
+            F.coalesce("bp_ct", F.lit(0)).alias("bp_ct"),
+        )
+        .withColumn("frac_bp", F.expr("(10000 * bp_ct) div shingle_ct"))
+    )
+    bp_sizes = bp_dict.groupBy("source").agg(
+        F.count(F.lit(1)).alias("bp_shingle_ct")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("bp_ct").alias("bp_hit_total"),
+            F.expr("sum(frac_bp) div count(1)").alias("avg_bp"),
+            F.sum((F.col("frac_bp") >= BP_DOC_BP).cast("bigint")).alias("flagged_ct"),
+        )
+        .join(bp_sizes, "source", "left")
+        .select(
+            "source",
+            "doc_ct",
+            F.coalesce("bp_shingle_ct", F.lit(0)).alias("bp_shingle_ct"),
+            "bp_hit_total",
+            "avg_bp",
+            "flagged_ct",
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_boilerplate": text_boilerplate,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
     "text_winnow_fingerprint": text_winnow_fingerprint,
@@ -881,4 +966,52 @@ ORACLE["text_surprisal_hist"] = f"""
     FROM per_doc
     GROUP BY source, mean10x
     ORDER BY source, mean10x
+"""
+
+ORACLE["text_boilerplate"] = f"""
+    WITH toked AS (
+        SELECT source, doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, doc_id, shingle FROM (
+            SELECT source, doc_id,
+                   array_to_string(toks[i + 1 : i + {BP_N}], ' ') AS shingle
+            FROM toked, (SELECT unnest(range(400)) AS i) idx
+            WHERE i <= len(toks) - {BP_N}
+        )
+    ),
+    df_tab AS (
+        SELECT source, shingle, COUNT(*) AS df FROM sh GROUP BY 1, 2
+    ),
+    bp_dict AS (SELECT source, shingle FROM df_tab WHERE df >= {BP_MIN_DF}),
+    hits AS (
+        SELECT s.source, s.doc_id, CAST(COUNT(*) AS BIGINT) AS bp_ct
+        FROM sh s JOIN bp_dict b ON s.source = b.source AND s.shingle = b.shingle
+        GROUP BY 1, 2
+    ),
+    doc_tot AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS shingle_ct
+        FROM sh GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT d.source,
+               COALESCE(h.bp_ct, 0) AS bp_ct,
+               (10000 * COALESCE(h.bp_ct, 0)) // d.shingle_ct AS frac_bp
+        FROM doc_tot d LEFT JOIN hits h
+          ON d.source = h.source AND d.doc_id = h.doc_id
+    ),
+    roll AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(bp_ct) AS BIGINT) AS bp_hit_total,
+               CAST(SUM(frac_bp) AS BIGINT) // COUNT(*) AS avg_bp,
+               CAST(SUM(CASE WHEN frac_bp >= {BP_DOC_BP} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS flagged_ct
+        FROM per_doc GROUP BY source
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS bp_shingle_ct
+              FROM bp_dict GROUP BY source)
+    SELECT r.source, r.doc_ct, COALESCE(s.bp_shingle_ct, 0) AS bp_shingle_ct,
+           r.bp_hit_total, r.avg_bp, r.flagged_ct
+    FROM roll r LEFT JOIN sizes s ON r.source = s.source
+    ORDER BY r.source
 """

@@ -234,3 +234,24 @@ def test_anomaly_mad_broadcasts_medians(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_bpe_pairs_is_take_ordered_not_global_sort(spark):
+    """llm_bpe_pairs' merge-candidate cut must execute as
+    TakeOrderedAndProject (local top-k per partition) and build bigrams
+    with zip_with — exactly one Generate (the pair explode), never a
+    positional self-join of the token stream."""
+    p = plan(spark, "llm_bpe_pairs")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Generate") == 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_boilerplate_joins_on_equi_keys_only(spark):
+    """text_boilerplate's dictionary membership and per-doc stitch are
+    hash equi-joins (no cartesian/BNLJ fallback), and nothing in the plan
+    sorts the corpus — the only orderBy is the tiny per-source result."""
+    p = plan(spark, "text_boilerplate")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # the single Sort belongs to the <=n_sources-row final orderBy
+    assert p.count("Sort ") <= 1, p
