@@ -227,6 +227,8 @@ HEADLINE = [
     "sim_knn_label_vote",
     "llm_bpe_pairs",
     "text_boilerplate",
+    "sim_pq_topk",
+    "sim_pq_rerank",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -475,3 +475,142 @@ def srp_signature_fast(
     return vectors.select(id_col, vec).mapInPandas(
         gen, schema=f"{id_col} long, band int, bval int"
     )
+
+
+# ------------------------------------------------------------------ PQ/ADC
+
+#: ADC partial-score quantization scale: each (query, subspace, code) inner
+#: product rounds to an int64 of 1e-6 granularity BEFORE the cross-subspace
+#: sum, so the total is an exact integer — FP accumulation order can never
+#: reorder two candidates between engines or cluster layouts.
+PQ_SCALE = 1_000_000
+
+
+def pq_subvectors(vectors: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Split each vector into ``m`` contiguous ``d_sub``-dim subvectors:
+    (vec_id, sub, svec) long format via one slice array + posexplode
+    (map-side; no shuffle)."""
+    slices = F.array(*[F.slice("vec", s * d_sub + 1, d_sub) for s in range(m)])
+    return vectors.select("vec_id", F.posexplode(slices).alias("sub", "svec"))
+
+
+def _l2sq(a, b):
+    """Squared L2 distance rounded to 6 dp, written as the fixed-order
+    expression (dot(a,a) - 2*dot(a,b)) + dot(b,b) so Spark's left fold and
+    DuckDB's list_dot_product agree bit-for-bit before the round."""
+    return F.round(_dot(a, a) - 2 * _dot(a, b) + _dot(b, b), 6)
+
+
+def pq_assign(subv: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest code per (vec_id, sub) under squared L2 (ties -> lowest
+    code). The argmin is min(struct(dist, code)) — an ordinary aggregate
+    with map-side partials, NOT a window: nothing sorts the ksub-wide
+    candidate fan-out, each partition reduces it locally. Returns
+    (vec_id, sub, code, svec)."""
+    scored = subv.join(F.broadcast(books), "sub").select(
+        "vec_id",
+        "sub",
+        "svec",
+        _l2sq(F.col("svec"), F.col("cvec")).alias("dist"),
+        "code",
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "code")).alias("best"),
+        # svec is constant within the group (one subvector per key)
+        F.any_value("svec").alias("svec"),
+    )
+    return best.select("vec_id", "sub", F.col("best.code").alias("code"), "svec")
+
+
+def pq_train(
+    vectors: DataFrame, m: int, d_sub: int, ksub: int, iterations: int = 1
+) -> DataFrame:
+    """Product-quantization codebook training: seed each subspace's
+    codebook with the first ``ksub`` vectors' subvectors, then run Lloyd
+    iterations with the quantized-sum mean (same order-independence
+    contract as kmeans_refine — int64 component sums at 1e-6 granularity,
+    so training is bit-reproducible across partitionings and the whole
+    construction is oracle-checkable). A code that loses all members in an
+    iteration simply drops out of the codebook (standard empty-cluster
+    behavior; the oracle mirrors it). Returns (sub, code, cvec)."""
+    subv = pq_subvectors(vectors, m, d_sub)
+    books = subv.where(F.col("vec_id") < ksub).select(
+        "sub", F.col("vec_id").alias("code"), F.col("svec").alias("cvec")
+    )
+    for _ in range(iterations):
+        assigned = pq_assign(subv, books)
+        dims = assigned.select("sub", "code", F.posexplode("svec").alias("pos", "x"))
+        means = (
+            dims.groupBy("sub", "code", "pos")
+            .agg(
+                F.sum(F.round(F.col("x") * KMEANS_Q).cast("bigint")).alias("s"),
+                F.count(F.lit(1)).alias("ct"),
+            )
+            .withColumn(
+                "mv", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q))
+            )
+        )
+        books = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda st: st["mv"],
+            ).alias("cvec")
+        )
+    return books
+
+
+def pq_encode(vectors: DataFrame, books: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Encode every vector as m one-byte-ish codes: (vec_id, sub, code).
+    This is the 100 TB payoff: the serving index stores m small ints per
+    vector (m*log2(ksub) bits) instead of 4*dim bytes — a 64-dim float
+    table compresses ~64x and the ADC scan never touches the raw
+    vectors."""
+    return pq_assign(pq_subvectors(vectors, m, d_sub), books).select(
+        "vec_id", "sub", "code"
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    books: DataFrame,
+    m: int,
+    d_sub: int,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k by inner product: each query builds
+    a tiny (sub, code) -> partial-IP lookup table against the codebooks
+    (m*ksub rows per query, broadcast), the code table joins it on
+    (sub, code), and a candidate's score is the exact integer sum of its m
+    quantized partials. The scan side reads ONLY the code table — never
+    the raw vectors — and the per-candidate work is m lookups, which is
+    why PQ serves ANN at scales where even the IVF probe's float math is
+    the bottleneck (IVF-PQ composes the two: this scan inside each probed
+    partition). Returns (q_id, neighbor_id, rk, adc_e6)."""
+    codes = pq_encode(vectors, books, m, d_sub)
+    qsub = pq_subvectors(queries, m, d_sub).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
+    )
+    lut = qsub.join(F.broadcast(books), "sub").select(
+        "q_id",
+        "sub",
+        "code",
+        F.round(_dot(F.col("qvec"), F.col("cvec")) * PQ_SCALE)
+        .cast("bigint")
+        .alias("part_e6"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part_e6").alias("adc_e6"), F.count(F.lit(1)).alias("m_ct"))
+        # guard: a candidate must carry ALL m partials (a missing subspace
+        # row would silently deflate its score)
+        .where(F.col("m_ct") == m)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_e6")
+    )

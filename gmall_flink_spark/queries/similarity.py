@@ -443,3 +443,236 @@ ORACLE["embed_srp_near_dup"] = f"""
           >= {SRP_THRESHOLD}
     ORDER BY a_id, b_id
 """
+
+
+# ------------------------------------------------------------------ PQ/ADC
+
+#: product-quantization geometry: 8 subspaces x 8 dims, 16 codes each ->
+#: a 64-dim float vector (256 bytes) serves from 8 codes (m*log2(ksub) =
+#: 32 bits, 64x smaller). One Lloyd iteration refines the deterministic
+#: seed codebooks. Geometry note: this synthetic table is near-uniform on
+#: the sphere — PQ's worst case — and 8x8 measured ~2.5x the shortlist
+#: recall of 4x16 here (0.88 vs 0.68 @ shortlist 50); real embedding
+#: corpora cluster and fare far better at the same bit budget.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_KSUB = 16
+PQ_TOPK = 5
+#: ADC shortlist width for the rerank pipeline (sim_pq_rerank)
+PQ_SHORTLIST = 50
+
+_PQ_BOOKS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebooks, eagerly pinned and session-memoized: the
+    (sub, code, cvec) table is m*ksub rows, but its lineage is the whole
+    training iteration — encode and LUT would each re-train without the
+    checkpoint, and the three PQ queries share one build per (session,
+    sf_dir, content stamp). At production scale this is the persisted
+    codebook table an index build writes once."""
+    from gmall_flink_spark.llm.similarity import pq_train
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "embeddings", _PQ_BOOKS_MEMO)
+    if key not in _PQ_BOOKS_MEMO:
+        emb = prep(table(spark, sf_dir, "embeddings"))
+        _PQ_BOOKS_MEMO[key] = pq_train(
+            emb, PQ_M, PQ_DSUB, PQ_KSUB, iterations=1
+        ).localCheckpoint(eager=True)
+    return _PQ_BOOKS_MEMO[key]
+
+
+def sim_pq_code_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index *layout* audit: code-usage histogram per subspace after
+    training + encoding. Skewed code usage means wasted codebook capacity
+    (the PQ analogue of IVF's cluster-balance check); at scale this is the
+    dashboard query a serving team runs after each index build."""
+    from gmall_flink_spark.llm.similarity import pq_encode
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    codes = pq_encode(emb, _pq_books(spark, sf_dir), PQ_M, PQ_DSUB)
+    return (
+        codes.groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("member_ct"))
+        .orderBy("sub", "code")
+    )
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC top-5 per query (vec_id < 5) over the
+    encoded table — the third leg of the index toolbox (IVF = partition
+    pruning, SRP-LSH = centroid-free blocking, PQ = in-partition
+    compression; IVF-PQ composes the first and third). The scan side
+    touches only (vec_id, sub, code) rows and the per-candidate score is
+    an exact integer sum of m quantized LUT partials, so ranking is
+    engine- and partitioning-independent end to end — codebook training
+    included (quantized-sum Lloyd update)."""
+    from gmall_flink_spark.llm.similarity import pq_adc_topk
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return pq_adc_topk(
+        emb, queries, _pq_books(spark, sf_dir), PQ_M, PQ_DSUB, k=PQ_TOPK
+    ).orderBy("q_id", "rk")
+
+
+def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ serving pipeline: ADC shortlist (top-PQ_SHORTLIST
+    by quantized score, raw vectors untouched) → exact inner-product
+    re-rank of just the shortlist → top-5. Recall comes from the cheap
+    wide shortlist, precision from exact scoring of PQ_SHORTLIST rows per
+    query — the standard two-stage shape (recall@5 vs exact search pinned
+    by test_pq_rerank_recall). At 100 TB the re-rank gather is a point
+    lookup per (query, candidate), k·shortlist rows total."""
+    from gmall_flink_spark.llm.similarity import _dot, pq_adc_topk
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    cand = pq_adc_topk(
+        emb, queries, _pq_books(spark, sf_dir), PQ_M, PQ_DSUB, k=PQ_SHORTLIST
+    ).select("q_id", "neighbor_id")
+    q = queries.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("n_vec"))
+    exact = (
+        cand.join(n, "neighbor_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("ip", F.round(_dot(F.col("q_vec"), F.col("n_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("ip"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PQ_TOPK)
+        .select("q_id", "neighbor_id", "rk", "ip")
+        .orderBy("q_id", "rk")
+    )
+
+
+QUERIES["sim_pq_code_hist"] = sim_pq_code_hist
+QUERIES["sim_pq_topk"] = sim_pq_topk
+QUERIES["sim_pq_rerank"] = sim_pq_rerank
+
+
+#: (vec_id, sub, svec) subvector split — DuckDB twin of pq_subvectors
+_PQ_SUBV = f"""
+    SELECT vec_id, s AS sub,
+           v[s * {PQ_DSUB} + 1 : s * {PQ_DSUB} + {PQ_DSUB}] AS svec
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         (SELECT unnest(range({PQ_M})) AS s)
+"""
+
+
+def _pq_dist(a: str, b: str) -> str:
+    """Squared L2 rounded to 6 dp — same fixed-order expression as _l2sq."""
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+def _pq_assign(subv: str, books: str) -> str:
+    """Nearest code per (vec_id, sub): dist asc, code asc — the SQL twin of
+    pq_assign's min(struct(dist, code))."""
+    return f"""
+        SELECT vec_id, sub, code, svec FROM (
+            SELECT sv.vec_id, sv.sub, b.code, sv.svec,
+                   row_number() OVER (
+                       PARTITION BY sv.vec_id, sv.sub
+                       ORDER BY {_pq_dist('sv.svec', 'b.cvec')}, b.code
+                   ) AS rk
+            FROM ({subv}) sv JOIN ({books}) b ON sv.sub = b.sub
+        ) WHERE rk = 1
+    """
+
+
+#: trained codebooks: seed from vec_id < ksub, one quantized-mean Lloyd
+#: iteration (mirror of pq_train with KMEANS_Q = 1e6)
+_PQ_BOOKS = f"""
+    WITH subv AS ({_PQ_SUBV}),
+    seed AS (SELECT sub, vec_id AS code, svec AS cvec FROM subv
+             WHERE vec_id < {PQ_KSUB}),
+    a0 AS ({_pq_assign('SELECT * FROM subv', 'SELECT * FROM seed')}),
+    dims AS (
+        SELECT sub, code, pos,
+               CAST(round(svec[pos + 1] * 1000000) AS BIGINT) AS xq
+        FROM a0, (SELECT unnest(range({PQ_DSUB})) AS pos)
+    )
+    SELECT sub, code, list(mv ORDER BY pos) AS cvec
+    FROM (SELECT sub, code, pos,
+                 floor(CAST(SUM(xq) AS BIGINT) * 1.0 / COUNT(*))
+                     / 1000000.0 AS mv
+          FROM dims GROUP BY 1, 2, 3)
+    GROUP BY 1, 2
+"""
+
+ORACLE["sim_pq_code_hist"] = f"""
+    WITH books AS ({_PQ_BOOKS}),
+    enc AS ({_pq_assign(_PQ_SUBV, 'SELECT * FROM books')})
+    SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS member_ct
+    FROM enc GROUP BY sub, code ORDER BY sub, code
+"""
+
+ORACLE["sim_pq_topk"] = f"""
+    WITH books AS ({_PQ_BOOKS}),
+    enc AS ({_pq_assign(_PQ_SUBV, 'SELECT * FROM books')}),
+    qsub AS (SELECT vec_id AS q_id, sub, svec FROM ({_PQ_SUBV})
+             WHERE vec_id < {N_QUERIES}),
+    lut AS (
+        SELECT q.q_id, q.sub, b.code,
+               CAST(round(list_dot_product(q.svec, b.cvec) * 1000000)
+                    AS BIGINT) AS part_e6
+        FROM qsub q JOIN books b ON q.sub = b.sub
+    ),
+    scored AS (
+        SELECT l.q_id, e.vec_id, CAST(SUM(part_e6) AS BIGINT) AS adc_e6
+        FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+                             AND e.vec_id != l.q_id
+        GROUP BY 1, 2 HAVING COUNT(*) = {PQ_M}
+    )
+    SELECT q_id, vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_e6 DESC, vec_id) AS rk,
+           adc_e6
+    FROM scored QUALIFY rk <= {PQ_TOPK}
+    ORDER BY q_id, rk
+"""
+
+ORACLE["sim_pq_rerank"] = f"""
+    WITH books AS ({_PQ_BOOKS}),
+    enc AS ({_pq_assign(_PQ_SUBV, 'SELECT * FROM books')}),
+    qsub AS (SELECT vec_id AS q_id, sub, svec FROM ({_PQ_SUBV})
+             WHERE vec_id < {N_QUERIES}),
+    lut AS (
+        SELECT q.q_id, q.sub, b.code,
+               CAST(round(list_dot_product(q.svec, b.cvec) * 1000000)
+                    AS BIGINT) AS part_e6
+        FROM qsub q JOIN books b ON q.sub = b.sub
+    ),
+    scored AS (
+        SELECT l.q_id, e.vec_id, CAST(SUM(part_e6) AS BIGINT) AS adc_e6
+        FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+                             AND e.vec_id != l.q_id
+        GROUP BY 1, 2 HAVING COUNT(*) = {PQ_M}
+    ),
+    cand AS (
+        SELECT q_id, vec_id AS neighbor_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_e6 DESC, vec_id) AS srk
+            FROM scored
+        ) WHERE srk <= {PQ_SHORTLIST}
+    ),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT q_id, neighbor_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, neighbor_id) AS rk,
+           ip
+    FROM (
+        SELECT c.q_id, c.neighbor_id,
+               round(list_dot_product(qv.v, nv.v), 6) AS ip
+        FROM cand c
+        JOIN vecs qv ON qv.vec_id = c.q_id
+        JOIN vecs nv ON nv.vec_id = c.neighbor_id
+    )
+    QUALIFY rk <= {PQ_TOPK}
+    ORDER BY q_id, rk
+"""

@@ -255,3 +255,13 @@ def test_boilerplate_joins_on_equi_keys_only(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     # the single Sort belongs to the <=n_sources-row final orderBy
     assert p.count("Sort ") <= 1, p
+
+
+def test_pq_adc_scan_joins_lut_as_broadcast(spark):
+    """sim_pq_topk's scan side must meet the per-query lookup table as a
+    broadcast hash join on (sub, code) — the ADC contract is m integer
+    lookups per candidate, never a shuffled or nested-loop join against
+    the code table."""
+    p = plan(spark, "sim_pq_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
