@@ -48,6 +48,12 @@ PROBES = [
     "dedup_rep_select",         # shared CC mapping + component argmax
     "llm_vocab_topk",           # token-key agg + TakeOrdered cut
     "llm_chunk_split",          # per-doc span arrays, no explode
+    "llm_bpe_pairs",            # bigram zip_with + pair-key agg + TakeOrdered
+    "text_boilerplate",         # shingle df build + dictionary-hit join
+    "sim_pq_topk",              # PQ train + code scan x broadcast ADC LUT
+                                #   (NB: replicated vec_ids collapse in the
+                                #   (vec_id, sub) argmin, so codebooks and
+                                #   results match 1x; input rows still Kx)
 ]
 
 

@@ -1065,3 +1065,40 @@ def test_streaming_chunk_accounting_rollup_equals_batch(spark):
     sdf = stream_from(spark, src, docs)
     run_available_now(sdf, foreach_batch=rollup_writer(state, ["source"], partial))
     assert rows(read_state(spark, state)) == rows(partial(docs))
+
+
+def test_ivfpq_index_sink_equals_batch_encode(spark):
+    """Streaming IVF-PQ maintenance: replay embeddings in 3 micro-batches
+    through the cluster-bucketed packed-code sink; the accumulated index
+    must equal batch ivf_assign + pq_encode over the full table."""
+    from gmall_flink_spark.llm.similarity import ivf_assign, pq_encode, pq_train, prep
+    from gmall_flink_spark.sinks.pq_sink import ivfpq_index_rows, ivfpq_index_writer
+
+    emb = prep(table(spark, SF, "embeddings"))
+    cents = emb.where(F.col("vec_id") < 10)
+    books = pq_train(emb, 8, 8, 16).localCheckpoint(eager=True)
+    slices = os.path.join(TMP, "ivfpq_slices")
+    split_into_files(emb, 3, "vec_id", slices)
+    state = os.path.join(TMP, "ivfpq_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, emb)
+    run_available_now(
+        sdf, foreach_batch=ivfpq_index_writer(state, cents, books, 8, 8)
+    )
+
+    got = ivfpq_index_rows(spark, state).select(
+        "vec_id", "cluster", F.col("codes").cast("array<int>").alias("codes")
+    )
+    packed = (
+        pq_encode(emb, books, 8, 8)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).cast("array<int>").alias("codes")
+        )
+    )
+    want = ivf_assign(emb, cents).select("vec_id", "cluster").join(packed, "vec_id")
+    assert rows(got) == rows(want)
