@@ -229,6 +229,7 @@ HEADLINE = [
     "text_boilerplate",
     "sim_pq_topk",
     "sim_pq_rerank",
+    "events_cms_topk",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -38,3 +38,36 @@ def kmv_estimate(n_col: str, hk_col: str) -> Column:
         .otherwise(F.expr(f"{(KMV_K - 1) * KMV_M}L div greatest({hk_col}, 1L)"))
         .cast("bigint")
     )
+
+
+# ------------------------------------------------------------- count-min
+
+#: count-min geometry: 4 independent rows x 64 buckets. Depth drives the
+#: failure probability (~e^-d), width the overestimate (~2n/w); both are
+#: knobs, and the whole sketch is d*w int64 counters regardless of key
+#: cardinality.
+CMS_D = 4
+CMS_W = 64
+
+
+def cms_bucket(key: Column, depth: int) -> Column:
+    """Row-``depth`` bucket of a key: the seeded portable hash mod W —
+    deterministic, so the sketch (unlike count-min over runtime-seeded
+    hashes) is reproducible cross-engine and oracle-checkable."""
+    return F.pmod(md5_long(key.cast("string"), depth), F.lit(CMS_W))
+
+
+def cms_counters(df, key: str):
+    """Build the count-min counter table (depth, bucket, ct) for a key
+    column: one posexplode to (row, bucket) pairs, ONE groupBy over d*w
+    cells — the extreme map-side-combine case (every partition reduces to
+    <= d*w partial rows before the shuffle). Counters are additive and
+    mergeable: summing two tables' cells sketches the concatenated input,
+    which is what makes the sketch a rollup_writer payload per micro-batch
+    (tests pin streaming == batch)."""
+    buckets = F.array(*[cms_bucket(F.col(key), s) for s in range(CMS_D)])
+    return (
+        df.select(F.posexplode(buckets).alias("depth", "bucket"))
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+    )

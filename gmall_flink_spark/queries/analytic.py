@@ -285,7 +285,53 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitter report size for events_cms_topk
+CMS_TOP = 10
+
+
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch audit: build the d*w counter table over
+    event user_ids (operators/sketch.py::cms_counters — deterministic
+    seeded hashes, so the approximation itself is oracle-checked like the
+    KMV sketch), then report the exact top-10 heaviest users with their
+    CMS estimate side by side. The estimate is min over d rows of the
+    user's bucket counters — always >= the exact count (pinned by
+    test_cms_never_underestimates), with overestimate ~2n/w.
+
+    Scale: the sketch is the extreme map-side-combine aggregation — every
+    partition reduces to <= d*w partial cells before ONE tiny shuffle, and
+    the counter table is d*w rows no matter the key cardinality, so it
+    broadcasts back for estimation. Additive cells make it the natural
+    rollup_writer payload for streaming maintenance (no new sink code).
+    The exact top-10 here is the audit's truth reference; production uses
+    the sketch precisely when exact counting is too wide."""
+    from gmall_flink_spark.operators.sketch import CMS_D, cms_bucket, cms_counters
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id")
+    cand = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_ct"))
+        .orderBy(F.desc("exact_ct"), "user_id")
+        .limit(CMS_TOP)
+    )
+    lookups = cand.select(
+        "user_id",
+        "exact_ct",
+        F.posexplode(
+            F.array(*[cms_bucket(F.col("user_id"), s) for s in range(CMS_D)])
+        ).alias("depth", "bucket"),
+    )
+    return (
+        lookups.join(F.broadcast(counters), ["depth", "bucket"])
+        .groupBy("user_id", "exact_ct")
+        .agg(F.min("ct").alias("cms_est"))
+        .orderBy(F.desc("exact_ct"), "user_id")
+    )
+
+
 QUERIES = {
+    "events_cms_topk": events_cms_topk,
     "running_customer_totals": running_customer_totals,
     "value_quantile_sketch": value_quantile_sketch,
     "events_trailing_hour": events_trailing_hour,
@@ -451,4 +497,35 @@ ORACLE["events_retention_cohorts"] = """
     FROM daily JOIN first ON daily.user_id = first.user_id
     GROUP BY cohort, day_offset
     ORDER BY cohort, day_offset
+"""
+
+from gmall_flink_spark.operators.sketch import CMS_D, CMS_W  # noqa: E402
+
+ORACLE["events_cms_topk"] = f"""
+    WITH ev AS (SELECT user_id FROM events),
+    h AS (
+        SELECT user_id, s AS depth,
+               ('0x' || substr(md5(s::VARCHAR || '|' || user_id::VARCHAR),
+                               1, 15))::BIGINT % {CMS_W} AS bucket
+        FROM ev, (SELECT unnest(range({CMS_D})) AS s)
+    ),
+    counters AS (
+        SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM h GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_ct
+        FROM ev GROUP BY 1
+        ORDER BY exact_ct DESC, user_id LIMIT {CMS_TOP}
+    ),
+    lookups AS (
+        SELECT c.user_id, c.exact_ct, s AS depth,
+               ('0x' || substr(md5(s::VARCHAR || '|' || c.user_id::VARCHAR),
+                               1, 15))::BIGINT % {CMS_W} AS bucket
+        FROM cand c, (SELECT unnest(range({CMS_D})) AS s)
+    )
+    SELECT l.user_id, l.exact_ct, CAST(MIN(k.ct) AS BIGINT) AS cms_est
+    FROM lookups l JOIN counters k USING (depth, bucket)
+    GROUP BY 1, 2
+    ORDER BY exact_ct DESC, user_id
 """

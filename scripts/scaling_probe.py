@@ -90,12 +90,14 @@ def main() -> None:
         timed 1x run a cache read and blow the ratio up artificially."""
         from gmall_flink_spark.queries.llm_dedup import _COMPONENTS, _DOC_UNITS
         from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
+        from gmall_flink_spark.queries.similarity import _PQ_BOOKS_MEMO
         from gmall_flink_spark.queries.text import _WINNOW_DOCS
 
         _WINNOW_DOCS.clear()
         _COMPONENTS.clear()
         _DOC_UNITS.clear()
         _PACK_TOTALS.clear()
+        _PQ_BOOKS_MEMO.clear()
 
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s} {'ratio':>6s}")
     for name in PROBES:

@@ -347,3 +347,15 @@ def test_pq_rerank_recall(spark):
         ).collect()
     }
     assert len(adc & exact) > 0
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min invariant: every bucket a key hashes to counts at least
+    all of that key's occurrences, so min-over-rows can only overestimate.
+    Checked on the sf0.01 heavy-hitter report (which does exhibit a real
+    collision overestimate at this width)."""
+    from gmall_flink_spark.queries.analytic import events_cms_topk
+
+    got = events_cms_topk(spark, "/root/testdata/sf0.01").collect()
+    assert got
+    assert all(r.cms_est >= r.exact_ct for r in got), got

@@ -265,3 +265,13 @@ def test_pq_adc_scan_joins_lut_as_broadcast(spark):
     p = plan(spark, "sim_pq_topk")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_cms_counters_broadcast_for_estimation(spark):
+    """events_cms_topk's counter table (d*w rows regardless of key
+    cardinality) must reach the candidate lookups as a broadcast, and the
+    sketch build must be a plain hash aggregate — no window, no
+    cartesian."""
+    p = plan(spark, "events_cms_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

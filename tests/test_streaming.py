@@ -1102,3 +1102,26 @@ def test_ivfpq_index_sink_equals_batch_encode(spark):
     )
     want = ivf_assign(emb, cents).select("vec_id", "cluster").join(packed, "vec_id")
     assert rows(got) == rows(want)
+
+
+def test_cms_sketch_stream_equals_batch(spark, events_slices):
+    """Count-min counters maintained per micro-batch through the generic
+    additive rollup sink (cell sums merge; no CMS-specific sink code) must
+    equal the batch sketch over the full event stream."""
+    from gmall_flink_spark.operators.sketch import cms_counters
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    ev = table(spark, SF, "events")
+    state = os.path.join(TMP, "cms_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, events_slices, ev)
+    run_available_now(
+        sdf,
+        foreach_batch=rollup_writer(
+            state, ["depth", "bucket"], lambda b: cms_counters(b, "user_id")
+        ),
+    )
+    got = read_state(spark, state).select("depth", "bucket", "ct")
+    want = cms_counters(ev, "user_id")
+    assert rows(got) == rows(want)
