@@ -230,6 +230,7 @@ HEADLINE = [
     "sim_pq_topk",
     "sim_pq_rerank",
     "events_cms_topk",
+    "llm_bpe_merge_round",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

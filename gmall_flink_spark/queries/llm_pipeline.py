@@ -485,6 +485,85 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.desc("pair_ct"), "pair").limit(BPE_PAIR_TOP_K)
 
 
+def llm_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE merge round, accounted per source: select the single
+    most frequent adjacent pair (the llm_bpe_pairs statistic, k=1) and
+    apply it with exact greedy left-to-right non-overlapping semantics,
+    reporting tokens before, merges applied, and tokens after. Greedy
+    non-overlap is computed positionally: match positions that are
+    CONSECUTIVE (only possible when the pair is a repeated token, e.g.
+    "order order order") form islands where greedy takes ceil(run/2);
+    isolated matches merge 1:1. Iterating this round with re-segmentation
+    is exactly BPE vocabulary training.
+
+    Scale: match positions come from a map-side array filter (no token
+    explode); only the (usually sparse) match positions shuffle once on
+    doc_id for the island window, and the winning pair is a 1-row
+    broadcast. Cost per round ~ match density, not corpus size."""
+    from gmall_flink_spark.functions.text import tokenize
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", "doc_id", tokenize("text").alias("l"))
+    pairs = toks.where(F.size("l") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("l", F.lit(1), F.size("l") - 1),
+                F.slice("l", F.lit(2), F.size("l") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_ct"))
+        .orderBy(F.desc("pair_ct"), "pair")
+        .limit(1)
+        .select(
+            "pair",
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part(F.col("pair"), F.lit(" "), F.lit(2)).alias("b"),
+        )
+    )
+    with_pair = toks.crossJoin(F.broadcast(top))
+    # 1-based positions i where (l[i], l[i+1]) == (a, b) — map-side
+    match_pos = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("l") - 1, F.lit(1))),
+        lambda i: (F.element_at("l", i) == F.col("a"))
+        & (F.element_at("l", i + 1) == F.col("b")),
+    )
+    matches = with_pair.select(
+        "source", "doc_id", "pair", F.size("l").cast("bigint").alias("n"),
+        F.explode_outer(match_pos).alias("pos"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = matches.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    runs = (
+        islands.where(F.col("pos").isNotNull())
+        .groupBy("source", "doc_id", "pair", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("source", "doc_id", "pair")
+        .agg(F.sum(F.expr("(run + 1) div 2")).alias("merges"))
+    )
+    per_doc = (
+        matches.select("source", "doc_id", "pair", "n").distinct()
+        .join(runs, ["source", "doc_id", "pair"], "left")
+        .withColumn("merges", F.coalesce("merges", F.lit(0)))
+    )
+    return (
+        per_doc.groupBy("source", "pair")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n").alias("tok_before"),
+            F.sum("merges").alias("merge_ct"),
+            (F.sum("n") - F.sum("merges")).alias("tok_after"),
+        )
+        .orderBy("source")
+    )
+
+
 def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-mix rebalancing — the data-mixing step of training-corpus
     assembly: each source gets a deterministic target weight (derived from
@@ -575,6 +654,7 @@ QUERIES = {
     "llm_split_assign": llm_split_assign,
     "llm_vocab_topk": llm_vocab_topk,
     "llm_bpe_pairs": llm_bpe_pairs,
+    "llm_bpe_merge_round": llm_bpe_merge_round,
     "llm_chunk_split": llm_chunk_split,
     "llm_mix_rebalance": llm_mix_rebalance,
 }
@@ -872,4 +952,47 @@ ORACLE["llm_bpe_pairs"] = f"""
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_ct
     FROM pairs GROUP BY pair
     ORDER BY pair_ct DESC, pair LIMIT {BPE_PAIR_TOP_K}
+"""
+
+ORACLE["llm_bpe_merge_round"] = f"""
+    WITH t AS (SELECT source, doc_id, {_TOKS} AS l FROM documents),
+    allpairs AS (
+        SELECT unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))]) AS pair
+        FROM t WHERE len(l) >= 2
+    ),
+    top AS (
+        SELECT pair, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+        FROM (SELECT pair, COUNT(*) AS ct FROM allpairs GROUP BY pair
+              ORDER BY ct DESC, pair LIMIT 1)
+    ),
+    matches AS (
+        SELECT t.source, t.doc_id, top.pair, CAST(len(t.l) AS BIGINT) AS n,
+               unnest([i for i in range(1, len(t.l))
+                       if t.l[i] = top.a AND t.l[i + 1] = top.b]) AS pos
+        FROM t, top
+    ),
+    islands AS (
+        SELECT source, doc_id, pair,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM matches
+    ),
+    runs AS (
+        SELECT source, doc_id, pair, CAST(SUM((run + 1) // 2) AS BIGINT) AS merges
+        FROM (SELECT source, doc_id, pair, grp, COUNT(*) AS run
+              FROM islands GROUP BY 1, 2, 3, 4)
+        GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+        SELECT dt.source, dt.doc_id, dt.pair, dt.n,
+               COALESCE(r.merges, 0) AS merges
+        FROM (SELECT d.source, d.doc_id, top.pair,
+                     CAST(len(d.l) AS BIGINT) AS n
+              FROM t d CROSS JOIN top) dt
+        LEFT JOIN runs r ON dt.doc_id = r.doc_id
+    )
+    SELECT source, pair, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(n) AS BIGINT) AS tok_before,
+           CAST(SUM(merges) AS BIGINT) AS merge_ct,
+           CAST(SUM(n) - SUM(merges) AS BIGINT) AS tok_after
+    FROM per_doc GROUP BY source, pair ORDER BY source
 """

@@ -359,3 +359,36 @@ def test_cms_never_underestimates(spark):
     got = events_cms_topk(spark, "/root/testdata/sf0.01").collect()
     assert got
     assert all(r.cms_est >= r.exact_ct for r in got), got
+
+
+def test_bpe_merge_round_repeated_token_runs(spark, tmp_path):
+    """Greedy non-overlap for a REPEATED-token top pair: 'x x x' merges
+    once (floor(3/2)), 'x x x x x' merges twice — the island-run path the
+    real corpus's distinct-token top pair never exercises. Driven through
+    llm_bpe_merge_round end-to-end (Spark and DuckDB oracle) on a
+    synthetic documents table."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_pipeline import ORACLE, llm_bpe_merge_round
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x x x", "en", "s0", 5),
+            (1, "x x x x x", "en", "s0", 9),
+            (2, "x y x y", "en", "s1", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in llm_bpe_merge_round(spark, sf).collect()]
+    # top pair is 'x x' (5 raw occurrences); greedy merges: doc0 1, doc1 2
+    assert got == [
+        ("s0", "x x", 2, 8, 3, 5),
+        ("s1", "x x", 1, 4, 0, 4),
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
