@@ -231,6 +231,7 @@ HEADLINE = [
     "sim_pq_rerank",
     "events_cms_topk",
     "llm_bpe_merge_round",
+    "entity_golden_record",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -78,3 +78,105 @@ ORACLE = {
         ORDER BY diff_pos
     """,
 }
+
+
+def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship — the steps after candidate matching
+    that produce the master-data "golden record": cluster the hamming<=1
+    name matches with connected components (min-label propagation, the
+    same distributed CC as near-dup dedup), then per cluster keep the
+    richest member (highest account balance, ties to the lowest key) and
+    report the merged view: member count, survivor, exact-cents balance
+    total, and the key span. Every emitted cluster has >= 2 members by
+    construction (components are derived from match edges).
+
+    Scale: CC iterates over match edges only — 1 shuffle per round,
+    rounds = cluster diameter. Unlike pairwise blocking, TRANSITIVE
+    closure does not bound cluster size (this synthetic table is the
+    worst case: sequential names chain into one table-sized component),
+    so the survivor argmax is deliberately max(struct(bal, -key)) — an
+    ordinary aggregate with map-side partials that a giant cluster cannot
+    serialize — never a per-cluster window sort."""
+    from gmall_flink_spark.llm.dedup import connected_components
+    from gmall_flink_spark.sources.tables import spread
+
+    cust = spread(table(spark, sf_dir, "customer"), "c_custkey").select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    edges = hamming1_pairs(
+        cust, key_col="c_name", id_col="c_custkey", positions=NAME_DIGIT_POSITIONS
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    comp = connected_components(edges)
+    members = comp.join(
+        cust, comp.doc_id == cust.c_custkey
+    ).select("component", "c_custkey", "bal_cents")
+    best = F.max(
+        F.struct(
+            F.col("bal_cents").alias("bal"), (-F.col("c_custkey")).alias("negkey")
+        )
+    ).alias("best")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("member_ct"),
+            best,
+            F.sum("bal_cents").alias("bal_cents_total"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .select(
+            "component",
+            "member_ct",
+            (-F.col("best.negkey")).cast("bigint").alias("survivor_key"),
+            F.col("best.bal").alias("survivor_bal_cents"),
+            "bal_cents_total",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("component")
+    )
+
+
+QUERIES["entity_golden_record"] = entity_golden_record
+
+ORACLE["entity_golden_record"] = """
+    WITH RECURSIVE
+    edges AS (
+        SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND len(a.c_name) = len(b.c_name)
+         AND levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    members AS (
+        SELECT comp.component, c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+               row_number() OVER (
+                   PARTITION BY comp.component
+                   ORDER BY CAST(round(c.c_acctbal * 100) AS BIGINT) DESC,
+                            c.c_custkey
+               ) AS rk
+        FROM comp JOIN customer c ON comp.doc_id = c.c_custkey
+    )
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS member_ct,
+           CAST(MAX(CASE WHEN rk = 1 THEN c_custkey END) AS BIGINT) AS survivor_key,
+           CAST(MAX(CASE WHEN rk = 1 THEN bal_cents END) AS BIGINT)
+               AS survivor_bal_cents,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_total,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM members GROUP BY component ORDER BY component
+"""
