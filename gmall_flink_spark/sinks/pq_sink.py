@@ -100,3 +100,57 @@ def ivfpq_index_writer(
 def ivfpq_index_rows(spark: SparkSession, state_path: str) -> DataFrame:
     """The accumulated (vec_id, cluster, codes) index table."""
     return read_state(spark, state_path)
+
+
+def ivfpq_search(
+    index: DataFrame,
+    queries: DataFrame,
+    books: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    d_sub: int,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k served FROM the maintained index: probe each query's
+    nearest centroid (broadcast argmax, same rule vectors were indexed
+    under), scan ONLY the probed cluster's (vec_id, codes) rows, and score
+    by the exact integer sum of quantized LUT partials — the full IVF-PQ
+    read path over ``ivfpq_index_rows`` (or any (vec_id, cluster, codes)
+    frame). At scale the cluster is the index's physical partition key, so
+    the probe is a partition-pruned scan of packed codes; raw vectors are
+    never read. Returns (q_id, neighbor_id, rk, adc_e6)."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.llm.similarity import PQ_SCALE, _dot, pq_subvectors
+
+    probes = ivf_assign(queries, centroids).select(
+        F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster")
+    )
+    cand = (
+        index.join(F.broadcast(probes), index.cluster == probes.q_cluster)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
+    )
+    qsub = pq_subvectors(queries, m, d_sub).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
+    )
+    lut = qsub.join(F.broadcast(books), "sub").select(
+        "q_id",
+        "sub",
+        "code",
+        F.round(_dot(F.col("qvec"), F.col("cvec")) * PQ_SCALE)
+        .cast("bigint")
+        .alias("part_e6"),
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("part_e6").alias("adc_e6"), F.count(F.lit(1)).alias("m_ct"))
+        .where(F.col("m_ct") == m)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_e6")
+    )

@@ -1103,6 +1103,20 @@ def test_ivfpq_index_sink_equals_batch_encode(spark):
     want = ivf_assign(emb, cents).select("vec_id", "cluster").join(packed, "vec_id")
     assert rows(got) == rows(want)
 
+    # the read path: ADC top-k served from the streamed state must equal
+    # the same search over the batch-built index, and be well-formed
+    from gmall_flink_spark.sinks.pq_sink import ivfpq_search
+
+    queries = emb.where(F.col("vec_id") < 5)
+    from_state = ivfpq_search(
+        ivfpq_index_rows(spark, state), queries, books, cents, 8, 8, k=5
+    )
+    from_batch = ivfpq_search(want, queries, books, cents, 8, 8, k=5)
+    cols = ["q_id", "neighbor_id", "rk", "adc_e6"]
+    got_rows = rows(from_state, cols)
+    assert got_rows == rows(from_batch, cols)
+    assert {r[0] for r in got_rows} == {0, 1, 2, 3, 4}
+
 
 def test_cms_sketch_stream_equals_batch(spark, events_slices):
     """Count-min counters maintained per micro-batch through the generic
