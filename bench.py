@@ -232,6 +232,7 @@ HEADLINE = [
     "events_cms_topk",
     "llm_bpe_merge_round",
     "entity_golden_record",
+    "dedup_simhash_pairs",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -152,6 +152,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=16).orderBy("doc_id")
 
 
+#: simhash pairing: 4 bands x 4 bits (a hamming<=3 pair shares >= 1 exact
+#: band by pigeonhole, so the band index has no false negatives at the
+#: verify threshold below); buckets larger than the cap are degenerate
+#: template mass and are dropped, same contract as LSH_MAX_BUCKET.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+SIMHASH_MAX_BUCKET = 100
+SIMHASH_HAM_MAX = 2
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING — the hamming-ball lookup that turns the
+    signature table into dedup candidates: band each 16-bit signature into
+    4 x 4-bit values, bucket-join on (band, value), verify candidates at
+    exact hamming <= 2 (bit_count of xor), and report per hamming distance
+    the pair count and id checksums. Pigeonhole gives the band index zero
+    false negatives at this threshold: hamming <= 3 < 4 bands forces at
+    least one untouched band. The signature-domain complement of
+    MinHash-LSH (set similarity) and SRP (embedding cosine).
+
+    Scale: the per-band self-join is the only pair-generating step and
+    every bucket is capped (SIMHASH_MAX_BUCKET — this synthetic vocab
+    concentrates signatures, the adversarial case); verification touches
+    only colliding pairs and the xor/bit_count check is a per-row integer
+    op. Candidate volume ∝ shared signature mass, never corpus²."""
+    docs = table(spark, sf_dir, "documents")
+    sig = simhash(docs, bits=16)
+    band_vals = F.array(
+        *[
+            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .cast("bigint")
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    keep = (
+        bands.groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= SIMHASH_MAX_BUCKET)
+        .select("band", "bval")
+    )
+    capped = bands.join(keep, ["band", "bval"])
+    a = capped.select(
+        "band", "bval", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig")
+    )
+    b = capped.select(
+        "band", "bval", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig")
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.expr("a_sig ^ b_sig")).cast("bigint")
+    ).where(F.col("hamming") <= SIMHASH_HAM_MAX)
+    return (
+        verified.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum("a_id").alias("a_id_sum"),
+            F.sum("b_id").alias("b_id_sum"),
+        )
+        .orderBy("hamming")
+    )
+
+
 def dedup_rep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection — the step after clustering that actually
     decides which document survives dedup: within each near-dup component
@@ -196,6 +267,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
 }
@@ -373,3 +445,52 @@ ORACLE = {
         FROM votes GROUP BY doc_id ORDER BY doc_id
     """,
 }
+
+ORACLE["dedup_simhash_pairs"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, ('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT AS h
+        FROM ({_UNITS})
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        FROM hashed, (SELECT unnest(range(16)) AS b) bits
+        GROUP BY doc_id, b
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN tally > 0 THEN CAST(pow(2, b) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * {SIMHASH_BAND_BITS}))
+                   & {(1 << SIMHASH_BAND_BITS) - 1} AS bval
+        FROM sig, (SELECT unnest(range({SIMHASH_BANDS})) AS band)
+    ),
+    keep AS (
+        SELECT band, bval FROM bands GROUP BY band, bval
+        HAVING COUNT(*) <= {SIMHASH_MAX_BUCKET}
+    ),
+    capped AS (
+        SELECT b.* FROM bands b JOIN keep k
+          ON b.band = k.band AND b.bval = k.bval
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.simhash AS a_sig, b.simhash AS b_sig
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(a_sig, b_sig)) <= {SIMHASH_HAM_MAX}
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(SUM(a_id) AS BIGINT) AS a_id_sum,
+           CAST(SUM(b_id) AS BIGINT) AS b_id_sum
+    FROM verified GROUP BY hamming ORDER BY hamming
+"""

@@ -50,6 +50,7 @@ PROBES = [
     "llm_chunk_split",          # per-doc span arrays, no explode
     "llm_bpe_pairs",            # bigram zip_with + pair-key agg + TakeOrdered
     "text_boilerplate",         # shingle df build + dictionary-hit join
+    "dedup_simhash_pairs",      # capped band-bucket self-join + xor verify
     "sim_pq_topk",              # PQ train + code scan x broadcast ADC LUT
                                 #   (NB: replicated vec_ids collapse in the
                                 #   (vec_id, sub) argmin, so codebooks and
