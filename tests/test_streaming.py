@@ -1139,3 +1139,43 @@ def test_cms_sketch_stream_equals_batch(spark, events_slices):
     got = read_state(spark, state).select("depth", "bucket", "ct")
     want = cms_counters(ev, "user_id")
     assert rows(got) == rows(want)
+
+
+def test_boilerplate_df_stream_equals_batch(spark):
+    """The boilerplate shingle-frequency dictionary is an additive rollup:
+    per-batch (source, shingle) counts merged through the generic rollup
+    sink must equal the batch df table text_boilerplate builds — i.e. the
+    template dictionary can be maintained as a continuous aggregate while
+    docs stream in."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.queries.text import BP_N
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    docs = table(spark, SF, "documents")
+
+    def shingle_counts(df):
+        toked = df.select("source", "doc_id", tokenize("text").alias("toks")).where(
+            F.size("toks") >= BP_N
+        )
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - BP_N),
+            lambda i: F.array_join(F.slice("toks", i + 1, BP_N), " "),
+        )
+        return (
+            toked.select("source", F.explode(F.array_distinct(sh)).alias("shingle"))
+            .groupBy("source", "shingle")
+            .agg(F.count(F.lit(1)).alias("df_ct"))
+        )
+
+    slices = os.path.join(TMP, "bp_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "bp_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, docs)
+    run_available_now(
+        sdf, foreach_batch=rollup_writer(state, ["source", "shingle"], shingle_counts)
+    )
+    got = read_state(spark, state).select("source", "shingle", "df_ct")
+    want = shingle_counts(docs)
+    assert rows(got) == rows(want)
