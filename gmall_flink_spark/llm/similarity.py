@@ -161,6 +161,31 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 KMEANS_Q = 1_000_000
 
 
+def quantized_mean(dims: DataFrame, keys: list[str], out_col: str = "vec") -> DataFrame:
+    """Element-wise quantized-sum mean per key group, rebuilt as an array:
+    (keys..., pos, x) -> (keys..., out_col). The ONE implementation of the
+    order-independence contract both trainers share (IVF centroids keyed on
+    cluster, PQ codebooks keyed on (sub, code)): components round to int64
+    at KMEANS_Q granularity before the per-group sum, floor(s/ct) is
+    double-exact, so the mean is independent of partition/accumulation
+    order — what makes iterative FP training bit-reproducible across
+    cluster layouts and oracle-checkable."""
+    means = (
+        dims.groupBy(*keys, "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * KMEANS_Q).cast("bigint")).alias("s"),
+            F.count(F.lit(1)).alias("ct"),
+        )
+        .withColumn("m", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q)))
+    )
+    return means.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias(out_col)
+    )
+
+
 def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1) -> DataFrame:
     """Lloyd's k-means refinement over the embedding column — the iterative
     shape IVF training needs, in pure DataFrame ops (no MLlib, no driver
@@ -191,25 +216,10 @@ def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1)
                 F.col("c_id").alias("vec_id"), F.col("c_vec").alias("vec")
             ),
         )
-        dims = assigned.select("cluster", F.posexplode("vec").alias("pos", "x"))
-        means = (
-            dims.groupBy("cluster", "pos")
-            .agg(
-                F.sum(F.round(F.col("x") * KMEANS_Q).cast("bigint")).alias("s"),
-                F.count(F.lit(1)).alias("ct"),
-            )
-            .withColumn(
-                "m", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q))
-            )
-        )
-        rebuilt = (
-            means.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("vec")
-            )
+        rebuilt = quantized_mean(
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "x")),
+            ["cluster"],
+            out_col="vec",
         )
         cents = with_norm(rebuilt, "vec").select(
             F.col("cluster").alias("c_id"), F.col("vec").alias("c_vec"), F.col("norm").alias("c_norm")
@@ -539,22 +549,10 @@ def pq_train(
     )
     for _ in range(iterations):
         assigned = pq_assign(subv, books)
-        dims = assigned.select("sub", "code", F.posexplode("svec").alias("pos", "x"))
-        means = (
-            dims.groupBy("sub", "code", "pos")
-            .agg(
-                F.sum(F.round(F.col("x") * KMEANS_Q).cast("bigint")).alias("s"),
-                F.count(F.lit(1)).alias("ct"),
-            )
-            .withColumn(
-                "mv", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q))
-            )
-        )
-        books = means.groupBy("sub", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                lambda st: st["mv"],
-            ).alias("cvec")
+        books = quantized_mean(
+            assigned.select("sub", "code", F.posexplode("svec").alias("pos", "x")),
+            ["sub", "code"],
+            out_col="cvec",
         )
     return books
 
@@ -570,6 +568,46 @@ def pq_encode(vectors: DataFrame, books: DataFrame, m: int, d_sub: int) -> DataF
     )
 
 
+def adc_lut(queries: DataFrame, books: DataFrame, m: int, d_sub: int) -> DataFrame:
+    """Per-query ADC lookup table: (q_id, sub, code, part_e6) — each
+    partial inner product rounds to int64 at PQ_SCALE granularity, so any
+    downstream sum of a candidate's m partials is exact. m*ksub rows per
+    query: always broadcastable."""
+    qsub = pq_subvectors(queries, m, d_sub).select(
+        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
+    )
+    return qsub.join(F.broadcast(books), "sub").select(
+        "q_id",
+        "sub",
+        "code",
+        F.round(_dot(F.col("qvec"), F.col("cvec")) * PQ_SCALE)
+        .cast("bigint")
+        .alias("part_e6"),
+    )
+
+
+def adc_rank(parts: DataFrame, m: int, k: int) -> DataFrame:
+    """Rank ADC candidates from their (q_id, vec_id, part_e6) partial rows:
+    sum each candidate's m integer partials, drop candidates missing any
+    subspace partial (a missing row would silently deflate the score),
+    top-k per query (ties -> lowest id). The ONE scoring contract shared
+    by the batch query (pq_adc_topk) and the streamed-index read path
+    (sinks/pq_sink.py::ivfpq_search) — PQ_SCALE, the all-m-partials guard,
+    and the tie-break can never diverge between them. Returns
+    (q_id, neighbor_id, rk, adc_e6)."""
+    scored = (
+        parts.groupBy("q_id", "vec_id")
+        .agg(F.sum("part_e6").alias("adc_e6"), F.count(F.lit(1)).alias("m_ct"))
+        .where(F.col("m_ct") == m)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_e6")
+    )
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -580,37 +618,18 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k by inner product: each query builds
     a tiny (sub, code) -> partial-IP lookup table against the codebooks
-    (m*ksub rows per query, broadcast), the code table joins it on
-    (sub, code), and a candidate's score is the exact integer sum of its m
-    quantized partials. The scan side reads ONLY the code table — never
-    the raw vectors — and the per-candidate work is m lookups, which is
-    why PQ serves ANN at scales where even the IVF probe's float math is
-    the bottleneck (IVF-PQ composes the two: this scan inside each probed
+    (adc_lut, broadcast), every encoded vector is a candidate, and a
+    candidate's score is the exact integer sum of its m quantized partials
+    (adc_rank). The scan side reads ONLY the code table — never the raw
+    vectors — and the per-candidate work is m lookups, which is why PQ
+    serves ANN at scales where even the IVF probe's float math is the
+    bottleneck (IVF-PQ composes the two: this scan inside each probed
     partition). Returns (q_id, neighbor_id, rk, adc_e6)."""
     codes = pq_encode(vectors, books, m, d_sub)
-    qsub = pq_subvectors(queries, m, d_sub).select(
-        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
-    )
-    lut = qsub.join(F.broadcast(books), "sub").select(
-        "q_id",
-        "sub",
-        "code",
-        F.round(_dot(F.col("qvec"), F.col("cvec")) * PQ_SCALE)
-        .cast("bigint")
-        .alias("part_e6"),
-    )
-    scored = (
+    lut = adc_lut(queries, books, m, d_sub)
+    parts = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .where(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("part_e6").alias("adc_e6"), F.count(F.lit(1)).alias("m_ct"))
-        # guard: a candidate must carry ALL m partials (a missing subspace
-        # row would silently deflate its score)
-        .where(F.col("m_ct") == m)
+        .select("q_id", "vec_id", "part_e6")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("adc_e6"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_e6")
-    )
+    return adc_rank(parts, m, k)

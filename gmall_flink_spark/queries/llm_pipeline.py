@@ -451,6 +451,19 @@ def llm_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAIR_TOP_K = 40
 
 
+def _bigrams(toks_col: str):
+    """Adjacent-token bigram array ('a b' strings) via zip_with over two
+    shifted slices — the ONE encoding of a BPE pair, shared by the counting
+    query and the merge round so the two can never disagree about a pair's
+    identity. Caller guards size >= 2."""
+    c = F.col(toks_col)
+    return F.zip_with(
+        F.slice(c, F.lit(1), F.size(c) - 1),
+        F.slice(c, F.lit(2), F.size(c) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
 def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-candidate counting — the inner statistic of one
     byte-pair-encoding merge round (tokenizer training): count every
@@ -468,16 +481,7 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokenize("text").alias("l")).where(F.size("l") >= 2)
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("l", F.lit(1), F.size("l") - 1),
-                F.slice("l", F.lit(2), F.size("l") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("pair"),
-    )
+    pairs = toks.select("doc_id", F.explode(_bigrams("l")).alias("pair"))
     counts = pairs.groupBy("pair").agg(
         F.count(F.lit(1)).alias("pair_ct"),
         F.count_distinct("doc_id").alias("doc_ct"),
@@ -506,13 +510,7 @@ def llm_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("source", "doc_id", tokenize("text").alias("l"))
     pairs = toks.where(F.size("l") >= 2).select(
-        F.explode(
-            F.zip_with(
-                F.slice("l", F.lit(1), F.size("l") - 1),
-                F.slice("l", F.lit(2), F.size("l") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("pair"),
+        F.explode(_bigrams("l")).alias("pair")
     )
     top = (
         pairs.groupBy("pair")
@@ -526,29 +524,36 @@ def llm_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with_pair = toks.crossJoin(F.broadcast(top))
-    # 1-based positions i where (l[i], l[i+1]) == (a, b) — map-side
-    match_pos = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size("l") - 1, F.lit(1))),
-        lambda i: (F.element_at("l", i) == F.col("a"))
-        & (F.element_at("l", i + 1) == F.col("b")),
-    )
+    # 1-based positions i where (l[i], l[i+1]) == (a, b) — map-side. The
+    # when() guard keeps element_at in-bounds for 0/1-token docs (ANSI mode
+    # throws on out-of-range element_at; sequence(1, 0) would also descend).
+    match_pos = F.when(
+        F.size("l") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            lambda i: (F.element_at("l", i) == F.col("a"))
+            & (F.element_at("l", i + 1) == F.col("b")),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     matches = with_pair.select(
-        "source", "doc_id", "pair", F.size("l").cast("bigint").alias("n"),
-        F.explode_outer(match_pos).alias("pos"),
+        "source", "doc_id", "pair",
+        F.explode(match_pos).alias("pos"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = matches.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
     runs = (
-        islands.where(F.col("pos").isNotNull())
-        .groupBy("source", "doc_id", "pair", "grp")
+        islands.groupBy("source", "doc_id", "pair", "grp")
         .agg(F.count(F.lit(1)).alias("run"))
         .groupBy("source", "doc_id", "pair")
         .agg(F.sum(F.expr("(run + 1) div 2")).alias("merges"))
     )
+    # with_pair is already one row per doc — no distinct over match rows
     per_doc = (
-        matches.select("source", "doc_id", "pair", "n").distinct()
+        with_pair.select(
+            "source", "doc_id", "pair", F.size("l").cast("bigint").alias("n")
+        )
         .join(runs, ["source", "doc_id", "pair"], "left")
         .withColumn("merges", F.coalesce("merges", F.lit(0)))
     )

@@ -975,9 +975,9 @@ ORACLE["text_boilerplate"] = f"""
     sh AS (
         SELECT DISTINCT source, doc_id, shingle FROM (
             SELECT source, doc_id,
-                   array_to_string(toks[i + 1 : i + {BP_N}], ' ') AS shingle
-            FROM toked, (SELECT unnest(range(400)) AS i) idx
-            WHERE i <= len(toks) - {BP_N}
+                   unnest([array_to_string(toks[i + 1 : i + {BP_N}], ' ')
+                           for i in range(0, len(toks) - {BP_N} + 1)]) AS shingle
+            FROM toked
         )
     ),
     df_tab AS (

@@ -33,7 +33,12 @@ from gmall_flink_spark.sinks._bucketed import (
     with_bucket,
 )
 
-__all__ = ["ivfpq_index_merge", "ivfpq_index_writer", "ivfpq_index_rows"]
+__all__ = [
+    "ivfpq_index_merge",
+    "ivfpq_index_writer",
+    "ivfpq_index_rows",
+    "ivfpq_search",
+]
 
 
 def _packed_codes(batch_df: DataFrame, books: DataFrame, m: int, d_sub: int) -> DataFrame:
@@ -118,10 +123,11 @@ def ivfpq_search(
     read path over ``ivfpq_index_rows`` (or any (vec_id, cluster, codes)
     frame). At scale the cluster is the index's physical partition key, so
     the probe is a partition-pruned scan of packed codes; raw vectors are
-    never read. Returns (q_id, neighbor_id, rk, adc_e6)."""
-    from pyspark.sql import Window
-
-    from gmall_flink_spark.llm.similarity import PQ_SCALE, _dot, pq_subvectors
+    never read. Scoring (LUT quantization, all-m-partials guard,
+    tie-break) is the SAME adc_lut/adc_rank contract as the batch
+    pq_adc_topk — only the candidate source differs (probed buckets here,
+    full encode there). Returns (q_id, neighbor_id, rk, adc_e6)."""
+    from gmall_flink_spark.llm.similarity import adc_lut, adc_rank
 
     probes = ivf_assign(queries, centroids).select(
         F.col("vec_id").alias("q_id"), F.col("cluster").alias("q_cluster")
@@ -131,26 +137,8 @@ def ivfpq_search(
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", F.posexplode("codes").alias("sub", "code"))
     )
-    qsub = pq_subvectors(queries, m, d_sub).select(
-        F.col("vec_id").alias("q_id"), "sub", F.col("svec").alias("qvec")
+    lut = adc_lut(queries, books, m, d_sub)
+    parts = cand.join(F.broadcast(lut), ["q_id", "sub", "code"]).select(
+        "q_id", "vec_id", "part_e6"
     )
-    lut = qsub.join(F.broadcast(books), "sub").select(
-        "q_id",
-        "sub",
-        "code",
-        F.round(_dot(F.col("qvec"), F.col("cvec")) * PQ_SCALE)
-        .cast("bigint")
-        .alias("part_e6"),
-    )
-    scored = (
-        cand.join(F.broadcast(lut), ["q_id", "sub", "code"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("part_e6").alias("adc_e6"), F.count(F.lit(1)).alias("m_ct"))
-        .where(F.col("m_ct") == m)
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("adc_e6"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "rk", "adc_e6")
-    )
+    return adc_rank(parts, m, k)

@@ -392,3 +392,27 @@ def test_bpe_merge_round_repeated_token_runs(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
     )
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
+
+
+def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
+    """0- and 1-token documents must not crash the match-position probe
+    (ANSI mode throws on out-of-bounds element_at — the sequence is
+    when()-guarded) and must still be counted in the per-source totals,
+    matching the oracle."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_pipeline import ORACLE, llm_bpe_merge_round
+
+    docs = spark.createDataFrame(
+        [(0, "", "en", "s0", 0), (1, "x", "en", "s0", 1), (2, "x x y", "en", "s0", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in llm_bpe_merge_round(spark, sf).collect()]
+    assert got == [("s0", "x x", 3, 4, 1, 3)], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
