@@ -337,10 +337,10 @@ def _jaccard(units_sql: str, max_df: int | None = None) -> str:
 
 _SHINGLES3 = f"""
     SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS shingle
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
-             (SELECT unnest(range(200)) AS i) idx
-        WHERE i <= len(toks) - 3
+        SELECT doc_id,
+               unnest([array_to_string(toks[i + 1 : i + 3], ' ')
+                       for i in range(0, len(toks) - 3 + 1)]) AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
     )
 """
 

@@ -669,10 +669,10 @@ _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 #: distinct 5-gram shingles per doc (mirror of llm/dedup.word_shingles n=5)
 _SHINGLES5 = f"""
     SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id, array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ') AS shingle
-        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t,
-             (SELECT unnest(range(200)) AS i) idx
-        WHERE i <= len(toks) - {NGRAM_N}
+        SELECT doc_id,
+               unnest([array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ')
+                       for i in range(0, len(toks) - {NGRAM_N} + 1)]) AS shingle
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
     )
 """
 
