@@ -233,6 +233,7 @@ HEADLINE = [
     "llm_bpe_merge_round",
     "entity_golden_record",
     "dedup_simhash_pairs",
+    "media_phash_pairs",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -289,3 +289,58 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     for b in range(bits):
         sig = sig + F.when(F.col(f"_t{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
     return tallies.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int,
+    band_bits: int,
+    max_bucket: int,
+    ham_max: int,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Banded hamming-ball pairing over any signature table: split each
+    signature into ``bands`` x ``band_bits`` values, bucket-join on
+    (keys..., band, value) with degenerate buckets above ``max_bucket``
+    dropped, verify candidates at exact hamming <= ``ham_max`` (bit_count
+    of xor). Pigeonhole: a pair within hamming < bands shares at least one
+    exact band, so the index has no false negatives while ham_max < bands.
+    ``keys`` scope the pairing (e.g. per media kind). The ONE banding/
+    verify implementation behind text SimHash pairing and media
+    perceptual-hash pairing. Returns (keys..., a_id, b_id, hamming)."""
+    mask = (1 << band_bits) - 1
+    band_vals = F.array(
+        *[
+            F.shiftright(sig_col, b * band_bits).bitwiseAND(F.lit(mask)).cast("bigint")
+            for b in range(bands)
+        ]
+    )
+    k = list(keys)
+    exploded = sig.select(
+        *k, id_col, sig_col, F.posexplode(band_vals).alias("band", "bval")
+    )
+    bucket_key = [*k, "band", "bval"]
+    keep = (
+        exploded.groupBy(*bucket_key)
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") <= max_bucket)
+        .select(*bucket_key)
+    )
+    capped = exploded.join(keep, bucket_key)
+    a = capped.select(
+        *bucket_key, F.col(id_col).alias("a_id"), F.col(sig_col).alias("a_sig")
+    )
+    b = capped.select(
+        *bucket_key, F.col(id_col).alias("b_id"), F.col(sig_col).alias("b_sig")
+    )
+    cand = (
+        a.join(b, bucket_key)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(*k, "a_id", "b_id", "a_sig", "b_sig")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.expr("a_sig ^ b_sig")).cast("bigint")
+    ).where(F.col("hamming") <= ham_max).select(*k, "a_id", "b_id", "hamming")

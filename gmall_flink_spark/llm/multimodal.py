@@ -167,3 +167,51 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
         F.when(needs, F.ceil(w / scale)).otherwise(w).cast("int").alias("target_width"),
         F.when(needs, F.ceil(h / scale)).otherwise(h).cast("int").alias("target_height"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_media(df: DataFrame, bits: int = 16) -> DataFrame:
+    """Perceptual-hash feature extraction over the binary payload: decode
+    (stub: utf-8 text), derive content features (distinct tokens), and
+    fold them into a ``bits``-bit similarity-preserving signature — the
+    SAME Charikar construction as llm/dedup.simhash, computed through the
+    Arrow-batched Python path a real image/audio phash takes (pixels ->
+    DCT signs, audio -> spectral-band signs). Kernel-vs-JVM bit equality
+    is pinned by test_phash_media_matches_jvm_simhash, which is what lets
+    the pairing query's SQL oracle stand in for the Python kernel.
+
+    The worker closure is self-contained (hash logic inlined): Spark's
+    Python workers run without this repo on their PYTHONPATH."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def sig(payload: bytes) -> int:
+            text = payload.decode("utf-8", "replace") if payload is not None else ""
+            toks = {t for t in text.split(" ") if t}
+            tallies = [0] * bits
+            for t in toks:
+                # portable 60-bit hash: md5_long(t, seed=0)
+                h = int(hashlib.md5(b"0|" + t.encode("utf-8")).hexdigest()[:15], 16)
+                for b in range(bits):
+                    tallies[b] += 1 if (h >> b) & 1 else -1
+            return sum(1 << b for b in range(bits) if tallies[b] > 0)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pdf["payload"].map(sig).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)

@@ -177,41 +177,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrates signatures, the adversarial case); verification touches
     only colliding pairs and the xor/bit_count check is a per-row integer
     op. Candidate volume ∝ shared signature mass, never corpus²."""
+    from gmall_flink_spark.llm.dedup import simhash_pairs
+
     docs = table(spark, sf_dir, "documents")
     sig = simhash(docs, bits=16)
-    band_vals = F.array(
-        *[
-            F.shiftright("simhash", b * SIMHASH_BAND_BITS)
-            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-            .cast("bigint")
-            for b in range(SIMHASH_BANDS)
-        ]
+    verified = simhash_pairs(
+        sig,
+        "doc_id",
+        "simhash",
+        bands=SIMHASH_BANDS,
+        band_bits=SIMHASH_BAND_BITS,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        ham_max=SIMHASH_HAM_MAX,
     )
-    bands = sig.select(
-        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
-    )
-    keep = (
-        bands.groupBy("band", "bval")
-        .agg(F.count(F.lit(1)).alias("sz"))
-        .where(F.col("sz") <= SIMHASH_MAX_BUCKET)
-        .select("band", "bval")
-    )
-    capped = bands.join(keep, ["band", "bval"])
-    a = capped.select(
-        "band", "bval", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sig")
-    )
-    b = capped.select(
-        "band", "bval", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sig")
-    )
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
-    )
-    verified = cand.withColumn(
-        "hamming", F.bit_count(F.expr("a_sig ^ b_sig")).cast("bigint")
-    ).where(F.col("hamming") <= SIMHASH_HAM_MAX)
     return (
         verified.groupBy("hamming")
         .agg(

@@ -127,3 +127,117 @@ ORACLE = {
         FROM img ORDER BY media_id
     """,
 }
+
+
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup via perceptual hash: extract a 16-bit
+    similarity-preserving signature from each binary payload through the
+    Arrow-batched Python kernel (llm/multimodal.py::phash_media — the path
+    a real image/audio phash takes), then find near-dup pairs per kind
+    with the shared banded hamming-ball index (llm/dedup.simhash_pairs,
+    scoped by kind so an image never pairs with an audio clip). Reported
+    per (kind, hamming): pair count + id checksums.
+
+    The oracle computes the signature in SQL from the decoded text — the
+    parity pass therefore proves the Python kernel is bit-identical to
+    the JVM/SQL construction, which is exactly the correctness question a
+    stubbed decode leaves open.
+
+    Scale: payloads cross into Python once, as Arrow batches, one worker
+    per partition; everything after the 8-byte signature is JVM-side
+    (capped bucket join + xor verify — candidate volume ∝ shared
+    signature mass)."""
+    from gmall_flink_spark.llm.dedup import simhash_pairs
+    from gmall_flink_spark.llm.multimodal import media_table, phash_media
+    from gmall_flink_spark.queries.llm_dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_BANDS,
+        SIMHASH_HAM_MAX,
+        SIMHASH_MAX_BUCKET,
+    )
+
+    sig = phash_media(media_table(spark, sf_dir))
+    verified = simhash_pairs(
+        sig.select(F.col("media_id").alias("doc_id"), "kind", "phash"),
+        "doc_id",
+        "phash",
+        bands=SIMHASH_BANDS,
+        band_bits=SIMHASH_BAND_BITS,
+        max_bucket=SIMHASH_MAX_BUCKET,
+        ham_max=SIMHASH_HAM_MAX,
+        keys=("kind",),
+    )
+    return (
+        verified.groupBy("kind", "hamming")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum("a_id").alias("a_id_sum"),
+            F.sum("b_id").alias("b_id_sum"),
+        )
+        .orderBy("kind", "hamming")
+    )
+
+
+QUERIES["media_phash_pairs"] = media_phash_pairs
+
+from gmall_flink_spark.queries.llm_dedup import (  # noqa: E402
+    SIMHASH_BAND_BITS as _BB,
+    SIMHASH_BANDS as _NB,
+    SIMHASH_HAM_MAX as _HM,
+    SIMHASH_MAX_BUCKET as _MB,
+)
+
+ORACLE["media_phash_pairs"] = f"""
+    WITH units AS (
+        SELECT doc_id, {_KIND} AS kind,
+               unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x != ''))) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, kind,
+               ('0x' || substr(md5('0|' || tok), 1, 15))::BIGINT AS h
+        FROM units
+    ),
+    votes AS (
+        SELECT doc_id, kind, b,
+               SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        FROM hashed, (SELECT unnest(range(16)) AS b) bits
+        GROUP BY doc_id, kind, b
+    ),
+    sig AS (
+        SELECT doc_id, kind,
+               CAST(SUM(CASE WHEN tally > 0 THEN CAST(pow(2, b) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS phash
+        FROM votes GROUP BY doc_id, kind
+    ),
+    bands AS (
+        SELECT doc_id, kind, phash, band,
+               (phash >> (band * {_BB})) & {(1 << _BB) - 1} AS bval
+        FROM sig, (SELECT unnest(range({_NB})) AS band)
+    ),
+    keep AS (
+        SELECT kind, band, bval FROM bands GROUP BY 1, 2, 3
+        HAVING COUNT(*) <= {_MB}
+    ),
+    capped AS (
+        SELECT b.* FROM bands b JOIN keep k
+          ON b.kind = k.kind AND b.band = k.band AND b.bval = k.bval
+    ),
+    cand AS (
+        SELECT DISTINCT a.kind, a.doc_id AS a_id, b.doc_id AS b_id,
+                        a.phash AS a_sig, b.phash AS b_sig
+        FROM capped a JOIN capped b
+          ON a.kind = b.kind AND a.band = b.band AND a.bval = b.bval
+         AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT kind, a_id, b_id,
+               CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= {_HM}
+    )
+    SELECT kind, hamming, CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(SUM(a_id) AS BIGINT) AS a_id_sum,
+           CAST(SUM(b_id) AS BIGINT) AS b_id_sum
+    FROM verified GROUP BY kind, hamming ORDER BY kind, hamming
+"""

@@ -416,3 +416,22 @@ def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
     )
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
+
+
+def test_phash_media_matches_jvm_simhash(spark):
+    """The Arrow-batched Python phash kernel must be bit-identical to the
+    JVM simhash over the same decoded content — the correctness question a
+    stubbed decode leaves open, and the equivalence that lets
+    media_phash_pairs' SQL oracle stand in for the Python path."""
+    from gmall_flink_spark.llm.dedup import simhash
+    from gmall_flink_spark.llm.multimodal import media_table, phash_media
+    from gmall_flink_spark.sources.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ph = phash_media(media_table(spark, sf)).select(
+        F.col("media_id").alias("doc_id"), F.col("phash").alias("sig")
+    )
+    sh = simhash(table(spark, sf, "documents"), bits=16).select(
+        "doc_id", F.col("simhash").alias("sig")
+    )
+    assert sorted(map(tuple, ph.collect())) == sorted(map(tuple, sh.collect()))
