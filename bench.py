@@ -234,6 +234,7 @@ HEADLINE = [
     "entity_golden_record",
     "dedup_simhash_pairs",
     "media_phash_pairs",
+    "uv_rolling7_kmv",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

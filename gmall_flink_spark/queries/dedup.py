@@ -178,8 +178,73 @@ def uv_daily_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def uv_rolling7_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLL-UP: 7-day rolling distinct users from merged per-day
+    KMV sketches, next to the exact rolling count. The per-day state is k
+    hashes; a week's estimate is min-k of the UNION of 7 day sketches —
+    the mergeability that makes KMV a warehouse primitive (day sketches
+    roll to week/month/anything without touching raw keys, the same merge
+    the streaming sink does across batches). Exact rolling distinct, by
+    contrast, must re-touch every (day, user) pair per window.
+
+    Scale: per-day sketches are k int64s; the rolling window runs over the
+    DAYS table (rows ∝ time, not data volume — the one unpartitioned
+    window in the suite, deliberately); the exact column's day-range join
+    re-shuffles the pair table and is the cost the sketch removes."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.operators.sketch import KMV_K, KMV_M, kmv_hash
+
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("d"), "user_id"
+    ).distinct()
+    hashed = pairs.select("d", kmv_hash(F.col("user_id")).alias("h"))
+    per_day = hashed.groupBy("d").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("sk")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    rolled = per_day.withColumn(
+        "sk7",
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk").over(w)))),
+            1,
+            KMV_K,
+        ),
+    )
+    est = (
+        F.when(F.size("sk7") < KMV_K, F.size("sk7"))
+        .otherwise(
+            F.expr(
+                f"{(KMV_K - 1) * KMV_M}L div greatest(element_at(sk7, {KMV_K}), 1L)"
+            )
+        )
+        .cast("bigint")
+    )
+    days = per_day.select(F.to_date("d").alias("day7"))
+    exact = (
+        F.broadcast(days)
+        .join(
+            pairs.withColumn("pd", F.to_date("d")),
+            (F.col("pd") >= F.date_sub(F.col("day7"), 6))
+            & (F.col("pd") <= F.col("day7")),
+        )
+        .groupBy("day7")
+        .agg(F.count_distinct("user_id").alias("exact_ct"))
+        .select(F.date_format("day7", "yyyy-MM-dd").alias("d"), "exact_ct")
+    )
+    return (
+        rolled.select("d", est.alias("kmv_ct"))
+        .join(exact, "d")
+        .select("d", "exact_ct", "kmv_ct")
+        .orderBy("d")
+    )
+
+
 QUERIES = {
     "uv_daily_kmv": uv_daily_kmv,
+    "uv_rolling7_kmv": uv_rolling7_kmv,
     "dedup_keep_first": dedup_keep_first,
     "dedup_keep_last": dedup_keep_last,
     "uv_daily": uv_daily,
@@ -286,3 +351,43 @@ ORACLE = {
         FROM firsts GROUP BY event_type ORDER BY event_type
     """,
 }
+
+from gmall_flink_spark.operators.sketch import KMV_K as _K, KMV_M as _M  # noqa: E402
+
+ORACLE["uv_rolling7_kmv"] = f"""
+    WITH p AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d, user_id FROM events
+    ),
+    h AS (
+        SELECT d,
+               ('0x' || substr(md5('0|' || user_id::VARCHAR), 1, 15))::BIGINT >> 12
+                   AS h
+        FROM p
+    ),
+    per_day AS (
+        SELECT d, (list_sort(list(h)))[1:{_K}] AS sk FROM h GROUP BY d
+    ),
+    rolled AS (
+        SELECT d,
+               (list_sort(list_distinct(flatten(
+                   list(sk) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW)))))[1:{_K}] AS sk7
+        FROM per_day
+    ),
+    est AS (
+        SELECT d,
+               CAST(CASE WHEN len(sk7) < {_K} THEN len(sk7)
+                         ELSE {(_K - 1) * _M} // greatest(sk7[{_K}], 1)
+                    END AS BIGINT) AS kmv_ct
+        FROM rolled
+    ),
+    exact AS (
+        SELECT d1.d, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS exact_ct
+        FROM (SELECT DISTINCT d FROM p) d1
+        JOIN p ON p.d::DATE BETWEEN d1.d::DATE - 6 AND d1.d::DATE
+        GROUP BY d1.d
+    )
+    SELECT est.d, exact.exact_ct, est.kmv_ct
+    FROM est JOIN exact ON est.d = exact.d
+    ORDER BY est.d
+"""

@@ -435,3 +435,16 @@ def test_phash_media_matches_jvm_simhash(spark):
         "doc_id", F.col("simhash").alias("sig")
     )
     assert sorted(map(tuple, ph.collect())) == sorted(map(tuple, sh.collect()))
+
+
+def test_uv_rolling7_kmv_within_error_bound(spark):
+    """The merged 7-day sketch estimate must stay within 35% of the exact
+    rolling distinct count (k=64 -> ~12.6% standard error) on the sf0.01
+    estimator path (150 users > k, so the min-k estimator, not the
+    exact-degrade path, is exercised)."""
+    from gmall_flink_spark.queries.dedup import uv_rolling7_kmv
+
+    got = uv_rolling7_kmv(spark, "/root/testdata/sf0.01").collect()
+    assert got
+    for r in got:
+        assert abs(r.kmv_ct - r.exact_ct) <= 0.35 * r.exact_ct, r
