@@ -275,3 +275,49 @@ def test_cms_counters_broadcast_for_estimation(spark):
     p = plan(spark, "events_cms_topk")
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually fire in this engine's session
+    config (session.py pins spark.sql.adaptive.skewJoin.enabled): a join
+    with one hot key, under test-sized skew thresholds, finalizes with the
+    skewed partition split (skew=true in the final plan) instead of one
+    straggler task — the runtime half of the salting strategy SCALE.md
+    documents for keys too hot for AQE."""
+    from pyspark.sql import functions as F
+
+    thresholds = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k, v in thresholds.items():
+            spark.conf.set(k, v)
+        # 25% of rows land on key 0; both sides big enough to shuffle.
+        # The join must stay TERMINAL: a downstream aggregation would
+        # require hash partitioning on k, and AQE (correctly) declines to
+        # split skewed partitions whose partitioning is reused.
+        hot = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 4 != 0, F.col("id") % 997).otherwise(0).alias("k"),
+            F.col("id").alias("v"),
+        )
+        big = spark.range(0, 100_000).select(
+            (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = hot.join(big, "k")
+        # run THIS DataFrame's own query execution (a write would execute a
+        # cloned plan and leave this one un-finalized), JVM-side only
+        qe = joined._jdf.queryExecution()
+        assert qe.toRdd().count() > 0
+        p = qe.executedPlan().toString()
+        assert "isFinalPlan=true" in p, p
+        assert "skew=true" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
