@@ -1,0 +1,64 @@
+"""Z-order layout: multi-column file skipping, measured from parquet
+row-group statistics (what a reader's min/max pruning actually uses)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.sinks.layout import write_zordered
+from gmall_flink_spark.sources.tables import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _hit_fraction(path: str, col: str, lo, hi) -> float:
+    """Fraction of row groups whose [min, max] for ``col`` intersects
+    [lo, hi] — the row groups a stats-pruning reader must scan."""
+    total = hits = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if st is None or (st.min <= hi and st.max >= lo):
+                hits += 1
+    assert total > 0
+    return hits / total
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordering events on (user_id, value) must let a narrow predicate
+    on EITHER column prune most row groups, where the unsorted layout
+    prunes (almost) nothing — the multi-dimensional clustering contract.
+    Bounds are loose (<= 0.5 vs >= 0.9) because Morton locality is
+    statistical, not exact."""
+    ev = table(spark, SF, "events").select("event_id", "user_id", "value")
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    ev.repartition(64).write.mode("overwrite").parquet(plain)
+    write_zordered(ev, zord, ["user_id", "value"], n_files=64)
+
+    # same rows either way
+    assert (
+        spark.read.parquet(zord).count() == spark.read.parquet(plain).count()
+    )
+
+    stats = ev.agg(
+        F.expr("percentile(user_id, 0.45)").alias("u_lo"),
+        F.expr("percentile(user_id, 0.55)").alias("u_hi"),
+        F.expr("percentile(value, 0.45)").alias("v_lo"),
+        F.expr("percentile(value, 0.55)").alias("v_hi"),
+    ).collect()[0]
+
+    for col, lo, hi in (
+        ("user_id", int(stats.u_lo), int(stats.u_hi)),
+        ("value", float(stats.v_lo), float(stats.v_hi)),
+    ):
+        z = _hit_fraction(zord, col, lo, hi)
+        p = _hit_fraction(plain, col, lo, hi)
+        assert z <= 0.5, f"{col}: zorder layout did not prune ({z:.2f})"
+        assert p >= 0.9, f"{col}: unsorted layout unexpectedly pruned ({p:.2f})"
