@@ -235,6 +235,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "media_phash_pairs",
     "uv_rolling7_kmv",
+    "stats_table_profile",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

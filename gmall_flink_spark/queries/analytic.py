@@ -330,7 +330,47 @@ def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: columns profiled by stats_table_profile
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the documents table in ONE pass:
+    per column, null count, exact distinct count, and min/max — the
+    statistics a data pipeline records per snapshot for drift detection
+    and that a cost-based optimizer feeds on. One row per column via an
+    unpivot of the single aggregate row.
+
+    Scale: one scan; the k exact count_distincts expand the input k ways
+    before the aggregate (Spark's Expand operator — the honest exact
+    cost, documented). At 100 TB the exact distincts swap for the KMV
+    sketch (operators/sketch.py) column-by-column; nulls/min/max are
+    plain map-side partials either way."""
+    d = table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("row_ct")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"),
+            F.count_distinct(c).alias(f"dist_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', null_{c}, dist_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "row_ct",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, null_ct, distinct_ct, min_val, max_val)",
+    ).select(
+        "column_name", "row_ct", "null_ct", "distinct_ct", "min_val", "max_val"
+    ).orderBy("column_name")
+
+
 QUERIES = {
+    "stats_table_profile": stats_table_profile,
     "events_cms_topk": events_cms_topk,
     "running_customer_totals": running_customer_totals,
     "value_quantile_sketch": value_quantile_sketch,
@@ -529,3 +569,16 @@ ORACLE["events_cms_topk"] = f"""
     GROUP BY 1, 2
     ORDER BY exact_ct DESC, user_id
 """
+
+ORACLE["stats_table_profile"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS row_ct,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ct,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS distinct_ct,
+           MIN({c})::VARCHAR AS min_val,
+           MAX({c})::VARCHAR AS max_val
+    FROM documents
+    """
+    for c in _PROFILE_COLS
+) + "\nORDER BY column_name"
