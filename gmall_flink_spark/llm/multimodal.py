@@ -194,9 +194,15 @@ def phash_media(df: DataFrame, bits: int = 16) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def sig(payload: bytes) -> int:
+        def sig(payload: bytes) -> int | None:
             text = payload.decode("utf-8", "replace") if payload is not None else ""
             toks = {t for t in text.split(" ") if t}
+            if not toks:
+                # token-less payload: NO signature — the JVM simhash and
+                # the SQL twin both drop such docs (their token explode
+                # yields no rows); emitting phash=0 here would fabricate
+                # band collisions the oracle never sees
+                return None
             tallies = [0] * bits
             for t in toks:
                 # portable 60-bit hash: md5_long(t, seed=0)
@@ -206,12 +212,15 @@ def phash_media(df: DataFrame, bits: int = 16) -> DataFrame:
             return sum(1 << b for b in range(bits) if tallies[b] > 0)
 
         for pdf in batches:
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "phash": pdf["payload"].map(sig).astype("int64"),
+                    "phash": pdf["payload"].map(sig),
                 }
             )
+            out = out[out["phash"].notna()]
+            out["phash"] = out["phash"].astype("int64")
+            yield out
 
     return df.mapInPandas(run, PHASH_SCHEMA)

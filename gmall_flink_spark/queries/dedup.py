@@ -190,11 +190,13 @@ def uv_rolling7_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-day sketches are k int64s; the rolling window runs over the
     DAYS table (rows ∝ time, not data volume — the one unpartitioned
-    window in the suite, deliberately); the exact column's day-range join
+    window in the suite, deliberately) and is a CALENDAR range frame on
+    the day number, so a gap day widens nothing: both columns always
+    cover exactly [day-6, day]; the exact column's day-range join
     re-shuffles the pair table and is the cost the sketch removes."""
     from pyspark.sql import Window
 
-    from gmall_flink_spark.operators.sketch import KMV_K, KMV_M, kmv_hash
+    from gmall_flink_spark.operators.sketch import KMV_K, kmv_estimate, kmv_hash
 
     ev = table(spark, sf_dir, "events")
     pairs = ev.select(
@@ -204,7 +206,8 @@ def uv_rolling7_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day = hashed.groupBy("d").agg(
         F.slice(F.array_sort(F.collect_list("h")), 1, KMV_K).alias("sk")
     )
-    w = Window.orderBy("d").rowsBetween(-6, 0)
+    day_num = F.datediff(F.to_date("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
     rolled = per_day.withColumn(
         "sk7",
         F.slice(
@@ -212,16 +215,10 @@ def uv_rolling7_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             KMV_K,
         ),
-    )
-    est = (
-        F.when(F.size("sk7") < KMV_K, F.size("sk7"))
-        .otherwise(
-            F.expr(
-                f"{(KMV_K - 1) * KMV_M}L div greatest(element_at(sk7, {KMV_K}), 1L)"
-            )
-        )
-        .cast("bigint")
-    )
+    ).withColumn("n7", F.size("sk7").cast("bigint"))
+    # shared estimator arithmetic (operators/sketch.py) — CASE branches
+    # evaluate lazily, so element_at stays in-bounds under ANSI
+    est = kmv_estimate("n7", f"element_at(sk7, {KMV_K})")
     days = per_day.select(F.to_date("d").alias("day7"))
     exact = (
         F.broadcast(days)
@@ -370,7 +367,8 @@ ORACLE["uv_rolling7_kmv"] = f"""
     rolled AS (
         SELECT d,
                (list_sort(list_distinct(flatten(
-                   list(sk) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                   list(sk) OVER (ORDER BY d::DATE
+                                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
                                   AND CURRENT ROW)))))[1:{_K}] AS sk7
         FROM per_day
     ),

@@ -129,6 +129,14 @@ ORACLE = {
 }
 
 
+from gmall_flink_spark.queries.llm_dedup import (
+    SIMHASH_BAND_BITS as _BB,
+    SIMHASH_BANDS as _NB,
+    SIMHASH_HAM_MAX as _HM,
+    SIMHASH_MAX_BUCKET as _MB,
+)
+
+
 def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup via perceptual hash: extract a 16-bit
     similarity-preserving signature from each binary payload through the
@@ -149,22 +157,16 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature mass)."""
     from gmall_flink_spark.llm.dedup import simhash_pairs
     from gmall_flink_spark.llm.multimodal import media_table, phash_media
-    from gmall_flink_spark.queries.llm_dedup import (
-        SIMHASH_BAND_BITS,
-        SIMHASH_BANDS,
-        SIMHASH_HAM_MAX,
-        SIMHASH_MAX_BUCKET,
-    )
 
     sig = phash_media(media_table(spark, sf_dir))
     verified = simhash_pairs(
         sig.select(F.col("media_id").alias("doc_id"), "kind", "phash"),
         "doc_id",
         "phash",
-        bands=SIMHASH_BANDS,
-        band_bits=SIMHASH_BAND_BITS,
-        max_bucket=SIMHASH_MAX_BUCKET,
-        ham_max=SIMHASH_HAM_MAX,
+        bands=_NB,
+        band_bits=_BB,
+        max_bucket=_MB,
+        ham_max=_HM,
         keys=("kind",),
     )
     return (
@@ -179,13 +181,6 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["media_phash_pairs"] = media_phash_pairs
-
-from gmall_flink_spark.queries.llm_dedup import (  # noqa: E402
-    SIMHASH_BAND_BITS as _BB,
-    SIMHASH_BANDS as _NB,
-    SIMHASH_HAM_MAX as _HM,
-    SIMHASH_MAX_BUCKET as _MB,
-)
 
 ORACLE["media_phash_pairs"] = f"""
     WITH units AS (

@@ -448,3 +448,63 @@ def test_uv_rolling7_kmv_within_error_bound(spark):
     assert got
     for r in got:
         assert abs(r.kmv_ct - r.exact_ct) <= 0.35 * r.exact_ct, r
+
+
+def test_phash_media_drops_tokenless_payloads(spark):
+    """Null/empty/whitespace payloads must produce NO signature row —
+    matching the JVM simhash and the SQL twin, whose token explodes drop
+    such docs. Emitting phash=0 instead would fabricate all-band
+    collisions the oracle never sees (second-review finding)."""
+    from gmall_flink_spark.llm.multimodal import phash_media
+
+    df = spark.createDataFrame(
+        [
+            (0, "image", None),
+            (1, "image", b""),
+            (2, "image", b"   "),
+            (3, "image", b"x y z"),
+        ],
+        "media_id bigint, kind string, payload binary",
+    )
+    got = phash_media(df).collect()
+    assert [r.media_id for r in got] == [3], got
+    assert got[0].phash != 0
+
+
+def test_uv_rolling7_kmv_gap_days_stay_calendar(spark, tmp_path):
+    """A day with no events must not widen the sketch window: both the
+    sketch merge (calendar RANGE frame) and the exact column cover exactly
+    [day-6, day] (second-review finding — a ROWS frame would merge the 7
+    most recent PRESENT days and overshoot across gaps). Users 0-9 on
+    Jan 1, users 10-19 on Jan 10: the windows never overlap, so each
+    day's rolling count must be 10, and both engines must agree."""
+    import datetime
+
+    import duckdb
+
+    from gmall_flink_spark.queries.dedup import ORACLE, uv_rolling7_kmv
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 12, 0, 0), i, "view", 1.0, "{}")
+        for i in range(10)
+    ] + [
+        (100 + i, datetime.datetime(2024, 1, 10, 12, 0, 0), 10 + i, "view", 1.0, "{}")
+        for i in range(10)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = [tuple(r) for r in uv_rolling7_kmv(spark, sf).collect()]
+    assert got == [
+        ("2024-01-01", 10, 10),
+        ("2024-01-10", 10, 10),
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["uv_rolling7_kmv"]).fetchall()
