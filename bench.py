@@ -236,6 +236,7 @@ HEADLINE = [
     "media_phash_pairs",
     "uv_rolling7_kmv",
     "stats_table_profile",
+    "dedup_cross_source",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

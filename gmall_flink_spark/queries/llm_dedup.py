@@ -146,6 +146,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(spark, sf_dir).orderBy("doc_id")
 
 
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the corpus-governance view of the
+    verified near-dup pairs: per unordered source pair, how many near-dup
+    document pairs span it (within-source duplication on the diagonal,
+    cross-source contamination off it). The report that decides which
+    source to drop when two feeds overlap, and the provenance check run
+    before mixing scraped corpora.
+
+    Scale: consumes the SAME verified pair graph as dedup_components (LSH
+    candidates -> jaccard verify, memoized units) plus two doc_id-keyed
+    joins to attach sources; the matrix aggregate is |sources|²-bounded —
+    tiny at any corpus size."""
+    units = _doc_units(spark, sf_dir)
+    cands = lsh_candidates(
+        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+        max_bucket=LSH_MAX_BUCKET,
+    )
+    jac = jaccard_pairs(units, cands)
+    pairs = jac.where(10 * F.col("inter") >= 9 * F.col("uni")).select(
+        "doc_a", "doc_b"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    attached = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("sa")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        attached.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum("doc_a").alias("a_id_sum"),
+            F.sum("doc_b").alias("b_id_sum"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
     docs = table(spark, sf_dir, "documents")
@@ -245,6 +290,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "dedup_simhash": dedup_simhash,
+    "dedup_cross_source": dedup_cross_source,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
@@ -471,4 +517,26 @@ ORACLE["dedup_simhash_pairs"] = f"""
            CAST(SUM(a_id) AS BIGINT) AS a_id_sum,
            CAST(SUM(b_id) AS BIGINT) AS b_id_sum
     FROM verified GROUP BY hamming ORDER BY hamming
+"""
+
+ORACLE["dedup_cross_source"] = f"""
+    WITH cands AS ({_CANDS}),
+    jac AS ({_jaccard(_UNITS)}),
+    edges AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+    ),
+    attached AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               e.doc_a, e.doc_b
+        FROM edges e
+        JOIN documents da ON e.doc_a = da.doc_id
+        JOIN documents db ON e.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
+           CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+    FROM attached GROUP BY 1, 2 ORDER BY 1, 2
 """
