@@ -321,3 +321,46 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime bloom-filter join pruning must inject for a
+    selective-dim x fact shuffle join in this engine's session: the
+    optimized plan carries a bloom_filter_agg on the filtered side and a
+    might_contain probe on the fact scan side. Thresholds are lowered for
+    test-sized data — at the default 10 GB application-side threshold the
+    feature self-activates exactly at the scan sizes the 100 TB posture
+    targets, with zero query changes."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sources.tables import table
+
+    saved_t = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = table(spark, SF, "lineitem")
+        orders = table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_t,
+        )
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
