@@ -237,6 +237,7 @@ HEADLINE = [
     "uv_rolling7_kmv",
     "stats_table_profile",
     "dedup_cross_source",
+    "sim_label_drift",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -676,3 +676,88 @@ ORACLE["sim_pq_rerank"] = f"""
     QUALIFY rk <= {PQ_TOPK}
     ORDER BY q_id, rk
 """
+
+
+def sim_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor — the check a pipeline runs between corpus
+    snapshots: split the table into two deterministic halves (even/odd
+    vec_id standing in for old/new snapshot), compute each label's
+    quantized-mean centroid per half (the shared order-independent
+    quantized_mean, so both halves are bit-reproducible), and report per
+    label the halves' sizes and the centroid shift (squared L2, rounded).
+    A label whose centroid moves is drifting — retrain/re-embed before it
+    poisons retrieval.
+
+    Scale: two grouped quantized means (one (label, half, pos) shuffle
+    with map-side int64 partials) and a |labels|-sized join — no
+    pairwise work anywhere."""
+    from gmall_flink_spark.llm.similarity import _l2sq, quantized_mean
+
+    emb = prep(table(spark, sf_dir, "embeddings")).withColumn(
+        "half", (F.col("vec_id") % 2).cast("int")
+    )
+    dims = emb.select("label", "half", F.posexplode("vec").alias("pos", "x"))
+    cents = quantized_mean(dims, ["label", "half"], out_col="cvec")
+    counts = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("ct"))
+    a = (
+        cents.where(F.col("half") == 0)
+        .select("label", F.col("cvec").alias("c0"))
+        .join(
+            counts.where(F.col("half") == 0).select("label", F.col("ct").alias("n0")),
+            "label",
+        )
+    )
+    b = (
+        cents.where(F.col("half") == 1)
+        .select("label", F.col("cvec").alias("c1"))
+        .join(
+            counts.where(F.col("half") == 1).select("label", F.col("ct").alias("n1")),
+            "label",
+        )
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            "n0",
+            "n1",
+            _l2sq(F.col("c0"), F.col("c1")).alias("drift_l2sq"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES["sim_label_drift"] = sim_label_drift
+
+ORACLE["sim_label_drift"] = f"""
+    WITH v AS (
+        SELECT vec_id, label, vec_id % 2 AS half, embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, half, pos,
+               CAST(round(v[pos + 1] * 1000000) AS BIGINT) AS xq
+        FROM v, (SELECT unnest(range(64)) AS pos)
+    ),
+    cents AS (
+        SELECT label, half, list(mv ORDER BY pos) AS cvec
+        FROM (SELECT label, half, pos,
+                     floor(CAST(SUM(xq) AS BIGINT) * 1.0 / COUNT(*))
+                         / 1000000.0 AS mv
+              FROM dims GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+    ),
+    counts AS (
+        SELECT label, half, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM v GROUP BY 1, 2
+    )
+    SELECT a.label, ca.ct AS n0, cb.ct AS n1,
+           round(list_dot_product(a.cvec, a.cvec)
+                 - 2 * list_dot_product(a.cvec, b.cvec)
+                 + list_dot_product(b.cvec, b.cvec), 6) AS drift_l2sq
+    FROM cents a
+    JOIN cents b ON a.label = b.label AND a.half = 0 AND b.half = 1
+    JOIN counts ca ON ca.label = a.label AND ca.half = 0
+    JOIN counts cb ON cb.label = a.label AND cb.half = 1
+    ORDER BY a.label
+"""
