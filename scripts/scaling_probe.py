@@ -51,6 +51,12 @@ PROBES = [
     "llm_bpe_pairs",            # bigram zip_with + pair-key agg + TakeOrdered
     "text_boilerplate",         # shingle df build + dictionary-hit join
     "dedup_simhash_pairs",      # capped band-bucket self-join + xor verify
+    "media_phash_pairs",        # Arrow phash kernel + shared banding
+    "events_cms_topk",          # count-min cells (extreme map-side combine)
+    "llm_bpe_merge_round",      # 1-row pair broadcast + match-island window
+    "uv_rolling7_kmv",          # per-day min-k sketches + days-table window
+    "stats_table_profile",      # one-pass profile (Expand x k distincts)
+    "dedup_cross_source",       # verified pair graph + source matrix
     "sim_pq_topk",              # PQ train + code scan x broadcast ADC LUT
                                 #   (NB: replicated vec_ids collapse in the
                                 #   (vec_id, sub) argmin, so codebooks and
