@@ -161,7 +161,12 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
 KMEANS_Q = 1_000_000
 
 
-def quantized_mean(dims: DataFrame, keys: list[str], out_col: str = "vec") -> DataFrame:
+def quantized_mean(
+    dims: DataFrame,
+    keys: list[str],
+    out_col: str = "vec",
+    count_col: str | None = None,
+) -> DataFrame:
     """Element-wise quantized-sum mean per key group, rebuilt as an array:
     (keys..., pos, x) -> (keys..., out_col). The ONE implementation of the
     order-independence contract both trainers share (IVF centroids keyed on
@@ -178,12 +183,18 @@ def quantized_mean(dims: DataFrame, keys: list[str], out_col: str = "vec") -> Da
         )
         .withColumn("m", F.floor(F.col("s") / F.col("ct")) / F.lit(float(KMEANS_Q)))
     )
-    return means.groupBy(*keys).agg(
+    aggs = [
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s: s["m"],
         ).alias(out_col)
-    )
+    ]
+    if count_col is not None:
+        # group size for free (valid because every member vector carries
+        # every position — fixed-dim inputs, which all callers have):
+        # ct is constant across a group's pos rows
+        aggs.append(F.max("ct").alias(count_col))
+    return means.groupBy(*keys).agg(*aggs)
 
 
 def kmeans_refine(vectors: DataFrame, centroids: DataFrame, iterations: int = 1) -> DataFrame:

@@ -65,6 +65,33 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DOC_UNITS[key]
 
 
+#: verified near-dup pair graph (LSH candidates -> exact jaccard, j >= 0.9),
+#: memoized like _doc_units/_components: minhash_lsh_pairs, the component
+#: pipeline, and dedup_cross_source all consume the SAME verify join — the
+#: suite's third-heaviest stage — so it runs once per (session, sf_dir,
+#: content stamp), and the j-threshold lives in exactly one place.
+_VERIFIED: dict[tuple, DataFrame] = {}
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _VERIFIED)
+    if key not in _VERIFIED:
+        units = _doc_units(spark, sf_dir)
+        cands = lsh_candidates(
+            lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+            max_bucket=LSH_MAX_BUCKET,
+        )
+        jac = jaccard_pairs(units, cands)
+        _VERIFIED[key] = (
+            jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
+            .select("doc_a", "doc_b", "inter", "uni")
+            .localCheckpoint(eager=True)
+        )
+    return _VERIFIED[key]
+
+
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH stage 1-3 (shingle→minhash→band): multi-member band
     buckets — each is a candidate near-dup cluster."""
@@ -82,17 +109,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: bucket-join candidates (degenerate buckets
     > LSH_MAX_BUCKET skipped) verified by exact token-set jaccard, kept at
     j >= 0.9 (10*inter >= 9*union)."""
-    units = _doc_units(spark, sf_dir)
-    cands = lsh_candidates(
-        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
-        max_bucket=LSH_MAX_BUCKET,
-    )
-    jac = jaccard_pairs(units, cands)
-    return (
-        jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
-        .select("doc_a", "doc_b", "inter", "uni")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,15 +141,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _COMPONENTS)
     if key not in _COMPONENTS:
-        units = _doc_units(spark, sf_dir)
-        cands = lsh_candidates(
-            lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
-            max_bucket=LSH_MAX_BUCKET,
-        )
-        jac = jaccard_pairs(units, cands)
-        edges = jac.where(10 * F.col("inter") >= 9 * F.col("uni")).select(
-            "doc_a", "doc_b"
-        )
+        edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
         _COMPONENTS[key] = connected_components(edges).localCheckpoint(eager=True)
     return _COMPONENTS[key]
 
@@ -158,15 +167,7 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> jaccard verify, memoized units) plus two doc_id-keyed
     joins to attach sources; the matrix aggregate is |sources|²-bounded —
     tiny at any corpus size."""
-    units = _doc_units(spark, sf_dir)
-    cands = lsh_candidates(
-        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
-        max_bucket=LSH_MAX_BUCKET,
-    )
-    jac = jaccard_pairs(units, cands)
-    pairs = jac.where(10 * F.col("inter") >= 9 * F.col("uni")).select(
-        "doc_a", "doc_b"
-    )
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     attached = (
         pairs.join(src.select(F.col("doc_id").alias("doc_a"),

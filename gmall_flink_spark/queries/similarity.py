@@ -688,39 +688,33 @@ def sim_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     A label whose centroid moves is drifting — retrain/re-embed before it
     poisons retrieval.
 
-    Scale: two grouped quantized means (one (label, half, pos) shuffle
-    with map-side int64 partials) and a |labels|-sized join — no
-    pairwise work anywhere."""
+    A label present in only ONE half (vanished from, or new in, the
+    latest snapshot) is the strongest signal of all, so the halves FULL
+    OUTER join: such labels surface with the missing side's count at 0
+    and a NULL drift instead of silently dropping out.
+
+    Scale: one (label, half, pos) shuffle with map-side int64 partials —
+    quantized_mean carries the member count, so no second scan — and a
+    |labels|-sized self-join; no pairwise work anywhere."""
     from gmall_flink_spark.llm.similarity import _l2sq, quantized_mean
 
     emb = prep(table(spark, sf_dir, "embeddings")).withColumn(
         "half", (F.col("vec_id") % 2).cast("int")
     )
     dims = emb.select("label", "half", F.posexplode("vec").alias("pos", "x"))
-    cents = quantized_mean(dims, ["label", "half"], out_col="cvec")
-    counts = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("ct"))
-    a = (
-        cents.where(F.col("half") == 0)
-        .select("label", F.col("cvec").alias("c0"))
-        .join(
-            counts.where(F.col("half") == 0).select("label", F.col("ct").alias("n0")),
-            "label",
-        )
+    cents = quantized_mean(dims, ["label", "half"], out_col="cvec", count_col="n")
+    a = cents.where(F.col("half") == 0).select(
+        "label", F.col("cvec").alias("c0"), F.col("n").alias("n0")
     )
-    b = (
-        cents.where(F.col("half") == 1)
-        .select("label", F.col("cvec").alias("c1"))
-        .join(
-            counts.where(F.col("half") == 1).select("label", F.col("ct").alias("n1")),
-            "label",
-        )
+    b = cents.where(F.col("half") == 1).select(
+        "label", F.col("cvec").alias("c1"), F.col("n").alias("n1")
     )
     return (
-        a.join(b, "label")
+        a.join(b, "label", "full_outer")
         .select(
             "label",
-            "n0",
-            "n1",
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
             _l2sq(F.col("c0"), F.col("c1")).alias("drift_l2sq"),
         )
         .orderBy("label")
@@ -750,14 +744,18 @@ ORACLE["sim_label_drift"] = f"""
     counts AS (
         SELECT label, half, CAST(COUNT(*) AS BIGINT) AS ct
         FROM v GROUP BY 1, 2
+    ),
+    sides AS (
+        SELECT c.label, c.half, c.cvec, k.ct
+        FROM cents c JOIN counts k ON c.label = k.label AND c.half = k.half
     )
-    SELECT a.label, ca.ct AS n0, cb.ct AS n1,
+    SELECT COALESCE(a.label, b.label) AS label,
+           CAST(COALESCE(a.ct, 0) AS BIGINT) AS n0,
+           CAST(COALESCE(b.ct, 0) AS BIGINT) AS n1,
            round(list_dot_product(a.cvec, a.cvec)
                  - 2 * list_dot_product(a.cvec, b.cvec)
                  + list_dot_product(b.cvec, b.cvec), 6) AS drift_l2sq
-    FROM cents a
-    JOIN cents b ON a.label = b.label AND a.half = 0 AND b.half = 1
-    JOIN counts ca ON ca.label = a.label AND ca.half = 0
-    JOIN counts cb ON cb.label = a.label AND cb.half = 1
-    ORDER BY a.label
+    FROM (SELECT * FROM sides WHERE half = 0) a
+    FULL JOIN (SELECT * FROM sides WHERE half = 1) b ON a.label = b.label
+    ORDER BY label
 """

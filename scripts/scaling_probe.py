@@ -95,7 +95,11 @@ def main() -> None:
         near-dup components): the probe must time the FULL pipeline at both
         scales — a warm-up that leaves the 1x memo populated would make the
         timed 1x run a cache read and blow the ratio up artificially."""
-        from gmall_flink_spark.queries.llm_dedup import _COMPONENTS, _DOC_UNITS
+        from gmall_flink_spark.queries.llm_dedup import (
+            _COMPONENTS,
+            _DOC_UNITS,
+            _VERIFIED,
+        )
         from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
         from gmall_flink_spark.queries.similarity import _PQ_BOOKS_MEMO
         from gmall_flink_spark.queries.text import _WINNOW_DOCS
@@ -105,6 +109,7 @@ def main() -> None:
         _DOC_UNITS.clear()
         _PACK_TOTALS.clear()
         _PQ_BOOKS_MEMO.clear()
+        _VERIFIED.clear()
 
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s} {'ratio':>6s}")
     for name in PROBES:

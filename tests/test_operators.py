@@ -508,3 +508,27 @@ def test_uv_rolling7_kmv_gap_days_stay_calendar(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
     )
     assert got == con.sql(ORACLE["uv_rolling7_kmv"]).fetchall()
+
+
+def test_label_drift_surfaces_single_half_labels(spark, tmp_path):
+    """A label present in only one corpus half (vanished or newly
+    appeared) is the strongest drift signal and must SURFACE — missing
+    side count 0, NULL drift — not silently drop out of the inner join
+    (review finding). Label 7 exists only at odd vec_ids here."""
+    import duckdb
+
+    from gmall_flink_spark.queries.similarity import ORACLE, sim_label_drift
+
+    rows = [(i, [float(i % 3)] * 64, 1 if i % 2 == 0 else 7) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    sf = str(tmp_path)
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = [tuple(r) for r in sim_label_drift(spark, sf).collect()]
+    by_label = {r[0]: r for r in got}
+    assert by_label[1][1] == 5 and by_label[1][2] == 0 and by_label[1][3] is None
+    assert by_label[7][1] == 0 and by_label[7][2] == 5 and by_label[7][3] is None
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["sim_label_drift"]).fetchall()
