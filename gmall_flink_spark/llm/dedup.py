@@ -210,7 +210,10 @@ def jaccard_pairs(
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame | None = None, max_rounds: int = 20
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 20,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dup dedup (pair graph → clusters → keep one representative
@@ -222,6 +225,16 @@ def connected_components(
     Rounds needed = graph diameter (near-dup clusters are shallow: dup
     groups are cliques or short chains). One shuffle per round on the node
     id. Returns (doc_id, component) with component = min doc_id reachable.
+
+    ``shortcut=True`` adds pointer shortcutting (path halving: after the
+    neighbour step each node also adopts ITS LABEL'S label — labels are
+    node ids, so the label table doubles as a parent-pointer table) at the
+    cost of one extra labels⋈labels join per round. Reach doubles per
+    round, so convergence needs O(log diameter) rounds instead of
+    O(diameter) — the right mode for chain-shaped graphs (sequential-id
+    entity matching), while plain propagation stays cheapest for the
+    shallow clique-ish graphs near-dup dedup produces. Same result either
+    way (pinned by test_connected_components_shortcut_equivalence).
 
     ``edges`` = (doc_a, doc_b) undirected; ``nodes`` defaults to the docs
     appearing in any edge (derived WITHOUT re-running the edge pipeline).
@@ -249,11 +262,28 @@ def connected_components(
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("component").alias("_old"),
                 F.least(F.col("component"), F.coalesce("nbr", F.col("component"))).alias(
                     "component"
                 ),
-                (F.col("nbr") < F.col("component")).alias("_chg"),
             )
+        )
+        if shortcut:
+            m = labels.select(
+                F.col("doc_id").alias("_k"), F.col("component").alias("_v")
+            )
+            updated = updated.join(
+                m, updated.component == m._k, "left"
+            ).select(
+                "doc_id",
+                "_old",
+                # L(L(v)) <= L(v) always (labels only decrease and L(x) <= x)
+                F.coalesce("_v", "component").alias("component"),
+            )
+        updated = updated.select(
+            "doc_id",
+            "component",
+            (F.col("component") < F.col("_old")).alias("_chg"),
         )
         updated = updated.localCheckpoint(eager=True)
         changed = updated.where(F.col("_chg")).limit(1).count()

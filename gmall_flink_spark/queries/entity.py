@@ -90,8 +90,10 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, and the key span. Every emitted cluster has >= 2 members by
     construction (components are derived from match edges).
 
-    Scale: CC iterates over match edges only — 1 shuffle per round,
-    rounds = cluster diameter. Unlike pairwise blocking, TRANSITIVE
+    Scale: CC iterates over match edges only, in pointer-shortcutting
+    mode — sequential-id matching produces CHAIN-shaped clusters, exactly
+    the graphs where path halving's O(log diameter) rounds beat plain
+    propagation's O(diameter). Unlike pairwise blocking, TRANSITIVE
     closure does not bound cluster size (this synthetic table is the
     worst case: sequential names chain into one table-sized component),
     so the survivor argmax is deliberately max(struct(bal, -key)) — an
@@ -108,7 +110,7 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hamming1_pairs(
         cust, key_col="c_name", id_col="c_custkey", positions=NAME_DIGIT_POSITIONS
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
-    comp = connected_components(edges)
+    comp = connected_components(edges, shortcut=True)
     members = comp.join(
         cust, comp.doc_id == cust.c_custkey
     ).select("component", "c_custkey", "bal_cents")

@@ -532,3 +532,38 @@ def test_label_drift_surfaces_single_half_labels(spark, tmp_path):
         f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
     )
     assert got == con.sql(ORACLE["sim_label_drift"]).fetchall()
+
+
+def test_connected_components_shortcut_equivalence(spark):
+    """Pointer-shortcutting CC must produce exactly the plain propagation's
+    labels (min reachable id) — on the real fuzzy-match graph — and must
+    converge in O(log diameter) rounds where plain propagation needs
+    O(diameter): a 50-node chain exceeds plain mode's 20-round bound
+    (which fails loudly by contract) but shortcut mode resolves it to one
+    component in ~7 rounds."""
+    import pytest
+
+    from gmall_flink_spark.llm.dedup import connected_components
+    from gmall_flink_spark.operators.fuzzy import hamming1_pairs
+    from gmall_flink_spark.queries.entity import NAME_DIGIT_POSITIONS
+    from gmall_flink_spark.sources.tables import spread, table
+
+    cust = spread(table(spark, "/root/testdata/sf0.001", "customer"), "c_custkey")
+    edges = hamming1_pairs(
+        cust.select("c_custkey", "c_name"),
+        key_col="c_name",
+        id_col="c_custkey",
+        positions=NAME_DIGIT_POSITIONS,
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    edges = edges.localCheckpoint(eager=True)
+    plain = sorted(map(tuple, connected_components(edges).collect()))
+    fast = sorted(map(tuple, connected_components(edges, shortcut=True).collect()))
+    assert plain == fast
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_rounds=20)
+    got = connected_components(chain, max_rounds=20, shortcut=True).collect()
+    assert {r.component for r in got} == {0} and len(got) == 50
