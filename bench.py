@@ -238,6 +238,7 @@ HEADLINE = [
     "stats_table_profile",
     "dedup_cross_source",
     "sim_label_drift",
+    "text_length_drift",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

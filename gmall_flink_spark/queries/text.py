@@ -626,7 +626,68 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-distribution drift monitor — the corpus-side complement of
+    sim_label_drift: split each source into two deterministic halves
+    (doc_id parity standing in for consecutive snapshots), histogram
+    token counts into power-of-2 buckets per half, and report per source
+    the half sizes, an integer chi-square-style drift statistic over the
+    basis-point histograms (sum of (p_bp - q_bp)² div 100), and the
+    largest single-bucket shift. All arithmetic is integer basis points,
+    so the drift decision is engine-exact. A source whose length profile
+    moves between snapshots changed its scraping or cleaning — catch it
+    before it skews sequence packing and length sampling.
+
+    Scale: one (source, half, bucket) count with map-side partials; the
+    histogram join and drift sum run on the tiny bucket table. Buckets
+    missing from one half enter at 0 via the full outer join."""
+    docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    n = F.size("toks")
+    binned = docs.where(n > 0).select(
+        "source",
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.floor(F.log2(n)).cast("bigint").alias("bucket"),
+    )
+    hist = binned.groupBy("source", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tots = binned.groupBy("source", "half").agg(F.count(F.lit(1)).alias("tot"))
+    bp = hist.join(tots, ["source", "half"]).select(
+        "source", "half", "bucket", F.expr("(10000 * ct) div tot").alias("bp"),
+        "ct",
+    )
+    a = bp.where(F.col("half") == 0).select(
+        "source", "bucket", F.col("bp").alias("p_bp"), F.col("ct").alias("ct0")
+    )
+    b = bp.where(F.col("half") == 1).select(
+        "source", "bucket", F.col("bp").alias("q_bp"), F.col("ct").alias("ct1")
+    )
+    both = (
+        a.join(b, ["source", "bucket"], "full_outer")
+        .select(
+            "source",
+            F.coalesce("p_bp", F.lit(0)).alias("p_bp"),
+            F.coalesce("q_bp", F.lit(0)).alias("q_bp"),
+            F.coalesce("ct0", F.lit(0)).alias("ct0"),
+            F.coalesce("ct1", F.lit(0)).alias("ct1"),
+        )
+        .withColumn("d", F.col("p_bp") - F.col("q_bp"))
+    )
+    return (
+        both.groupBy("source")
+        .agg(
+            F.sum("ct0").alias("n0"),
+            F.sum("ct1").alias("n1"),
+            F.sum(F.expr("(d * d) div 100")).alias("drift_x2"),
+            F.max(F.abs("d")).alias("max_bp_diff"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_length_drift": text_length_drift,
     "text_boilerplate": text_boilerplate,
     "text_bpe_tokens": text_bpe_tokens,
     "text_quality_deciles": text_quality_deciles,
@@ -1014,4 +1075,37 @@ ORACLE["text_boilerplate"] = f"""
            r.bp_hit_total, r.avg_bp, r.flagged_ct
     FROM roll r LEFT JOIN sizes s ON r.source = s.source
     ORDER BY r.source
+"""
+
+ORACLE["text_length_drift"] = f"""
+    WITH binned AS (
+        SELECT source, doc_id % 2 AS half,
+               CAST(floor(log2(len({_TOKS}))) AS BIGINT) AS bucket
+        FROM documents WHERE len({_TOKS}) > 0
+    ),
+    hist AS (
+        SELECT source, half, bucket, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    tots AS (
+        SELECT source, half, CAST(COUNT(*) AS BIGINT) AS tot
+        FROM binned GROUP BY 1, 2
+    ),
+    bp AS (
+        SELECT h.source, h.half, h.bucket, (10000 * h.ct) // t.tot AS bp, h.ct
+        FROM hist h JOIN tots t ON h.source = t.source AND h.half = t.half
+    ),
+    paired AS (
+        SELECT COALESCE(a.source, b.source) AS source,
+               COALESCE(a.bp, 0) - COALESCE(b.bp, 0) AS d,
+               COALESCE(a.ct, 0) AS ct0, COALESCE(b.ct, 0) AS ct1
+        FROM (SELECT * FROM bp WHERE half = 0) a
+        FULL JOIN (SELECT * FROM bp WHERE half = 1) b
+          ON a.source = b.source AND a.bucket = b.bucket
+    )
+    SELECT source, CAST(SUM(ct0) AS BIGINT) AS n0,
+           CAST(SUM(ct1) AS BIGINT) AS n1,
+           CAST(SUM((d * d) // 100) AS BIGINT) AS drift_x2,
+           CAST(MAX(abs(d)) AS BIGINT) AS max_bp_diff
+    FROM paired GROUP BY source ORDER BY source
 """
