@@ -168,13 +168,20 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _log2_bucket(n):
+    """Power-of-2 length bucket — the ONE binning shared by the corpus
+    histogram and the drift monitor, so the drift report's buckets always
+    correspond to the published histogram. Callers filter n > 0."""
+    return F.floor(F.log2(n)).cast("bigint")
+
+
 def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length distribution: docs bucketed by floor(log2(token_ct))
     (the standard power-of-2 histogram for sequence-length planning), with
     exact token totals per bucket."""
     docs = table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
     n = F.size("toks")
-    bucket = F.floor(F.log2(n)).cast("bigint")
+    bucket = _log2_bucket(n)
     return (
         docs.where(n > 0)
         .groupBy(bucket.alias("log2_bucket"))
@@ -626,7 +633,6 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-distribution drift monitor — the corpus-side complement of
     sim_label_drift: split each source into two deterministic halves
@@ -647,12 +653,13 @@ def text_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = docs.where(n > 0).select(
         "source",
         (F.col("doc_id") % 2).cast("int").alias("half"),
-        F.floor(F.log2(n)).cast("bigint").alias("bucket"),
+        _log2_bucket(n).alias("bucket"),
     )
     hist = binned.groupBy("source", "half", "bucket").agg(
         F.count(F.lit(1)).alias("ct")
     )
-    tots = binned.groupBy("source", "half").agg(F.count(F.lit(1)).alias("tot"))
+    # half totals roll up from the tiny histogram — never a second scan
+    tots = hist.groupBy("source", "half").agg(F.sum("ct").alias("tot"))
     bp = hist.join(tots, ["source", "half"]).select(
         "source", "half", "bucket", F.expr("(10000 * ct) div tot").alias("bp"),
         "ct",
