@@ -114,13 +114,14 @@ PIPELINES: list[Pipeline] = [
     Pipeline("DwsUserUserRegisterWindow", "app/dws/DwsUserUserRegisterWindow.java:32-119",
              "S1,D7,A5,A6,K5", _q("uv_daily"), "first_per_day_stream (D7=D4)"),
     Pipeline("DwsTradeCartAddUuWindow", "app/dws/DwsTradeCartAddUuWindow.java:37-142",
-             "S1,W5,D4,A5,A6,K5", _q("uv_new_daily"),
+             "S1,W5,D4,A5,A6,K5", _q("cart_uu_daily"),
              "coalesce(operate_time, create_time) event time (W5) + D4"),
     Pipeline("DwsTradeOrderWindow", "app/dws/DwsTradeOrderWindow.java:36-126",
              "S1,D5,A5,A6,K5", _q("uv_new_daily"),
              "streaming.stateful.new_user_flags_stream (D5)"),
     Pipeline("DwsTradePaymentWindow", "app/dws/DwsTradePaymentWindow.java:32-124",
-             "S1,D5,A5,A6,K5", _q("cdc_pay_suc"), "as DwsTradeOrderWindow on P7 stream"),
+             "S1,D5,A5,A6,K5", _q("dws_payment_uu_window"),
+             "D5 new_user_flags_stream over the P7 pay-suc stream -> day window"),
     Pipeline("DwsTradeSkuOrderWindow", "app/dws/DwsTradeSkuOrderWindow.java:50-376",
              "S1,D2,A3,A6,J7/J8/J9,K5", _q("dws_brand_order_window"),
              "keep_first_stream (D2 TTL=watermark) -> window agg -> broadcast enrich"),

@@ -315,6 +315,46 @@ def cart_uu_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dws_payment_uu_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTradePaymentWindow pipeline
+    (app/dws/DwsTradePaymentWindow.java:60-110): consume the P7 pay-suc
+    detail stream keyed by user_id, D5 per-day dedup + first-ever (new
+    payer) flag, then the A5 pairwise counters (payment_suc_unique_user_ct,
+    payment_suc_new_user_ct) in tumbling windows with A6 stt/edt
+    decoration. The reference keeps a curDate ValueState per user and sums
+    (uv, newUv) pairs per window; the batch twin is daily_new_flags over
+    the pay-suc transitions followed by a day-grain tumble_agg (windows are
+    day-sized here because D5 emits at most one row per user per day).
+
+    Scale: one shuffle on user_id for the D5 window, one keyed day-window
+    agg — the same two-exchange shape as every DWS UU window."""
+    from gmall_flink_spark.operators.dedup import daily_new_flags
+    from gmall_flink_spark.operators.windows import tumble_agg
+
+    env = drop_bootstrap(orders_envelope(spark, sf_dir))
+    pays = src_filter(env, "order_info").where(
+        status_transition("order_status", to="1005", from_="1002")
+    ).select(
+        d("user_id").cast("bigint").alias("user_id"),
+        F.timestamp_seconds("ts").alias("rt"),
+    )
+    flags = daily_new_flags(pays, "user_id", "rt")
+    return (
+        tumble_agg(
+            flags.withColumn("day_ts", F.to_timestamp("cur_date")),
+            "day_ts",
+            "1 day",
+            [],
+            [
+                F.count(F.lit(1)).alias("payment_suc_uu_ct"),
+                F.sum("is_first_ever").alias("payment_suc_new_user_ct"),
+            ],
+        )
+        .select("stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct")
+        .orderBy("stt")
+    )
+
+
 #: SCD2 audit slice: full history is corpus-sized, so the checked surface is
 #: a deterministic 2% of dimension keys (the window logic runs identically).
 SCD2_MOD = 50
@@ -363,6 +403,7 @@ QUERIES = {
     "lookup_dict_enrich": lookup_dict_enrich,
     "cdc_cancel_enrich": cdc_cancel_enrich,
     "cdc_pay_suc": cdc_pay_suc,
+    "dws_payment_uu_window": dws_payment_uu_window,
     "cdc_config_route": cdc_config_route,
     "cdc_sku_last_state": cdc_sku_last_state,
 }
@@ -469,6 +510,27 @@ ORACLE = {
           AND o_orderkey % 10 IN (6, 7)
           AND o_orderkey % 4 = 0
         GROUP BY 1 ORDER BY 1
+    """,
+    "dws_payment_uu_window": """
+        WITH pays AS (
+            SELECT DISTINCT o_custkey AS user_id,
+                   strftime(o_orderdate, '%Y-%m-%d') AS cur_date
+            FROM orders
+            WHERE o_orderkey % 97 != 0
+              AND o_orderkey % 10 IN (6, 7)
+              AND o_orderkey % 4 = 2
+        ),
+        flagged AS (
+            SELECT cur_date,
+                   CASE WHEN cur_date = MIN(cur_date) OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS is_first_ever
+            FROM pays
+        )
+        SELECT cur_date || ' 00:00:00' AS stt,
+               strftime(cur_date::DATE + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+               COUNT(*) AS payment_suc_uu_ct,
+               CAST(SUM(is_first_ever) AS BIGINT) AS payment_suc_new_user_ct
+        FROM flagged GROUP BY cur_date ORDER BY stt
     """,
     "cdc_pay_suc": """
         SELECT n_name AS nation_name,

@@ -21,6 +21,26 @@ def test_dim_app_routes_and_prunes(spark):
     assert all(set(r["data_pruned"]).issubset({"id", "user_id", "total_amount"}) for r in rows)
 
 
+def test_payment_window_has_uu_grain(spark):
+    """DwsTradePaymentWindow maps to the payment-UU window (D5+A5+A6), not
+    the upstream P7 fact stream: output must carry stt/edt decoration and
+    the two UU counters, and new payers can never exceed unique payers."""
+    out = run("DwsTradePaymentWindow", spark, SF)
+    assert out.columns == ["stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct"]
+    rows = out.collect()
+    assert rows
+    assert all(r["payment_suc_new_user_ct"] <= r["payment_suc_uu_ct"] for r in rows)
+    assert all(r["stt"].endswith("00:00:00") and r["edt"].endswith("00:00:00") for r in rows)
+
+
+def test_cart_uu_window_uses_w5_event_time(spark):
+    """DwsTradeCartAddUuWindow maps to cart_uu_daily — the query whose event
+    time is coalesce(operate_time, create_time) (W5)."""
+    out = run("DwsTradeCartAddUuWindow", spark, SF)
+    assert out.columns == ["cur_date", "cart_uu_ct"]
+    assert out.count() > 0
+
+
 def test_log_split_page_repairs_is_new(spark):
     from pyspark.sql import functions as F
 
