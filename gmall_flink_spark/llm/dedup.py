@@ -46,9 +46,11 @@ def doc_tokens(
     return docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (exploded)."""
-    toked = doc_tokens(docs)
+def shingles_from_tokens(toked: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles from a pre-tokenized ``(doc_id, toks)``
+    frame — the map-side half of ``word_shingles``, split out so callers
+    holding a shared/checkpointed token stage (queries/llm_dedup._doc_toks)
+    can derive shingles without re-scanning and re-tokenizing the corpus."""
     sh = F.transform(
         F.sequence(F.lit(0), F.size("toks") - n),
         lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
@@ -57,6 +59,11 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         toked.where(F.size("toks") >= n)
         .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
     )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded)."""
+    return shingles_from_tokens(doc_tokens(docs), n)
 
 
 def distinct_tokens(docs: DataFrame, spread_input: bool = True) -> DataFrame:

@@ -10,13 +10,13 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.functions.text import fingerprint
 from gmall_flink_spark.llm.dedup import (
     connected_components,
-    distinct_tokens,
+    doc_tokens,
     jaccard_pairs,
     lsh_bands,
     lsh_candidates,
     minhash_signatures,
+    shingles_from_tokens,
     simhash,
-    word_shingles,
 )
 from gmall_flink_spark.sources.tables import table
 
@@ -46,12 +46,29 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: distinct (doc_id, token) units of the documents table, memoized per
-#: (session, sf_dir, content stamp — sources.tables.memo_key): the unit
+#: tokenized documents (doc_id, toks array), memoized per (session, sf_dir,
+#: content stamp — sources.tables.memo_key): the scan + tokenize stage feeds
+#: the token-unit explode (minhash/jaccard-verify) AND the 3-gram shingle
+#: explode (ngram_jaccard_stats); one eager localCheckpoint serves both, so
+#: the corpus is scanned and tokenized exactly once per session.
+_DOC_TOKS: dict[tuple, DataFrame] = {}
+
+
+def _doc_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _DOC_TOKS)
+    if key not in _DOC_TOKS:
+        toked = doc_tokens(table(spark, sf_dir, "documents"))
+        _DOC_TOKS[key] = toked.localCheckpoint(eager=True)
+    return _DOC_TOKS[key]
+
+
+#: distinct (doc_id, token) units, memoized like _doc_toks: the unit
 #: explode feeds BOTH the minhash-signature path and the jaccard verify in
-#: every LSH query, and Catalyst plans each reference as its own scan +
-#: tokenize + explode; one eager localCheckpoint serves them all (the same
-#: shared-stage pattern as _components / _winnow_docs).
+#: every LSH query, and Catalyst plans each reference as its own explode;
+#: one eager localCheckpoint serves them all (the same shared-stage pattern
+#: as _components / _winnow_docs).
 _DOC_UNITS: dict[tuple, DataFrame] = {}
 
 
@@ -60,7 +77,9 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _DOC_UNITS)
     if key not in _DOC_UNITS:
-        units = distinct_tokens(table(spark, sf_dir, "documents"))
+        units = _doc_toks(spark, sf_dir).select(
+            "doc_id", F.explode(F.array_distinct("toks")).alias("shingle")
+        )
         _DOC_UNITS[key] = units.localCheckpoint(eager=True)
     return _DOC_UNITS[key]
 
@@ -115,9 +134,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle inverted-index dedup: pair counts at exact integer
     jaccard thresholds (any overlap / j>=0.2 / j>=0.5) over discriminative
-    shingles (df <= NGRAM_MAX_DF — the hot-key quadratic-bucket guard)."""
-    docs = table(spark, sf_dir, "documents")
-    jac = jaccard_pairs(word_shingles(docs, n=3), max_df=NGRAM_MAX_DF)
+    shingles (df <= NGRAM_MAX_DF — the hot-key quadratic-bucket guard).
+    Shingles derive from the _doc_toks shared token stage, so the scan +
+    tokenize work is the same checkpoint the MinHash family reads."""
+    jac = jaccard_pairs(
+        shingles_from_tokens(_doc_toks(spark, sf_dir), n=3), max_df=NGRAM_MAX_DF
+    )
     return jac.agg(
         F.count(F.lit(1)).alias("pair_ct"),
         F.sum((5 * F.col("inter") >= F.col("uni")).cast("bigint")).alias("j02_ct"),

@@ -97,6 +97,7 @@ def main() -> None:
         timed 1x run a cache read and blow the ratio up artificially."""
         from gmall_flink_spark.queries.llm_dedup import (
             _COMPONENTS,
+            _DOC_TOKS,
             _DOC_UNITS,
             _VERIFIED,
         )
@@ -106,6 +107,7 @@ def main() -> None:
 
         _WINNOW_DOCS.clear()
         _COMPONENTS.clear()
+        _DOC_TOKS.clear()
         _DOC_UNITS.clear()
         _PACK_TOTALS.clear()
         _PQ_BOOKS_MEMO.clear()
