@@ -291,6 +291,29 @@ def ivf_topk_multiprobe(
 
 # ---------------------------------------------------------------- SRP-LSH
 
+def srp_auto_band_bits(n_vectors: int, n_planes: int = 96) -> int:
+    """Self-size the SRP band width from the corpus size — the knob the
+    operator contract (SCALE.md) used to leave manual. Picks the smallest
+    divisor of ``n_planes`` with ``2^bits >= 2 * n_vectors`` (bucket-key
+    space at least twice the corpus, so expected bucket occupancy stays
+    O(1) per band), keeping at least 2 bands for recall. Mis-sizing is the
+    one way this family degenerates (4-bit bands at 2 000 vectors = 3M
+    candidate pairs vs ~4k at 12-bit), so growth is automatic: 500 vectors
+    -> 12 bits, 20 000 -> 16, 10^9 -> 32. Corpora big enough to exhaust
+    ``n_planes / 2`` bits should raise ``n_planes`` as well (more planes =
+    more bands = recall), which remains an explicit choice."""
+    import math
+
+    divisors = [
+        d for d in range(1, n_planes // 2 + 1) if n_planes % d == 0
+    ]
+    need = max(1, math.ceil(math.log2(max(2, 2 * n_vectors))))
+    for d in divisors:
+        if d >= need:
+            return d
+    return divisors[-1]
+
+
 def srp_planes(n_planes: int, dim: int, salt: str = "srp") -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix (signed random projections,
     Charikar cosine-LSH). Each weight's sign is the parity of
@@ -363,7 +386,7 @@ def srp_near_dup(
     vectors: DataFrame,
     threshold: float = 0.3,
     n_planes: int = 96,
-    band_bits: int = 12,
+    band_bits: int | None = None,
     dim: int = 64,
     fast: bool = True,
 ) -> DataFrame:
@@ -379,7 +402,15 @@ def srp_near_dup(
     the bucket shuffle or the pair dedup. ``fast`` picks the signature
     kernel: the numpy-matmul mapInPandas twin (default; bucket-identical
     to the portable path, pinned by test) or the portable fold the DuckDB
-    oracle mirrors."""
+    oracle mirrors.
+
+    ``band_bits=None`` (default) self-sizes the band width from the vector
+    count via ``srp_auto_band_bits`` — one cheap count() job, the same
+    stats-driven move as pack-shard sizing; pass an explicit value to pin
+    the construction (the oracle-checked queries do, so their DuckDB twin
+    mirrors the exact banding)."""
+    if band_bits is None:
+        band_bits = srp_auto_band_bits(vectors.count(), n_planes)
     sig_fn = srp_signature_fast if fast else _srp_signature_ids
     sig = sig_fn(vectors, n_planes, band_bits, dim)
     a = sig.select("band", "bval", F.col("vec_id").alias("a_id"))

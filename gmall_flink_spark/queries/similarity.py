@@ -321,9 +321,21 @@ ORACLE = {
 # ---------------------------------------------------------------- SRP-LSH
 
 SRP_PLANES = 96
+#: the band width the STATIC DuckDB oracles are generated with. The Spark
+#: queries self-size via srp_auto_band_bits(corpus count) — at both gate SFs
+#: (500 vectors at sf0.01, 2000 at sf0.1) the formula lands exactly here, so
+#: the twins agree; test_srp_auto_bits_match_oracle_pin guards the identity
+#: against a testdata regen (if embeddings ever exceeds 2048 rows at the
+#: correctness SF, bump this constant so the oracles follow the formula).
 SRP_BAND_BITS = 12
 SRP_DIM = 64
 SRP_THRESHOLD = 0.3
+
+
+def _srp_bits(emb: DataFrame) -> int:
+    from gmall_flink_spark.llm.similarity import srp_auto_band_bits
+
+    return srp_auto_band_bits(emb.count(), SRP_PLANES)
 
 
 def embed_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,7 +347,7 @@ def embed_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.llm.similarity import srp_signature_fast
 
     emb = prep(table(spark, sf_dir, "embeddings"))
-    sig = srp_signature_fast(emb, SRP_PLANES, SRP_BAND_BITS, SRP_DIM)
+    sig = srp_signature_fast(emb, SRP_PLANES, _srp_bits(emb), SRP_DIM)
     return (
         sig.groupBy("band", "bval")
         .agg(F.count(F.lit(1)).alias("member_ct"))
@@ -350,7 +362,7 @@ def embed_srp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = prep(table(spark, sf_dir, "embeddings"))
     return srp_near_dup(
-        emb, SRP_THRESHOLD, SRP_PLANES, SRP_BAND_BITS, SRP_DIM
+        emb, SRP_THRESHOLD, SRP_PLANES, _srp_bits(emb), SRP_DIM
     ).orderBy("a_id", "b_id")
 
 

@@ -272,6 +272,31 @@ def test_srp_fast_matches_portable(spark):
     assert diff == 0, f"{diff} differing (vec, band) rows"
 
 
+def test_srp_auto_bits_match_oracle_pin(spark):
+    """srp_auto_band_bits must (a) follow the sizing contract — bucket-key
+    space >= 2x the corpus, snapped up to a divisor of n_planes, >= 2 bands
+    — and (b) land exactly on SRP_BAND_BITS at both gate SFs, or the static
+    DuckDB oracles for embed_srp_* would silently disagree with the
+    self-sized Spark plans after a testdata regen."""
+    from gmall_flink_spark.llm.similarity import srp_auto_band_bits
+    from gmall_flink_spark.queries.similarity import SRP_BAND_BITS, SRP_PLANES
+    from gmall_flink_spark.sources.tables import table
+
+    # contract points: tiny stays selective, 10x-replicated sf0.1 grows
+    assert srp_auto_band_bits(500) == 12
+    assert srp_auto_band_bits(2000) == 12
+    assert srp_auto_band_bits(20_000) == 16   # the 10x probe's input size
+    assert srp_auto_band_bits(10**9) == 32
+    assert srp_auto_band_bits(10**14) == 48   # floor: never fewer than 2 bands
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = table(spark, sf, "embeddings").count()
+        got = srp_auto_band_bits(n, SRP_PLANES)
+        assert got == SRP_BAND_BITS, (
+            f"{sf}: auto bits {got} != oracle pin {SRP_BAND_BITS} at {n} "
+            "vectors — regenerate the embed_srp_* oracles with the new width"
+        )
+
+
 def test_jdbc_snapshot_s5(spark, tmp_path):
     """S5 JDBC snapshot: seed embedded Derby from the parquet dim, then
     prove both the serial and the partitioned (parallel range queries)
