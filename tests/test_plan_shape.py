@@ -5,14 +5,27 @@ it shows up as a 100 TB incident."""
 
 from __future__ import annotations
 
+import contextlib
+import io
+
 from gmall_flink_spark.registry import all_queries
 
 SF = "/root/testdata/sf0.001"
 _Q = all_queries()
 
 
+def explain_str(df, mode: str = "simple") -> str:
+    """Public-API plan capture (same channel bench.py uses): df.explain()
+    routed through stdout redirection — no ``_jdf`` reflection, so it
+    survives Spark Connect and JVM-internal renames."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
 def plan(spark, name: str) -> str:
-    return _Q[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return explain_str(_Q[name](spark, SF))
 
 
 def test_dim_enrichment_broadcasts(spark):
@@ -89,7 +102,7 @@ def test_hot_path_is_whole_stage_codegen(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for fn in (q1_pricing_summary, q6_forecast_revenue, text_gopher_flags):
-            p = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            p = explain_str(fn(spark, SF))
             # "*(n) Op" prefix = the operator sits in WholeStageCodegen stage n
             assert "*(" in p, fn.__name__
             assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, fn.__name__
@@ -117,7 +130,7 @@ def test_routed_sink_readback_prunes_partitions(spark):
     )
     topic_router(out)(ev, 0)
     rd = spark.read.parquet(out).where(F.col("sink_table") == "t1")
-    p = rd._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(rd)
     assert "PartitionFilters" in p and "sink_table" in p.split("PartitionFilters")[1][:200]
 
 
@@ -180,7 +193,7 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             .groupBy("o_orderkey")
             .agg(F.count("*").alias("n"))
         )
-        p = j._jdf.queryExecution().executedPlan().toString()
+        p = explain_str(j)
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
@@ -198,7 +211,7 @@ def test_vocab_topk_is_take_ordered_not_global_sort(spark):
     from gmall_flink_spark.registry import all_queries
 
     df = all_queries()["llm_vocab_topk"](spark, SF)
-    p = df._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(df)
     assert "TakeOrderedAndProject" in p, p
 
 
@@ -209,7 +222,7 @@ def test_chunk_split_has_no_generate(spark):
     from gmall_flink_spark.registry import all_queries
 
     df = all_queries()["llm_chunk_split"](spark, SF)
-    p = df._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(df)
     assert "Generate" not in p, p
 
 
@@ -221,7 +234,7 @@ def test_mix_rebalance_broadcasts_rate_table(spark):
     from gmall_flink_spark.registry import all_queries
 
     df = all_queries()["llm_mix_rebalance"](spark, SF)
-    p = df._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(df)
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
 
 
@@ -231,7 +244,7 @@ def test_anomaly_mad_broadcasts_medians(spark):
     from gmall_flink_spark.registry import all_queries
 
     df = all_queries()["events_anomaly_mad"](spark, SF)
-    p = df._jdf.queryExecution().executedPlan().toString()
+    p = explain_str(df)
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
@@ -308,11 +321,13 @@ def test_aqe_splits_skewed_join_partitions(spark):
             (F.col("id") % 997).alias("k"), (F.col("id") * 2).alias("w")
         )
         joined = hot.join(big, "k")
-        # run THIS DataFrame's own query execution (a write would execute a
-        # cloned plan and leave this one un-finalized), JVM-side only
-        qe = joined._jdf.queryExecution()
-        assert qe.toRdd().count() > 0
-        p = qe.executedPlan().toString()
+        # run THIS DataFrame's own query execution (a write or .count()
+        # would execute a cloned plan and leave this one un-finalized):
+        # toLocalIterator executes the same Dataset's queryExecution, and
+        # AQE finalizes every shuffle stage before yielding the first row,
+        # so one next() is enough to materialize the final plan.
+        assert next(joined.toLocalIterator()) is not None
+        p = explain_str(joined)
         assert "isFinalPlan=true" in p, p
         assert "skew=true" in p, p
     finally:
@@ -335,14 +350,13 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
 
     from gmall_flink_spark.sources.tables import table
 
-    saved_t = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    )
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         li = table(spark, SF, "lineitem")
         orders = table(spark, SF, "orders").where(
@@ -353,14 +367,14 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
             .groupBy("o_orderpriority")
             .count()
         )
-        p = j._jdf.queryExecution().optimizedPlan().toString()
+        p = explain_str(j, "extended")
         assert "bloom_filter_agg" in p, p
         assert "might_contain" in p, p
     finally:
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            saved_t,
-        )
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        # restore the PRE-TEST values (not a hardcoded copy of session.py's
+        # pin, which would silently leak config if the pin ever changes)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
