@@ -578,15 +578,20 @@ def pq_train(
     vectors: DataFrame, m: int, d_sub: int, ksub: int, iterations: int = 1
 ) -> DataFrame:
     """Product-quantization codebook training: seed each subspace's
-    codebook with the first ``ksub`` vectors' subvectors, then run Lloyd
-    iterations with the quantized-sum mean (same order-independence
-    contract as kmeans_refine — int64 component sums at 1e-6 granularity,
-    so training is bit-reproducible across partitionings and the whole
-    construction is oracle-checkable). A code that loses all members in an
-    iteration simply drops out of the codebook (standard empty-cluster
-    behavior; the oracle mirrors it). Returns (sub, code, cvec)."""
+    codebook with the ``ksub`` SMALLEST vec_ids' subvectors (a TakeOrdered
+    cut + broadcast join — id-layout-proof, so sparse or offset id spaces
+    still seed a full codebook; on contiguous 0-based ids this picks
+    exactly ids 0..ksub-1, which is what the DuckDB twins mirror), then
+    run Lloyd iterations with the quantized-sum mean (same
+    order-independence contract as kmeans_refine — int64 component sums at
+    1e-6 granularity, so training is bit-reproducible across partitionings
+    and the whole construction is oracle-checkable). A code that loses all
+    members in an iteration simply drops out of the codebook (standard
+    empty-cluster behavior; the oracle mirrors it). Returns
+    (sub, code, cvec)."""
     subv = pq_subvectors(vectors, m, d_sub)
-    books = subv.where(F.col("vec_id") < ksub).select(
+    seed_ids = vectors.select("vec_id").orderBy("vec_id").limit(ksub)
+    books = subv.join(F.broadcast(seed_ids), "vec_id").select(
         "sub", F.col("vec_id").alias("code"), F.col("svec").alias("cvec")
     )
     for _ in range(iterations):

@@ -5,7 +5,7 @@ Per micro-batch: assign the batch's vectors to their nearest centroid
 merge (vec_id, cluster) into state bucketed by cluster, so a batch
 rewrites only the cluster buckets it touches. Centroids are the slowly
 changing small side (trained offline by ``kmeans_refine``); the index is
-a SET keyed by vec_id (last write wins per merge → idempotent replay).
+a SET keyed by vec_id (the incoming batch wins a key collision → idempotent replay).
 
 At scale the cluster id is the physical partition key of the index table:
 a query probes one cluster bucket, new vectors land in their bucket as
@@ -54,7 +54,16 @@ def ivf_index_merge(
     try:
         buckets = touched_buckets(batch)
         prior = read_prior(spark, state_path, buckets)
-        merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
+        # deterministic winner: the BATCH row survives a vec_id collision
+        # (prior rows anti-joined out), so even a contract-violating
+        # changed vector converges to the latest delivery instead of an
+        # arbitrary survivor. Within-batch duplicates remain
+        # arbitrary-but-equal under the immutable-id contract.
+        merged = batch if prior is None else batch.unionAll(
+            prior.select(*batch.columns).join(
+                batch.select("vec_id"), "vec_id", "left_anti"
+            )
+        )
         swap_buckets(
             merged.dropDuplicates(["vec_id"]), state_path, buckets, n_buckets
         )

@@ -10,20 +10,20 @@ row-group/file pruning works for each of them (the Delta/Iceberg
 OPTIMIZE ZORDER idea, expressed as plain DataFrame ops + a range
 repartition).
 
-Scale: rank normalization is one ntile window per clustered column over
-a SAMPLE-sized rank space (256 buckets — the window carries bucket ids,
-not a global sort of values); the write itself is the same
-repartitionByRange + sortWithinPartitions any clustered write pays.
-Effectiveness is data-dependent (works when value locality exists);
-``tests/test_layout.py`` measures pruning fractions on both clustered
-columns against the unsorted layout.
+Scale: rank normalization is approx-quantile bucket boundaries (one
+sketch pass per clustered column, driver gets <= 255 doubles) applied
+map-side — no window, no global sort, nothing funnels through one task;
+the write itself is the same repartitionByRange + sortWithinPartitions
+any clustered write pays. Effectiveness is data-dependent (works when
+value locality exists); ``tests/test_layout.py`` measures pruning
+fractions on both clustered columns against the unsorted layout.
 """
 
 from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["zorder_key", "write_zordered"]
@@ -31,17 +31,44 @@ __all__ = ["zorder_key", "write_zordered"]
 #: bits per dimension in the interleaved key (256 rank buckets)
 ZBITS = 8
 
+#: approx-quantile relative error for the bucket boundaries: at 1/1024 the
+#: boundary set is rank-exact well below the 1/256 bucket granularity.
+_QERR = 1.0 / 1024
+
+
+def _bucket_expr(col: Column, bounds: list[float]) -> Column:
+    """Map-side bucket id = number of boundaries <= value (binary-search
+    semantics as a fold over the literal boundary array; <= 255 terms)."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
+    )
+
 
 def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     """Append a Morton-interleaved ``_zkey`` over ``cols``: each column is
-    rank-normalized to ZBITS bits with ntile (distribution-insensitive —
-    skewed value ranges still fill the bucket space), then bit b of every
-    dimension d lands at interleaved position b * ndims + d."""
-    out = df
+    rank-normalized to ZBITS bits via approx-quantile bucket boundaries
+    (distribution-insensitive — skewed value ranges still fill the bucket
+    space; duplicate quantiles collapse so constant-heavy columns just use
+    fewer buckets), then bit b of every dimension d lands at interleaved
+    position b * ndims + d. One approxQuantile sketch pass per column; the
+    bucket assignment itself is map-side (no window, no shuffle)."""
     ndims = len(cols)
+    probs = [i / (1 << ZBITS) for i in range(1, 1 << ZBITS)]
+    numeric = df.select(
+        *[F.col(c).cast("double").alias(f"_q{d}") for d, c in enumerate(cols)]
+    )
+    all_bounds = numeric.approxQuantile(
+        [f"_q{d}" for d in range(ndims)], probs, _QERR
+    )
+    out = df
     for d, c in enumerate(cols):
-        w = Window.orderBy(F.col(c))
-        out = out.withColumn(f"_r{d}", F.ntile(1 << ZBITS).over(w) - 1)
+        bounds = sorted(set(all_bounds[d]))
+        out = out.withColumn(
+            f"_r{d}", _bucket_expr(F.col(c).cast("double"), bounds)
+        )
     parts = [
         F.shiftleft(
             F.shiftright(F.col(f"_r{d}"), b).bitwiseAND(F.lit(1)).cast("long"),
@@ -59,13 +86,7 @@ def write_zordered(
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered in Z-order over
     ``cols``: range-partition on the interleaved key (contiguous key
-    ranges per file), sort within each file, drop the key from the data.
-
-    Note the ntile windows in ``zorder_key`` are unpartitioned — fine for
-    the 256-bucket rank space because the window carries only bucket
-    assignments; a production writer over billions of rows swaps ntile
-    for approx-quantile bucket boundaries (one pass, no window) with the
-    same downstream layout."""
+    ranges per file), sort within each file, drop the key from the data."""
     keyed = zorder_key(df, cols)
     (
         keyed.repartitionByRange(n_files, "_zkey")

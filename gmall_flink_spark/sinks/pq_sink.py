@@ -12,7 +12,7 @@ never touching raw vectors.
 Centroids and codebooks are the slowly changing small side (trained
 offline by ``kmeans_refine`` / ``pq_train``); retraining rebuilds those
 small tables and re-encodes — an offline job, not this sink's path. The
-index is a SET keyed by vec_id (last write wins per merge → idempotent
+index is a SET keyed by vec_id (the incoming batch wins a key collision → idempotent
 replay), and a batch rewrites only the cluster buckets it touches.
 """
 
@@ -78,7 +78,13 @@ def ivfpq_index_merge(
     try:
         buckets = touched_buckets(batch)
         prior = read_prior(spark, state_path, buckets)
-        merged = batch if prior is None else prior.select(*batch.columns).unionAll(batch)
+        # deterministic winner: batch beats prior on a vec_id collision
+        # (see ivf_sink.ivf_index_merge — same contract, same reason)
+        merged = batch if prior is None else batch.unionAll(
+            prior.select(*batch.columns).join(
+                batch.select("vec_id"), "vec_id", "left_anti"
+            )
+        )
         swap_buckets(
             merged.dropDuplicates(["vec_id"]), state_path, buckets, n_buckets
         )

@@ -324,10 +324,38 @@ def test_jdbc_snapshot_s5(spark, tmp_path):
     assert parallel.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, parallel.collect())) == src
 
+    import contextlib
+    import io
+
     pushed = parallel.where(F.col("c_acctbal") > 0)
-    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pushed.explain()
+    plan = buf.getvalue()
     assert "PushedFilters" in plan and "c_acctbal" in plan
     assert pushed.count() == sum(1 for r in src if r[2] > 0)
+
+
+def test_pq_train_seeds_full_codebook_on_sparse_ids(spark):
+    """Codebook seeding must be id-layout-proof: vec_ids that are sparse
+    and far from 0 (here 1000, 1007, ...) still seed ksub codes per
+    subspace — the old `vec_id < ksub` seed silently produced an EMPTY
+    codebook on this input."""
+    from gmall_flink_spark.llm.similarity import pq_train
+
+    rows = [(1000 + 7 * i, [float((i * j) % 5) for j in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, vec array<float>")
+    books = pq_train(emb, m=2, d_sub=4, ksub=4, iterations=1)
+    per_sub = {
+        r["sub"]: r["n"]
+        for r in books.groupBy("sub").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every subspace trained from 4 seeds (codes may merge in Lloyd, never 0)
+    assert set(per_sub) == {0, 1} and all(1 <= n <= 4 for n in per_sub.values())
+    seeds = emb.select("vec_id").orderBy("vec_id").limit(4)
+    seed_ids = {r["vec_id"] for r in seeds.collect()}
+    got_codes = {r["code"] for r in books.collect()}
+    assert got_codes.issubset(seed_ids)
 
 
 def test_pq_rerank_recall(spark):
