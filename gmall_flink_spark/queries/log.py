@@ -24,18 +24,24 @@ def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 shape check: per split-output row count + distinct device count
     (the five topics of DwdTrafficBaseLogSplit.java:151-185)."""
     splits = _splits(spark, sf_dir)
-    per = [
-        df.agg(
-            F.lit(name).alias("split"),
+    tagged = [
+        df.select(F.lit(name).alias("split"), "mid")
+        for name, df in sorted(splits.items())
+    ]
+    out = tagged[0]
+    for p in tagged[1:]:
+        out = out.unionAll(p)
+    # one aggregation tree over the tagged union (instead of five separate
+    # two-exchange distinct aggs): the shuffle carries (split, mid) keys
+    # only, and every branch's count/distinct partials combine map-side
+    return (
+        out.groupBy("split")
+        .agg(
             F.count(F.lit(1)).alias("row_ct"),
             F.countDistinct("mid").alias("mid_ct"),
         )
-        for name, df in sorted(splits.items())
-    ]
-    out = per[0]
-    for p in per[1:]:
-        out = out.unionAll(p)
-    return out.orderBy("split")
+        .orderBy("split")
+    )
 
 
 def log_display_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
