@@ -175,8 +175,95 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: filtered-search parameters: the query slice (every 20th vector, the
+#: same audit-sample convention as kNN) and the per-tenant k
+FILTERED_K = 3
+
+
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — the multi-tenant serving shape
+    (every production vector store's "search within my namespace"): each
+    sampled query retrieves top-FILTERED_K cosine neighbours among vectors
+    sharing its ``label`` (the tenant/namespace key), never seeing other
+    shards' vectors.
+
+    Scale: the label equality is part of the JOIN key, so the filter is
+    applied by partition routing, not post-scoring — at production scale
+    label is the index's physical partition (per-tenant IVF lists) and a
+    query touches only its shard; the query slice broadcasts. Exact within
+    the shard, so fully oracle-checkable."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    queries = with_norm(emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = with_norm(emb).select("vec_id", "label", "vec", "norm")
+    scored = (
+        cand.join(F.broadcast(queries), cand.label == queries.q_label)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("vec"), F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= FILTERED_K)
+        .select("q_id", F.col("q_label").alias("tenant"), F.col("vec_id").alias("neighbor_id"), "rk", "cos")
+        .orderBy("q_id", "rk")
+    )
+
+
+#: SemDeDup cosine threshold — shares embed_near_dup's verify threshold so
+#: the two views describe the same pair graph
+SEMDEDUP_COS = 0.3
+
+
+def embed_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISIONS (cluster-then-prune over
+    embeddings, after Abbas et al. 2023, arXiv:2303.09540): within each
+    IVF cluster, a vector is DROPPED when a smaller-id vector in the same
+    cluster sits at cosine >= SEMDEDUP_COS (keep-lowest-id rule — the
+    deterministic form of SemDeDup's keep-one-per-dup-set). Reports the
+    per-cluster dedup ledger: members, drops, kept count, and the dropped
+    id checksum — the decision table a corpus build joins against to
+    filter, where embed_near_dup only reports the raw pair evidence.
+
+    Scale: consumes the SAME cluster-blocked pair generation as
+    embed_near_dup (within-block all-pairs, cluster count grows with the
+    corpus), one distinct over the pair's larger side, one per-cluster
+    aggregate. Nothing rescans the vectors after blocking."""
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    pairs = near_dup_pairs(assigned, threshold=SEMDEDUP_COS, block_col="cluster")
+    drops = pairs.select(F.col("block").alias("cluster"), F.col("b_id").alias("vec_id")).distinct()
+    members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("member_ct"))
+    per_cluster = (
+        drops.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("drop_ct"),
+            F.sum("vec_id").alias("drop_id_sum"),
+        )
+    )
+    return (
+        members.join(per_cluster, "cluster", "left")
+        .select(
+            "cluster",
+            "member_ct",
+            F.coalesce("drop_ct", F.lit(0)).alias("drop_ct"),
+            (F.col("member_ct") - F.coalesce("drop_ct", F.lit(0))).alias("keep_ct"),
+            F.coalesce("drop_id_sum", F.lit(0)).alias("drop_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_filtered_topk": sim_filtered_topk,
+    "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
     "sim_ivf_clusters": sim_ivf_clusters,
     "sim_kmeans_clusters": sim_kmeans_clusters,
@@ -203,7 +290,47 @@ _ASSIGNED = f"""
     ) WHERE rk = 1
 """
 
+_NORMED_L = """
+    SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS norm
+    FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+"""
+
 ORACLE = {
+    "sim_filtered_topk": f"""
+        WITH n AS ({_NORMED_L}),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec, norm AS q_norm
+              FROM n WHERE vec_id % {KNN_QUERY_MOD} = 0),
+        scored AS (
+            SELECT q_id, q_label AS tenant, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q_vec, n.v) / (q_norm * n.norm), 6) AS cos
+            FROM q JOIN n ON n.label = q.q_label AND n.vec_id != q.q_id
+        )
+        SELECT q_id, tenant, neighbor_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+               cos
+        FROM scored
+        QUALIFY rk <= {FILTERED_K}
+        ORDER BY q_id, rk
+    """,
+    "embed_semdedup_drops": f"""
+        WITH n AS ({_ASSIGNED}),
+        drops AS (
+            SELECT DISTINCT a.cluster, b.vec_id AS b_id
+            FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                  >= {SEMDEDUP_COS}
+        ),
+        members AS (SELECT cluster, COUNT(*) AS member_ct FROM n GROUP BY cluster),
+        d AS (SELECT cluster, COUNT(*) AS drop_ct, SUM(b_id) AS drop_id_sum
+              FROM drops GROUP BY cluster)
+        SELECT m.cluster,
+               CAST(m.member_ct AS BIGINT) AS member_ct,
+               CAST(COALESCE(d.drop_ct, 0) AS BIGINT) AS drop_ct,
+               CAST(m.member_ct - COALESCE(d.drop_ct, 0) AS BIGINT) AS keep_ct,
+               CAST(COALESCE(d.drop_id_sum, 0) AS BIGINT) AS drop_id_sum
+        FROM members m LEFT JOIN d ON m.cluster = d.cluster
+        ORDER BY m.cluster
+    """,
     "embed_near_dup": f"""
         WITH n AS ({_ASSIGNED})
         SELECT a.cluster AS block, a.vec_id AS a_id, b.vec_id AS b_id,

@@ -290,6 +290,22 @@ def test_cms_counters_broadcast_for_estimation(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_filtered_topk_broadcasts_query_slice(spark):
+    """sim_filtered_topk's tenant filter must ride the join key (broadcast
+    hash join on label) — never a cartesian with a post-filter, which
+    would defeat the per-shard scan contract."""
+    p = plan(spark, "sim_filtered_topk")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_semdedup_has_no_cartesian(spark):
+    """embed_semdedup_drops' pair generation stays cluster-blocked: an
+    equi-join on the block key, never an all-pairs cross product."""
+    p = plan(spark, "embed_semdedup_drops")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling must actually fire in this engine's session
     config (session.py pins spark.sql.adaptive.skewJoin.enabled): a join
