@@ -159,6 +159,7 @@ def jaccard_pairs(
     units: DataFrame,
     pairs: DataFrame | None = None,
     max_df: int | None = None,
+    ratio: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact jaccard for doc pairs sharing >= 1 shingle (inverted-index
     join); optionally restricted to given candidate pairs. Counts stay
@@ -175,6 +176,14 @@ def jaccard_pairs(
     * with ``pairs``, the index join drives off the candidate list (LSH
       buckets) instead of self-joining the full index, so the cost is
       O(candidate pairs x shingles-per-doc), not O(index²).
+    * ``ratio=(q, scale)`` is the LOSSLESS length-ratio prune for callers
+      that will threshold at ``scale*inter >= q*union``: since
+      j(a,b) <= min(|a|,|b|) / max(|a|,|b|), a candidate pair failing
+      ``scale*min >= q*max`` can never reach the threshold, so it is
+      dropped BEFORE the expensive unit join using only the tiny per-doc
+      size table. A provable no-false-negative prune (the standard MinHash
+      verify optimization); pairs that survive are scored exactly, so
+      thresholded output is identical with or without it.
     """
     if max_df is not None:
         keep = (
@@ -186,6 +195,18 @@ def jaccard_pairs(
         units = units.join(keep, "shingle")
     sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
+        if ratio is not None:
+            q, scale = ratio
+            pa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("_na"))
+            pb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))
+            pairs = (
+                pairs.join(pa, "doc_a")
+                .join(pb, "doc_b")
+                .where(
+                    scale * F.least("_na", "_nb") >= q * F.greatest("_na", "_nb")
+                )
+                .select("doc_a", "doc_b")
+            )
         a_units = units.select(F.col("doc_id").alias("doc_a"), "shingle").join(
             pairs, "doc_a"
         )

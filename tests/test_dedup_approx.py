@@ -31,3 +31,48 @@ def test_uv_daily_kmv_within_error_bound(spark):
         assert abs(r.kmv_ct - r.exact_ct) <= max(5, 0.30 * r.exact_ct), (
             f"{r.cur_date}: kmv {r.kmv_ct} vs exact {r.exact_ct}"
         )
+
+
+def test_length_ratio_prune_is_lossless_at_threshold(spark):
+    """jaccard_pairs(ratio=(9,10)) must keep EXACTLY the pairs that clear
+    j >= 0.9 — the prune's no-false-negative proof (j <= min/max sizes)
+    checked against the unpruned verify on real candidates, plus evidence
+    the prune actually removes candidate work before the unit join."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.dedup import (
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidates,
+        minhash_signatures,
+    )
+    from gmall_flink_spark.queries.llm_dedup import (
+        LSH_MAX_BUCKET,
+        MINHASH_K,
+        ROWS_PER_BAND,
+        _doc_toks,
+    )
+
+    units = _doc_toks(spark, "/root/testdata/sf0.01").select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("shingle")
+    )
+    cands = lsh_candidates(
+        lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+        max_bucket=LSH_MAX_BUCKET,
+    ).localCheckpoint(eager=True)
+
+    def verified(jac):
+        return sorted(
+            map(
+                tuple,
+                jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
+                .select("doc_a", "doc_b", "inter", "uni")
+                .collect(),
+            )
+        )
+
+    full = jaccard_pairs(units, cands)
+    pruned = jaccard_pairs(units, cands, ratio=(9, 10))
+    assert verified(pruned) == verified(full)
+    # the prune must actually drop scored candidates (not be a no-op here)
+    assert pruned.count() < full.count()
