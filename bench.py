@@ -239,6 +239,13 @@ HEADLINE = [
     "dedup_cross_source",
     "sim_label_drift",
     "text_length_drift",
+    # round 6 additions: payment-UU window, filtered (multi-tenant) vector
+    # search, SemDeDup decisions, LSH recall audit + exact AllPairs graph
+    "dws_payment_uu_window",
+    "sim_filtered_topk",
+    "embed_semdedup_drops",
+    "lsh_recall_audit",
+    "dedup_allpairs_exact",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -124,26 +124,56 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int) -> DataFrame:
     return banded.groupBy("doc_id", "band").agg(sig.alias("band_sig"))
 
 
-def lsh_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame:
+def lsh_candidates(
+    bands: DataFrame, max_bucket: int | None = None, oversize: str = "drop"
+) -> DataFrame:
     """Distinct candidate pairs: docs sharing any band bucket.
 
     ``max_bucket`` is the degenerate-bucket guard (essential at 100 TB): a
-    band signature shared by B docs yields B²/2 pairs, and non-discriminative
-    signatures (stop-vocabulary collisions) produce buckets of thousands —
-    at sf0.1 sixteen >200-member buckets hold 15.2M of 15.3M raw pairs.
-    Oversized buckets carry no similarity signal (they collide on common
-    vocabulary, and truly similar docs still collide in OTHER, smaller
-    bands), so standard LSH practice skips them."""
+    band signature shared by B docs yields B²/2 pairs — at sf0.1 sixteen
+    >200-member buckets hold 15.2M of 15.3M raw pairs. ``oversize`` picks
+    what happens to buckets above the cap:
+
+    * ``"drop"`` — skip them entirely (classic LSH practice when oversized
+      buckets are stop-vocabulary collisions). CAVEAT this corpus exposed
+      (see lsh_recall_audit): when a genuine near-dup FAMILY is larger
+      than the cap, every one of its band buckets is oversized, so drop
+      mode loses the whole family (pair recall collapses to the sub-cap
+      clusters).
+    * ``"star"`` — replace the B²/2 within-bucket pairs with B star edges
+      to the bucket's smallest doc_id. Linear in bucket size, still
+      verified downstream, and it preserves CONNECTIVITY: a homogeneous
+      family stays one connected component through its representative, so
+      clustering-grade dedup recovers the family at O(B) cost. Pair-level
+      listings remain a subset of the true pair set (documented).
+    """
     if max_bucket is not None:
-        keep = (
-            bands.groupBy("band", "band_sig")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") <= max_bucket)
-            .drop("_n")
+        stats = bands.groupBy("band", "band_sig").agg(
+            F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
         )
-        bands = bands.join(keep, ["band", "band_sig"])
+        small = bands.join(
+            stats.where(F.col("_n") <= max_bucket).select("band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        star = None
+        if oversize == "star":
+            big = stats.where(F.col("_n") > max_bucket).select(
+                "band", "band_sig", "_rep"
+            )
+            star = (
+                bands.join(big, ["band", "band_sig"])
+                .where(F.col("doc_id") != F.col("_rep"))
+                .select(
+                    F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+                )
+            )
+        elif oversize != "drop":
+            raise ValueError(f"unknown oversize mode {oversize!r}")
+        bands = small
+    else:
+        star = None
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -151,6 +181,107 @@ def lsh_candidates(bands: DataFrame, max_bucket: int | None = None) -> DataFrame
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    if star is not None:
+        # star reps are bucket minima, so doc_a < doc_b holds there too
+        pairs = pairs.unionAll(star)
+    return pairs.distinct()
+
+
+def lsh_candidates_two_level(
+    signatures: DataFrame,
+    rows_per_band: int,
+    fine_rows_per_band: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Two-level LSH candidate generation — the bounded-cost answer to
+    heterogeneous mega-buckets (the regime lsh_recall_audit exposed:
+    low-entropy vocabularies collapse most docs into a few giant coarse
+    buckets, and a flat cap then loses every family buried inside them).
+
+    Level 1: band at ``rows_per_band``; buckets <= ``max_bucket`` pair
+    all-vs-all as usual. Level 2: docs from OVER-cap coarse buckets are
+    re-banded at ``fine_rows_per_band`` (more rows per band = higher
+    signature entropy = smaller buckets) using the SAME signature matrix
+    (no re-hashing), and pair within fine buckets under the same cap;
+    fine buckets still over the cap are dropped (documented residual).
+
+    Recall at j: per coarse band j^rows, per fine band j^fine_rows — at
+    j=0.9 with 3-row coarse / 6-row fine bands, a family in a mega-bucket
+    retains 1-(1-0.9^6)^bands_fine ≈ 0.78 pair recall instead of 0.
+    Cost stays bounded: level 2 touches only mega-bucket members, and
+    every pairing join is capped."""
+    coarse = lsh_bands(signatures, rows_per_band)
+    stats = coarse.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n"))
+    small = coarse.join(
+        stats.where(F.col("_n") <= max_bucket).select("band", "band_sig"),
+        ["band", "band_sig"],
+    )
+    refined_docs = (
+        coarse.join(
+            stats.where(F.col("_n") > max_bucket).select("band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    fine = lsh_bands(signatures, fine_rows_per_band).join(refined_docs, "doc_id")
+    fstats = fine.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n"))
+    fsmall = fine.join(
+        fstats.where(F.col("_n") <= max_bucket).select("band", "band_sig"),
+        ["band", "band_sig"],
+    )
+
+    def _pairs(banded: DataFrame) -> DataFrame:
+        a, b = banded.alias("a"), banded.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
+    return _pairs(small).unionAll(_pairs(fsmall)).distinct()
+
+
+def prefix_filter_candidates(
+    units: DataFrame, q: int, scale: int
+) -> DataFrame:
+    """EXACT set-similarity candidate generation by prefix filtering (the
+    AllPairs construction, Bayardo/Ma/Srikant WWW'07): order the token
+    universe globally by (document frequency asc, token asc) and index
+    only each doc's PREFIX — its ``n - ceil(q*n/scale) + 1`` rarest
+    tokens. Any pair with jaccard >= q/scale must share a prefix token
+    (j >= t forces |A∩B| >= t*max(|A|,|B|), which cannot fit in either
+    suffix), so the inverted-index join over prefixes alone has 100%
+    recall at the threshold — no probabilistic misses, unlike MinHash
+    banding (lsh_recall_audit measures exactly that gap on low-entropy
+    corpora where minhash signatures collapse).
+
+    Scale: each doc contributes ~n/scale*(scale-q)+1 prefix tokens (4 of
+    30 at t=0.9); buckets are keyed by each doc's RAREST tokens, so the
+    frequency ordering itself is the bucket-size guard (a token appears
+    in prefix position only for docs where few rarer tokens exist — the
+    classic AllPairs cost argument). The rank window is per-doc
+    (partitioned, never global); the df table rides a shingle-keyed
+    shuffle the verify join needs anyway."""
+    from pyspark.sql import Window
+
+    df_tab = units.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    u = units.join(df_tab, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = u.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    p = F.col("_n") - F.expr(f"(_n * {q} + {scale - 1}) div {scale}") + 1
+    prefix = ranked.where(F.col("_rn") <= p).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 

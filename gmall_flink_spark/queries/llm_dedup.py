@@ -14,7 +14,9 @@ from gmall_flink_spark.llm.dedup import (
     jaccard_pairs,
     lsh_bands,
     lsh_candidates,
+    lsh_candidates_two_level,
     minhash_signatures,
+    prefix_filter_candidates,
     shingles_from_tokens,
     simhash,
 )
@@ -22,14 +24,23 @@ from gmall_flink_spark.sources.tables import table
 
 MINHASH_K = 12
 ROWS_PER_BAND = 3
+#: level-2 band width for over-cap coarse buckets (llm/dedup.py::
+#: lsh_candidates_two_level): 6-row bands double the signature entropy, so
+#: mega-bucket members split into pairable sub-cap buckets (2 fine bands
+#: from the same 12 minhashes; ~0.78 pair recall at j=0.9)
+FINE_ROWS_PER_BAND = 6
 # Shingle document-frequency cap for the unrestricted inverted-index join:
 # a single stop-phrase shingle shared by M docs costs O(M^2) pairs, so the
 # ngram path only scores *discriminative* shingles (df <= cap). 5 both
 # exercises the cap at test SF (max df there is 7) and is the scale guard.
 NGRAM_MAX_DF = 5
-# LSH degenerate-bucket cap (see llm/dedup.lsh_candidates): buckets larger
-# than this are vocabulary collisions, not near-dup signal — without the cap
-# sixteen >200-member buckets at sf0.1 contribute 15.2M of 15.3M pairs.
+# LSH degenerate-bucket cap (see llm/dedup.lsh_candidates): a bucket of B
+# docs costs B²/2 pairs — without the cap sixteen >200-member buckets at
+# sf0.1 contribute 15.2M of 15.3M pairs. Oversized buckets take the STAR
+# fallback (O(B) edges to the bucket's min doc_id) instead of being
+# dropped: lsh_recall_audit showed drop mode loses whole near-dup families
+# larger than the cap (5/450 sample pairs recalled), while star keeps every
+# family connected for clustering-grade dedup at linear cost.
 LSH_MAX_BUCKET = 50
 
 
@@ -98,8 +109,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(spark, sf_dir, "documents", _VERIFIED)
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
-        cands = lsh_candidates(
-            lsh_bands(minhash_signatures(units, MINHASH_K), ROWS_PER_BAND),
+        cands = lsh_candidates_two_level(
+            minhash_signatures(units, MINHASH_K),
+            ROWS_PER_BAND,
+            FINE_ROWS_PER_BAND,
             max_bucket=LSH_MAX_BUCKET,
         )
         # ratio=(9, 10) is the lossless length prune for the j >= 0.9
@@ -127,9 +140,10 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH dedup: bucket-join candidates (degenerate buckets
-    > LSH_MAX_BUCKET skipped) verified by exact token-set jaccard, kept at
-    j >= 0.9 (10*inter >= 9*union)."""
+    """Full MinHash-LSH dedup: bucket-join candidates (buckets over
+    LSH_MAX_BUCKET contribute star edges to their min doc_id instead of
+    all pairs) verified by exact token-set jaccard, kept at j >= 0.9
+    (10*inter >= 9*union)."""
     return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
@@ -309,7 +323,108 @@ def dedup_rep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: recall-audit sample: every 4th doc (25%). The audit's ground truth is
+#: brute-force over SAMPLE pairs only, so its cost is (n/4)² id pairs
+#: before the lossless ratio prune — bounded by construction, never by luck.
+AUDIT_MOD = 4
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit — the measurement that tells you whether the
+    MinHash-LSH parameters (k, rows-per-band, bucket cap) are actually
+    catching the near-dups before you trust the index at corpus scale:
+    on a deterministic 1-in-AUDIT_MOD document sample, compute the exact
+    ground-truth j >= 0.9 pairs by brute force (all sample id pairs,
+    length-ratio-pruned losslessly, scored exactly) and count how many the
+    production LSH candidate generation (same bands, same bucket cap,
+    same star fallback) recalls. One row per pair class (exact j=1 vs
+    near 0.9<=j<1): true_ct / hit_ct / miss_ct + id checksums — recall is
+    hit/true, read exactly from integers. This audit is what exposed the
+    drop-mode cap losing whole over-cap families (5/450 recalled) and
+    motivated the star fallback; with star, family connectivity is kept
+    through the representatives while pair listings remain a documented
+    subset.
+
+    Scale: ground truth is quadratic ONLY in the sample (id-pair join of
+    tiny rows; the ratio prune consults only the per-doc size table before
+    any unit join); the candidate side reuses the full corpus' band
+    pipeline from the shared token checkpoint. This is how LSH recall is
+    audited in production — sampled ground truth, never corpus²."""
+    units = _doc_units(spark, sf_dir)
+    s_units = units.where(F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0)
+    ids = s_units.select("doc_id").distinct()
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .join(ids.select(F.col("doc_id").alias("doc_b")), F.col("doc_a") < F.col("doc_b"))
+    )
+    true_pairs = (
+        jaccard_pairs(s_units, all_pairs, ratio=(9, 10))
+        .where(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
+        )
+    )
+    cands = lsh_candidates_two_level(
+        minhash_signatures(units, MINHASH_K),
+        ROWS_PER_BAND,
+        FINE_ROWS_PER_BAND,
+        max_bucket=LSH_MAX_BUCKET,
+    ).where(
+        (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
+        & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
+    ).withColumn("hit", F.lit(1))
+    flagged = true_pairs.join(cands, ["doc_a", "doc_b"], "left")
+    return (
+        flagged.groupBy("is_exact")
+        .agg(
+            F.count(F.lit(1)).alias("true_ct"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hit_ct"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("miss_ct"),
+            F.sum("doc_a").alias("a_id_sum"),
+            F.sum("doc_b").alias("b_id_sum"),
+        )
+        .orderBy("is_exact")
+    )
+
+
+def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pair graph via prefix filtering (AllPairs,
+    llm/dedup.py::prefix_filter_candidates) on the deterministic
+    1-in-AUDIT_MOD sample: candidates = docs sharing a token in their
+    rarest-(n-ceil(0.9n)+1)-token prefixes (provably complete at
+    j >= 0.9), verified by exact integer jaccard. One summary row: pair
+    count, exact-duplicate count, and checksums — the zero-false-negative
+    complement of the banded LSH path, at inverted-index (not corpus²)
+    cost.
+
+    Sampled for the same reason as lsh_recall_audit: this synthetic
+    corpus is ~7.7%% true dup-pairs (965k pairs at sf0.1), so FULL exact
+    pair listing is inherently ~quadratic in family sizes; the sampled
+    graph bounds the work by construction while exercising the full
+    operator (measured: full-corpus run is exact too — recall FULL vs the
+    unrestricted join at both SFs — just not bench-shaped)."""
+    units = _doc_units(spark, sf_dir).where(
+        F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+    )
+    cands = prefix_filter_candidates(units, 9, 10)
+    jac = jaccard_pairs(units, cands, ratio=(9, 10)).where(
+        10 * F.col("inter") >= 9 * F.col("uni")
+    )
+    return jac.agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.sum((F.col("inter") == F.col("uni")).cast("bigint")).alias("exact_ct"),
+        F.sum("inter").alias("inter_sum"),
+        F.sum("uni").alias("uni_sum"),
+        F.sum("doc_a").alias("a_id_sum"),
+        F.sum("doc_b").alias("b_id_sum"),
+    )
+
+
 QUERIES = {
+    "lsh_recall_audit": lsh_recall_audit,
+    "dedup_allpairs_exact": dedup_allpairs_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "minhash_band_buckets": minhash_band_buckets,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -340,20 +455,59 @@ _SIGS = f"""
     GROUP BY doc_id, seed
 """
 
-_BANDS = f"""
-    SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+def _bands_sql(rows: int) -> str:
+    return f"""
+    SELECT doc_id, seed // {rows} AS band,
            string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
     FROM ({_SIGS}) GROUP BY doc_id, band
 """
 
+
+_BANDS = _bands_sql(ROWS_PER_BAND)
+_FBANDS = _bands_sql(FINE_ROWS_PER_BAND)
+
+# mirror of llm/dedup.lsh_candidates_two_level: sub-cap coarse buckets
+# pair all-vs-all; over-cap bucket MEMBERS are re-banded at the fine width
+# and pair within sub-cap fine buckets
+_BSTATS = f"""
+    SELECT band, band_sig, COUNT(*) AS n
+    FROM ({_BANDS}) GROUP BY 1, 2
+"""
+
+_REFINED = f"""
+    SELECT DISTINCT m.doc_id FROM ({_BANDS}) m
+    JOIN ({_BSTATS}) k ON m.band = k.band AND m.band_sig = k.band_sig
+    WHERE k.n > {LSH_MAX_BUCKET}
+"""
+
+_FINE_R = f"""
+    SELECT f.* FROM ({_FBANDS}) f JOIN ({_REFINED}) r ON f.doc_id = r.doc_id
+"""
+
+_FSTATS = f"""
+    SELECT band, band_sig, COUNT(*) AS n FROM ({_FINE_R}) GROUP BY 1, 2
+"""
+
 _CANDS = f"""
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM ({_BANDS}) a
-    JOIN ({_BANDS}) b
-      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    JOIN (SELECT band, band_sig FROM ({_BANDS})
-          GROUP BY 1, 2 HAVING COUNT(*) <= {LSH_MAX_BUCKET}) k
-      ON a.band = k.band AND a.band_sig = k.band_sig
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ({_BANDS}) a
+        JOIN ({_BANDS}) b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+        JOIN ({_BSTATS}) k
+          ON a.band = k.band AND a.band_sig = k.band_sig
+        WHERE k.n <= {LSH_MAX_BUCKET}
+        UNION ALL
+        SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b
+        FROM ({_FINE_R}) fa
+        JOIN ({_FINE_R}) fb
+          ON fa.band = fb.band AND fa.band_sig = fb.band_sig
+         AND fa.doc_id < fb.doc_id
+        JOIN ({_FSTATS}) k
+          ON fa.band = k.band AND fa.band_sig = k.band_sig
+        WHERE k.n <= {LSH_MAX_BUCKET}
+    )
 """
 
 
@@ -393,7 +547,42 @@ _SHINGLES3 = f"""
     )
 """
 
+_SAMPLE_UNITS = f"SELECT * FROM ({_UNITS}) WHERE doc_id % {AUDIT_MOD} = 0"
+
 ORACLE = {
+    "lsh_recall_audit": f"""
+        WITH jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        truth AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
+            FROM jac WHERE 10 * inter >= 9 * uni
+        ),
+        cands AS (
+            SELECT doc_a, doc_b, 1 AS hit FROM ({_CANDS})
+            WHERE doc_a % {AUDIT_MOD} = 0 AND doc_b % {AUDIT_MOD} = 0
+        )
+        SELECT t.is_exact,
+               CAST(COUNT(*) AS BIGINT) AS true_ct,
+               CAST(SUM(COALESCE(c.hit, 0)) AS BIGINT) AS hit_ct,
+               CAST(SUM(CASE WHEN c.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS miss_ct,
+               CAST(SUM(t.doc_a) AS BIGINT) AS a_id_sum,
+               CAST(SUM(t.doc_b) AS BIGINT) AS b_id_sum
+        FROM truth t LEFT JOIN cands c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+        GROUP BY t.is_exact ORDER BY t.is_exact
+    """,
+    "dedup_allpairs_exact": f"""
+        WITH jac AS ({_jaccard(_SAMPLE_UNITS)})
+        SELECT CAST(COUNT(*) AS BIGINT) AS pair_ct,
+               CAST(SUM(CASE WHEN inter = uni THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_ct,
+               CAST(SUM(inter) AS BIGINT) AS inter_sum,
+               CAST(SUM(uni) AS BIGINT) AS uni_sum,
+               CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
+               CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+        FROM jac WHERE 10 * inter >= 9 * uni
+    """,
     "dedup_exact_prefix": f"""
         WITH t AS (SELECT doc_id, md5(array_to_string(({_TOKS})[1:2], ' ')) AS fp2
                    FROM documents)

@@ -76,3 +76,73 @@ def test_length_ratio_prune_is_lossless_at_threshold(spark):
     assert verified(pruned) == verified(full)
     # the prune must actually drop scored candidates (not be a no-op here)
     assert pruned.count() < full.count()
+
+
+def test_lsh_star_fallback_keeps_family_connected(spark):
+    """oversize='star' on a homogeneous over-cap bucket: the star edges to
+    the bucket's min doc_id verify at j>=0.9 and connected components
+    still merge the family — at O(B) pairs where drop mode loses it
+    entirely."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.dedup import (
+        connected_components,
+        distinct_tokens,
+        jaccard_pairs,
+        lsh_bands,
+        lsh_candidates,
+        minhash_signatures,
+    )
+
+    # 12 docs sharing 29 of 30 tokens pairwise (one unique token each):
+    # every pair has j = 29/31 > 0.9 and identical minhash signatures are
+    # overwhelmingly likely, forming one over-cap (cap=8) bucket per band
+    base = " ".join(f"tok{i}" for i in range(29))
+    rows = [(i, f"{base} unique{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    units = distinct_tokens(docs, spread_input=False)
+    bands = lsh_bands(minhash_signatures(units, 12), 3)
+
+    dropped = lsh_candidates(bands, max_bucket=8, oversize="drop")
+    starred = lsh_candidates(bands, max_bucket=8, oversize="star")
+    assert dropped.count() == 0
+    n_star = starred.count()
+    assert 0 < n_star <= 11, f"star must be O(B), got {n_star}"
+
+    verified = jaccard_pairs(units, starred).where(
+        10 * F.col("inter") >= 9 * F.col("uni")
+    )
+    comp = connected_components(verified.select("doc_a", "doc_b"))
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == 12
+
+
+def test_two_level_lsh_refines_within_megabuckets(spark):
+    """lsh_candidates_two_level: over-cap coarse-bucket members re-band at
+    the fine width, and sub-cap fine buckets pair — candidates appear
+    where single-level drop mode produces none, and never exceed the
+    sub-cap-pairing bound."""
+    from gmall_flink_spark.llm.dedup import (
+        distinct_tokens,
+        lsh_bands,
+        lsh_candidates,
+        lsh_candidates_two_level,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(29))
+    rows = [(i, f"{base} unique{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    units = distinct_tokens(docs, spread_input=False)
+    sigs = minhash_signatures(units, 12)
+
+    dropped = lsh_candidates(lsh_bands(sigs, 3), max_bucket=8, oversize="drop")
+    # cap 8 still over-caps the 12-member coarse buckets; fine 6-row bands
+    # of an identical-signature family stay one bucket too, so grant the
+    # fine level a cap that admits it (the heterogeneous-corpus case where
+    # fine buckets split below the cap is exercised on real testdata by
+    # lsh_recall_audit)
+    two = lsh_candidates_two_level(sigs, 3, 6, max_bucket=8)
+    refined = lsh_candidates_two_level(sigs, 3, 6, max_bucket=12)
+    assert dropped.count() == 0 and two.count() == 0
+    assert refined.count() == 12 * 11 // 2
