@@ -1179,3 +1179,44 @@ def test_boilerplate_df_stream_equals_batch(spark):
     got = read_state(spark, state).select("source", "shingle", "df_ct")
     want = shingle_counts(docs)
     assert rows(got) == rows(want)
+
+
+def test_payment_uu_window_stream_matches_batch(spark):
+    """DwsTradePaymentWindow streaming recipe (plans/pipelines.py): the P7
+    pay-suc fact stream through new_user_flags_stream (D5) + the day
+    tumble agg must equal the dws_payment_uu_window batch query."""
+    from gmall_flink_spark.operators.cdc import (
+        d,
+        drop_bootstrap,
+        src_filter,
+        status_transition,
+    )
+    from gmall_flink_spark.operators.windows import tumble_agg
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+
+    env = drop_bootstrap(orders_envelope(spark, SF))
+    pays = src_filter(env, "order_info").where(
+        status_transition("order_status", to="1005", from_="1002")
+    ).select(
+        d("user_id").cast("bigint").alias("user_id"),
+        F.timestamp_seconds("ts").alias("rt"),
+    )
+    out = os.path.join(TMP, "pay_slices")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    split_into_files(pays, 4, "rt", out)
+    sdf = stream_from(spark, out, pays)
+    flags = run_available_now(new_user_flags_stream(sdf, "user_id", "rt"))
+    got = tumble_agg(
+        flags.withColumn("day_ts", F.to_timestamp("cur_date")),
+        "day_ts",
+        "1 day",
+        [],
+        [
+            F.count(F.lit(1)).alias("payment_suc_uu_ct"),
+            F.sum("is_first_ever").alias("payment_suc_new_user_ct"),
+        ],
+    ).select("stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct")
+    batch = all_queries()["dws_payment_uu_window"](spark, SF)
+    assert rows(got) == rows(batch)
