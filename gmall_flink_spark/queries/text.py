@@ -549,6 +549,56 @@ def text_surprisal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the CCNet-style perplexity filter one
+    conditional order up from text_surprisal_hist's unigram model, built
+    with the same integer-exactness trick: each bigram's conditional
+    surprisal class is floor(log2(ctx_ct div big_ct)) where ctx_ct counts
+    bigrams starting with the prefix token (so big_ct <= ctx_ct and the
+    class is a non-negative INTEGER; log2 of an int can't cross an integer
+    boundary off exact powers). Per-doc score = exact int sum over the
+    doc's bigrams; output is the per-source histogram of mean conditional
+    surprisal (x10 fixed point). High mean = improbable token sequences
+    (noise/garbled text); low = templated text — both tails are what an
+    LM-perplexity filter cuts.
+
+    Scale: one bigram-key shuffle for the conditional table (map-side
+    partials), one prefix-token shuffle for contexts (both vocab²- and
+    vocab-bounded, << corpus), the class join back on the bigram key (AQE
+    broadcasts when it fits), one (source, doc) agg. Docs with < 2 tokens
+    have no bigrams and are excluded by construction."""
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select("source", "doc_id", tokenize("text").alias("l")).where(
+        F.size("l") >= 2
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("l"), F.lit(1), F.size("l") - 1),
+        F.slice(F.col("l"), F.lit(2), F.size("l") - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = toked.select(
+        "source", "doc_id", F.explode(pairs).alias("p")
+    ).select("source", "doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    ctx = bg.groupBy("a").agg(F.count(F.lit(1)).alias("cn"))
+    bct = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("bn"))
+    cls = bct.join(ctx, "a").select(
+        "a",
+        "b",
+        F.floor(F.log2(F.expr("cn div bn").cast("double"))).cast("bigint").alias("r"),
+    )
+    per_doc = (
+        bg.join(cls, ["a", "b"])
+        .groupBy("source", "doc_id")
+        .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_doc.select("source", F.expr("(10 * s) div n").alias("mean10x"))
+        .groupBy("source", "mean10x")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
+        .orderBy("source", "mean10x")
+    )
+
+
 #: boilerplate-detection parameters: shingle width, the per-source document
 #: frequency at which a shingle counts as boilerplate (templates/footers
 #: repeat across a source's docs; content doesn't), and the per-doc
@@ -711,6 +761,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_surprisal_hist": text_surprisal_hist,
+    "text_bigram_lm_score": text_bigram_lm_score,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1027,6 +1078,33 @@ ORACLE["text_surprisal_hist"] = f"""
     per_doc AS (
         SELECT source, doc_id, SUM(r) AS s, COUNT(*) AS n
         FROM toks JOIN rarity USING (t)
+        GROUP BY source, doc_id
+    )
+    SELECT source, CAST((10 * s) // n AS BIGINT) AS mean10x,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct
+    FROM per_doc
+    GROUP BY source, mean10x
+    ORDER BY source, mean10x
+"""
+
+ORACLE["text_bigram_lm_score"] = f"""
+    WITH t AS (
+        SELECT source, doc_id, {_TOKS} AS l FROM documents
+    ),
+    bg AS (
+        SELECT source, doc_id, l[i] AS a, l[i + 1] AS b
+        FROM (SELECT source, doc_id, l, unnest(range(1, len(l))) AS i
+              FROM t WHERE len(l) >= 2)
+    ),
+    ctx AS (SELECT a, COUNT(*) AS cn FROM bg GROUP BY a),
+    bc AS (SELECT a, b, COUNT(*) AS bn FROM bg GROUP BY a, b),
+    cls AS (
+        SELECT a, b, CAST(floor(log2(CAST(cn // bn AS DOUBLE))) AS BIGINT) AS r
+        FROM bc JOIN ctx USING (a)
+    ),
+    per_doc AS (
+        SELECT source, doc_id, SUM(r) AS s, COUNT(*) AS n
+        FROM bg JOIN cls USING (a, b)
         GROUP BY source, doc_id
     )
     SELECT source, CAST((10 * s) // n AS BIGINT) AS mean10x,
