@@ -68,6 +68,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cluster-blocked cosine near-dup pairs (cos >= 0.3), memoized per
+#: (session, sf_dir, content stamp) like the LSH pair graph: embed_near_dup
+#: reports the pairs and embed_semdedup_drops turns them into per-cluster
+#: keep/drop decisions — one blocked pair scan serves both.
+_NEARDUP_PAIRS: dict[tuple, DataFrame] = {}
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "embeddings", _NEARDUP_PAIRS)
+    if key not in _NEARDUP_PAIRS:
+        emb = prep(table(spark, sf_dir, "embeddings"))
+        assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+        pairs = near_dup_pairs(assigned, threshold=0.3, block_col="cluster")
+        _NEARDUP_PAIRS[key] = pairs.localCheckpoint(eager=True)
+    return _NEARDUP_PAIRS[key]
+
+
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on the IVF cluster id (exact
     within blocks, cos >= 0.3, keep-lowest-id representative).
@@ -77,11 +96,7 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded — unlike a low-cardinality attribute block (label), which
     degenerates to O(B²) on giant blocks at 100 TB. Blocking on the same
     key IVF search shuffles on also reuses that partitioning."""
-    emb = prep(table(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
-    return near_dup_pairs(assigned, threshold=0.3, block_col="cluster").orderBy(
-        "block", "a_id", "b_id"
-    )
+    return _neardup_pairs(spark, sf_dir).orderBy("block", "a_id", "b_id")
 
 
 NPROBE = 3
@@ -231,13 +246,14 @@ def embed_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     id checksum — the decision table a corpus build joins against to
     filter, where embed_near_dup only reports the raw pair evidence.
 
-    Scale: consumes the SAME cluster-blocked pair generation as
-    embed_near_dup (within-block all-pairs, cluster count grows with the
-    corpus), one distinct over the pair's larger side, one per-cluster
-    aggregate. Nothing rescans the vectors after blocking."""
+    Scale: consumes the SAME cluster-blocked pair scan as embed_near_dup
+    (session-memoized `_neardup_pairs` — within-block all-pairs, cluster
+    count grows with the corpus), one distinct over the pair's larger
+    side, one per-cluster aggregate. Nothing rescans the vectors after
+    blocking."""
     emb = prep(table(spark, sf_dir, "embeddings"))
     assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
-    pairs = near_dup_pairs(assigned, threshold=SEMDEDUP_COS, block_col="cluster")
+    pairs = _neardup_pairs(spark, sf_dir)
     drops = pairs.select(F.col("block").alias("cluster"), F.col("b_id").alias("vec_id")).distinct()
     members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("member_ct"))
     per_cluster = (

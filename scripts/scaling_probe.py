@@ -102,13 +102,17 @@ def main() -> None:
             _VERIFIED,
         )
         from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
-        from gmall_flink_spark.queries.similarity import _PQ_BOOKS_MEMO
+        from gmall_flink_spark.queries.similarity import (
+            _NEARDUP_PAIRS,
+            _PQ_BOOKS_MEMO,
+        )
         from gmall_flink_spark.queries.text import _WINNOW_DOCS
 
         _WINNOW_DOCS.clear()
         _COMPONENTS.clear()
         _DOC_TOKS.clear()
         _DOC_UNITS.clear()
+        _NEARDUP_PAIRS.clear()
         _PACK_TOTALS.clear()
         _PQ_BOOKS_MEMO.clear()
         _VERIFIED.clear()
