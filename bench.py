@@ -246,6 +246,7 @@ HEADLINE = [
     "embed_semdedup_drops",
     "lsh_recall_audit",
     "dedup_allpairs_exact",
+    "dedup_components_exact",
     "text_bigram_lm_score",
 ]
 

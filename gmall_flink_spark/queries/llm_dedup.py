@@ -389,6 +389,29 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: verified j >= 0.9 pairs of the AUDIT_MOD sample via exact prefix
+#: filtering, memoized like the other shared stages: dedup_allpairs_exact
+#: reports the graph's statistics and dedup_components_exact clusters it —
+#: the sampled exact pipeline runs once per (session, sf_dir, stamp).
+_SAMPLE_EXACT: dict[tuple, DataFrame] = {}
+
+
+def _sample_exact_jac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _SAMPLE_EXACT)
+    if key not in _SAMPLE_EXACT:
+        units = _doc_units(spark, sf_dir).where(
+            F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+        )
+        cands = prefix_filter_candidates(units, 9, 10)
+        jac = jaccard_pairs(units, cands, ratio=(9, 10)).where(
+            10 * F.col("inter") >= 9 * F.col("uni")
+        )
+        _SAMPLE_EXACT[key] = jac.localCheckpoint(eager=True)
+    return _SAMPLE_EXACT[key]
+
+
 def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pair graph via prefix filtering (AllPairs,
     llm/dedup.py::prefix_filter_candidates) on the deterministic
@@ -405,13 +428,7 @@ def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph bounds the work by construction while exercising the full
     operator (measured: full-corpus run is exact too — recall FULL vs the
     unrestricted join at both SFs — just not bench-shaped)."""
-    units = _doc_units(spark, sf_dir).where(
-        F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
-    )
-    cands = prefix_filter_candidates(units, 9, 10)
-    jac = jaccard_pairs(units, cands, ratio=(9, 10)).where(
-        10 * F.col("inter") >= 9 * F.col("uni")
-    )
+    jac = _sample_exact_jac(spark, sf_dir)
     return jac.agg(
         F.count(F.lit(1)).alias("pair_ct"),
         F.sum((F.col("inter") == F.col("uni")).cast("bigint")).alias("exact_ct"),
@@ -422,9 +439,37 @@ def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup DECISION ledger on the audit sample: connected
+    components over the complete prefix-filtered j >= 0.9 pair graph
+    (dedup_allpairs_exact's edges), summarized as the numbers a corpus
+    owner acts on — cluster count, docs inside clusters, the largest
+    cluster, and how many docs exact dedup would drop (keep one per
+    cluster). On this corpus the ledger quantifies what the LSH recall
+    audit implies: the sampled corpus collapses into few large families,
+    so the drop fraction is the real dedup yield, far beyond what the
+    capped LSH graph suggests.
+
+    Scale: edges are the sampled exact graph (bounded by construction);
+    components is the same iterative min-label propagation every dedup
+    decision path uses (rounds = family diameter; families are near-
+    cliques, so 2-3)."""
+    edges = _sample_exact_jac(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("component_ct"),
+        F.sum("sz").alias("clustered_doc_ct"),
+        F.max("sz").alias("max_size"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("drop_ct"),
+        F.sum(F.col("component")).alias("rep_id_sum"),
+    )
+
+
 QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
     "dedup_allpairs_exact": dedup_allpairs_exact,
+    "dedup_components_exact": dedup_components_exact,
     "dedup_exact_prefix": dedup_exact_prefix,
     "minhash_band_buckets": minhash_band_buckets,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -582,6 +627,29 @@ ORACLE = {
                CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
                CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
         FROM jac WHERE 10 * inter >= 9 * uni
+    """,
+    "dedup_components_exact": f"""
+        WITH RECURSIVE
+        jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        edges AS (SELECT doc_a, doc_b FROM jac WHERE 10 * inter >= 9 * uni),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        ),
+        comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+        sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+        SELECT CAST(COUNT(*) AS BIGINT) AS component_ct,
+               CAST(SUM(sz) AS BIGINT) AS clustered_doc_ct,
+               CAST(MAX(sz) AS BIGINT) AS max_size,
+               CAST(SUM(sz) - COUNT(*) AS BIGINT) AS drop_ct,
+               CAST(SUM(component) AS BIGINT) AS rep_id_sum
+        FROM sizes
     """,
     "dedup_exact_prefix": f"""
         WITH t AS (SELECT doc_id, md5(array_to_string(({_TOKS})[1:2], ' ')) AS fp2

@@ -99,6 +99,7 @@ def main() -> None:
             _COMPONENTS,
             _DOC_TOKS,
             _DOC_UNITS,
+            _SAMPLE_EXACT,
             _VERIFIED,
         )
         from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
@@ -112,6 +113,7 @@ def main() -> None:
         _COMPONENTS.clear()
         _DOC_TOKS.clear()
         _DOC_UNITS.clear()
+        _SAMPLE_EXACT.clear()
         _NEARDUP_PAIRS.clear()
         _PACK_TOTALS.clear()
         _PQ_BOOKS_MEMO.clear()
