@@ -170,3 +170,62 @@ def test_chunk_spans_cover_exactly_once_per_stride_window(spark, ns):
             prev_end = start + ln
             covered.update(range(start, start + ln))
         assert covered == set(range(n))
+
+
+# --- r6: exact set-similarity machinery -----------------------------------
+
+_vocab = st.integers(min_value=0, max_value=9)
+
+
+@given(
+    docs=st.lists(
+        st.sets(_vocab, min_size=1, max_size=8), min_size=2, max_size=12
+    )
+)
+@_SETTINGS
+def test_prefix_filter_is_complete_at_threshold(spark, docs):
+    """prefix_filter_candidates must contain EVERY pair at j >= 0.9 for
+    arbitrary token sets (the AllPairs prefix lemma) — and the lossless
+    ratio prune must keep exactly the thresholded pairs."""
+    from gmall_flink_spark.llm.dedup import jaccard_pairs, prefix_filter_candidates
+
+    rows = [
+        (i, f"t{t}") for i, toks in enumerate(docs) for t in toks
+    ]
+    units = spark.createDataFrame(rows, "doc_id long, shingle string")
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_candidates(units, 9, 10).collect()
+    }
+    truth = set()
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(docs[a] & docs[b])
+            uni = len(docs[a] | docs[b])
+            if 10 * inter >= 9 * uni:
+                truth.add((a, b))
+    assert truth <= cands, f"missed true pairs: {truth - cands}"
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(units, prefix_filter_candidates(units, 9, 10), ratio=(9, 10))
+        .where(10 * F.col("inter") >= 9 * F.col("uni"))
+        .collect()
+    }
+    assert verified == truth
+
+
+@given(n=st.integers(min_value=1, max_value=10**15))
+@_SETTINGS
+def test_srp_auto_band_bits_contract(spark, n):
+    """Self-sized SRP width: always a divisor of n_planes, >= 2 bands, and
+    bucket-key space >= 2x the corpus whenever a valid divisor allows it."""
+    from gmall_flink_spark.llm.similarity import srp_auto_band_bits
+
+    bits = srp_auto_band_bits(n, 96)
+    assert 96 % bits == 0 and bits <= 48
+    if bits < 48:
+        assert 2 ** bits >= 2 * n or bits == 48
+        # minimality: the next-smaller divisor would under-size the space
+        smaller = max(d for d in range(1, bits) if 96 % d == 0) if bits > 1 else None
+        if smaller is not None:
+            assert 2 ** smaller < 2 * n
