@@ -61,6 +61,14 @@ PROBES = [
                                 #   (NB: replicated vec_ids collapse in the
                                 #   (vec_id, sub) argmin, so codebooks and
                                 #   results match 1x; input rows still Kx)
+    # round 6 additions
+    "sim_filtered_topk",        # label-sharded (multi-tenant) exact search
+    "embed_semdedup_drops",     # shared cluster-blocked pair scan + ledger
+    "dedup_allpairs_exact",     # sampled exact prefix-filter graph (NB:
+                                #   replication duplicates (doc_id, token)
+                                #   unit rows, inflating set sizes — cost
+                                #   signal only, not meaningful jaccard)
+    "text_bigram_lm_score",     # bigram conditional-surprisal histogram
 ]
 
 
