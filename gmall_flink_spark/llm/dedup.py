@@ -258,13 +258,25 @@ def prefix_filter_candidates(
     banding (lsh_recall_audit measures exactly that gap on low-entropy
     corpora where minhash signatures collapse).
 
+    Two further LOSSLESS prunes run inside the index join (the PPJoin
+    refinements, Xiao et al. WWW'08, applied per shared-token occurrence
+    before the distinct):
+
+    * length filter — ``scale*min(na,nb) >= q*max(na,nb)`` (j <= min/max);
+    * positional filter — a shared token at ranks (ra, rb) bounds the
+      overlap by ``min(na-ra, nb-rb) + 1``, which must reach the required
+      overlap ``alpha = ceil(q*(na+nb)/(q+scale))`` (from
+      ``i*(q+scale) >= q*(na+nb)``). Both bounds are upper bounds on the
+      true overlap, so every true pair survives every occurrence.
+
     Scale: each doc contributes ~n/scale*(scale-q)+1 prefix tokens (4 of
     30 at t=0.9); buckets are keyed by each doc's RAREST tokens, so the
     frequency ordering itself is the bucket-size guard (a token appears
     in prefix position only for docs where few rarer tokens exist — the
-    classic AllPairs cost argument). The rank window is per-doc
-    (partitioned, never global); the df table rides a shingle-keyed
-    shuffle the verify join needs anyway."""
+    classic AllPairs cost argument), and the two prunes cut the pair
+    stream before the distinct using only per-row metadata. The rank
+    window is per-doc (partitioned, never global); the df table rides a
+    shingle-keyed shuffle the verify join needs anyway."""
     from pyspark.sql import Window
 
     df_tab = units.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -275,12 +287,24 @@ def prefix_filter_candidates(
         "_n", F.count(F.lit(1)).over(wn)
     )
     p = F.col("_n") - F.expr(f"(_n * {q} + {scale - 1}) div {scale}") + 1
-    prefix = ranked.where(F.col("_rn") <= p).select("doc_id", "shingle")
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    prefix = ranked.where(F.col("_rn") <= p).select("doc_id", "shingle", "_rn", "_n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "shingle",
+        F.col("_rn").alias("_ra"), F.col("_n").alias("_na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "shingle",
+        F.col("_rn").alias("_rb"), F.col("_n").alias("_nb"),
+    )
+    alpha = F.expr(f"({q} * (_na + _nb) + {q + scale - 1}) div {q + scale}")
+    pos_ub = F.least(F.col("_na") - F.col("_ra"), F.col("_nb") - F.col("_rb")) + 1
     return (
         a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (scale * F.least("_na", "_nb") >= q * F.greatest("_na", "_nb"))
+            & (pos_ub >= alpha)
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
