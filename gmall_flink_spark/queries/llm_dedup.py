@@ -189,7 +189,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (j >= 0.9) — the step that turns pairs into dedup decisions
     (component id = the kept representative, everything else drops). Output
     is the per-doc component mapping for docs in any cluster (computed once
-    per session via ``_components``, shared with dedup_rep_select)."""
+    per session via ``_components``, shared with dedup_rep_select).
+
+    Recall caveat (measured, r6): the LSH graph is the bounded-cost path
+    and on low-entropy corpora its pair recall collapses (this testdata:
+    see lsh_recall_audit); the exact decision ledger is
+    dedup_components_exact (prefix-filtered, sampled), and SCALE.md's r6
+    section states when to reach for which."""
     return _components(spark, sf_dir).orderBy("doc_id")
 
 

@@ -1220,3 +1220,39 @@ def test_payment_uu_window_stream_matches_batch(spark):
     ).select("stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct")
     batch = all_queries()["dws_payment_uu_window"](spark, SF)
     assert rows(got) == rows(batch)
+
+
+def test_allpairs_index_sink_equals_batch_exact_graph(spark):
+    """Streaming EXACT near-dup: replay documents in 3 micro-batches
+    through the token-unit index sink; the accumulated state must equal
+    the batch distinct-token frame, and the verified pair view over the
+    state must equal the batch prefix-filter + jaccard pipeline — prefixes
+    are (correctly) recomputed against the final df order at read time."""
+    from gmall_flink_spark.llm.dedup import (
+        distinct_tokens,
+        jaccard_pairs,
+        prefix_filter_candidates,
+    )
+    from gmall_flink_spark.sinks._bucketed import read_state
+    from gmall_flink_spark.sinks.allpairs_sink import (
+        allpairs_state_verified,
+        units_index_writer,
+    )
+
+    docs = table(spark, SF, "documents")
+    slices = os.path.join(TMP, "allpairs_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "allpairs_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    sdf = stream_from(spark, slices, docs)
+    run_available_now(sdf, foreach_batch=units_index_writer(state))
+
+    batch_units = distinct_tokens(docs)
+    assert rows(read_state(spark, state)) == rows(batch_units)
+    got = allpairs_state_verified(spark, state, 9, 10)
+    want = jaccard_pairs(
+        batch_units, prefix_filter_candidates(batch_units, 9, 10), ratio=(9, 10)
+    ).where(10 * F.col("inter") >= 9 * F.col("uni"))
+    assert rows(got) == rows(want)
+    assert got.count() > 0
