@@ -95,6 +95,27 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DOC_UNITS[key]
 
 
+#: two-level LSH candidate pairs, memoized like the other shared stages:
+#: the verified pair graph builds on them and lsh_recall_audit scores the
+#: SAME production candidate rule — one banding pipeline serves both.
+_LSH_CANDS: dict[tuple, DataFrame] = {}
+
+
+def _lsh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _LSH_CANDS)
+    if key not in _LSH_CANDS:
+        cands = lsh_candidates_two_level(
+            minhash_signatures(_doc_units(spark, sf_dir), MINHASH_K),
+            ROWS_PER_BAND,
+            FINE_ROWS_PER_BAND,
+            max_bucket=LSH_MAX_BUCKET,
+        )
+        _LSH_CANDS[key] = cands.localCheckpoint(eager=True)
+    return _LSH_CANDS[key]
+
+
 #: verified near-dup pair graph (LSH candidates -> exact jaccard, j >= 0.9),
 #: memoized like _doc_units/_components: minhash_lsh_pairs, the component
 #: pipeline, and dedup_cross_source all consume the SAME verify join — the
@@ -109,12 +130,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(spark, sf_dir, "documents", _VERIFIED)
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
-        cands = lsh_candidates_two_level(
-            minhash_signatures(units, MINHASH_K),
-            ROWS_PER_BAND,
-            FINE_ROWS_PER_BAND,
-            max_bucket=LSH_MAX_BUCKET,
-        )
+        cands = _lsh_cands(spark, sf_dir)
         # ratio=(9, 10) is the lossless length prune for the j >= 0.9
         # threshold below — identical verified output, fewer unit joins
         jac = jaccard_pairs(units, cands, ratio=(9, 10))
@@ -372,12 +388,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
         )
     )
-    cands = lsh_candidates_two_level(
-        minhash_signatures(units, MINHASH_K),
-        ROWS_PER_BAND,
-        FINE_ROWS_PER_BAND,
-        max_bucket=LSH_MAX_BUCKET,
-    ).where(
+    cands = _lsh_cands(spark, sf_dir).where(
         (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
         & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
     ).withColumn("hit", F.lit(1))

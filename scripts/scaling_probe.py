@@ -107,6 +107,7 @@ def main() -> None:
             _COMPONENTS,
             _DOC_TOKS,
             _DOC_UNITS,
+            _LSH_CANDS,
             _SAMPLE_EXACT,
             _VERIFIED,
         )
@@ -121,6 +122,7 @@ def main() -> None:
         _COMPONENTS.clear()
         _DOC_TOKS.clear()
         _DOC_UNITS.clear()
+        _LSH_CANDS.clear()
         _SAMPLE_EXACT.clear()
         _NEARDUP_PAIRS.clear()
         _PACK_TOTALS.clear()
