@@ -89,6 +89,19 @@ def unsorted_form(df):
     """The query minus its terminal global sort (see track_terminal_sort)."""
     return getattr(df, "_bench_presort", df)
 
+
+def explain_str(df, mode: str = "simple") -> str:
+    """Public-API plan capture: df.explain() routed through stdout
+    redirection — no ``_jdf`` reflection, so it survives Spark Connect and
+    JVM-internal renames. The ONE helper behind the plan-shape tests, the
+    explain audit, and any other plan assertion."""
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
 def calibrate(spark) -> dict[str, float]:
     """Time two fixed, code-independent workloads so per-round bench numbers
     can be normalized for sandbox speed.

@@ -147,6 +147,8 @@ def lsh_candidates(
       clustering-grade dedup recovers the family at O(B) cost. Pair-level
       listings remain a subset of the true pair set (documented).
     """
+    if oversize not in ("drop", "star"):
+        raise ValueError(f"unknown oversize mode {oversize!r}")
     if max_bucket is not None:
         stats = bands.groupBy("band", "band_sig").agg(
             F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
@@ -167,8 +169,6 @@ def lsh_candidates(
                     F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
                 )
             )
-        elif oversize != "drop":
-            raise ValueError(f"unknown oversize mode {oversize!r}")
         bands = small
     else:
         star = None

@@ -46,23 +46,46 @@ def cosine(a_vec, a_norm, b_vec, b_norm):
     return F.round(_dot(a_vec, b_vec) / (a_norm * b_norm), 6)
 
 
-def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
-    """Exact top-k neighbours per query vector (query set broadcast)."""
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    match_on: str | None = None,
+) -> DataFrame:
+    """Exact top-k neighbours per query vector (query set broadcast).
+
+    ``match_on`` adds an equality column to the join key — the FILTERED
+    search form (multi-tenant/namespace vector search): each query sees
+    only candidates sharing its ``match_on`` value, applied by partition
+    routing rather than post-scoring. One scoring/tie-break contract for
+    the unfiltered, IVF-probed and filtered variants."""
+    extra = [match_on] if match_on else []
     v = with_norm(vectors).select(
-        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("norm").alias("n_norm")
+        *extra,
+        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("norm").alias("n_norm"),
     )
     q = with_norm(queries).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm")
+        *[F.col(c).alias(f"_q_{c}") for c in extra],
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm"),
     )
+    cond = F.col("q_id") != F.col("n_id")
+    if match_on:
+        cond = cond & (F.col(match_on) == F.col(f"_q_{match_on}"))
     scored = (
-        v.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        v.join(F.broadcast(q), cond)
         .withColumn("cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("n_vec"), F.col("n_norm")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
-        .select("q_id", F.col("n_id").alias("neighbor_id"), F.col("rk").alias("rk"), "cos")
+        .select(
+            "q_id",
+            *extra,
+            F.col("n_id").alias("neighbor_id"),
+            F.col("rk").alias("rk"),
+            "cos",
+        )
     )
 
 

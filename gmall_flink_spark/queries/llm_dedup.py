@@ -36,11 +36,14 @@ FINE_ROWS_PER_BAND = 6
 NGRAM_MAX_DF = 5
 # LSH degenerate-bucket cap (see llm/dedup.lsh_candidates): a bucket of B
 # docs costs B²/2 pairs — without the cap sixteen >200-member buckets at
-# sf0.1 contribute 15.2M of 15.3M pairs. Oversized buckets take the STAR
-# fallback (O(B) edges to the bucket's min doc_id) instead of being
-# dropped: lsh_recall_audit showed drop mode loses whole near-dup families
-# larger than the cap (5/450 sample pairs recalled), while star keeps every
-# family connected for clustering-grade dedup at linear cost.
+# sf0.1 contribute 15.2M of 15.3M pairs. The production candidate rule is
+# TWO-LEVEL (lsh_candidates_two_level): over-cap coarse-bucket members are
+# re-banded at FINE_ROWS_PER_BAND and pair within sub-cap fine buckets;
+# still-over-cap fine buckets are dropped (bounded-cost residual —
+# lsh_recall_audit measures exactly what that residual costs on this
+# corpus, and dedup_allpairs_exact/dedup_components_exact are the exact
+# complement). A star fallback (O(B) edges to the bucket min) exists as an
+# lsh_candidates option for homogeneous mega-buckets.
 LSH_MAX_BUCKET = 50
 
 
@@ -156,10 +159,12 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH dedup: bucket-join candidates (buckets over
-    LSH_MAX_BUCKET contribute star edges to their min doc_id instead of
-    all pairs) verified by exact token-set jaccard, kept at j >= 0.9
-    (10*inter >= 9*union)."""
+    """Full MinHash-LSH dedup: two-level bucket-join candidates (sub-cap
+    coarse buckets all-pair; over-cap bucket members re-band at the fine
+    width, still-over-cap fine buckets dropped) verified by exact
+    token-set jaccard, kept at j >= 0.9 (10*inter >= 9*union). Pair
+    recall of this bounded path is MEASURED by lsh_recall_audit; the
+    exact complement is dedup_allpairs_exact."""
     return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
@@ -358,14 +363,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a deterministic 1-in-AUDIT_MOD document sample, compute the exact
     ground-truth j >= 0.9 pairs by brute force (all sample id pairs,
     length-ratio-pruned losslessly, scored exactly) and count how many the
-    production LSH candidate generation (same bands, same bucket cap,
-    same star fallback) recalls. One row per pair class (exact j=1 vs
-    near 0.9<=j<1): true_ct / hit_ct / miss_ct + id checksums — recall is
-    hit/true, read exactly from integers. This audit is what exposed the
-    drop-mode cap losing whole over-cap families (5/450 recalled) and
-    motivated the star fallback; with star, family connectivity is kept
-    through the representatives while pair listings remain a documented
-    subset.
+    production LSH candidate generation (the same two-level banding +
+    bucket cap the verified pair graph uses) recalls. One row per pair
+    class (exact j=1 vs near 0.9<=j<1): true_ct / hit_ct / miss_ct + id
+    checksums — recall is hit/true, read exactly from integers. This
+    audit is what exposed flat drop-mode capping losing whole over-cap
+    families (5/450 recalled on this corpus) and motivated both the
+    two-level refinement and the exact prefix-filter path; on THIS
+    low-entropy testdata even fine 6-row buckets stay mega and
+    heterogeneous, so the measured LSH recall remains near zero — the
+    honest number that tells an operator to reach for
+    dedup_allpairs_exact here (SCALE.md r6 section).
 
     Scale: ground truth is quadratic ONLY in the sample (id-pair join of
     tiny rows; the ratio prune consults only the per-doc size table before

@@ -34,11 +34,22 @@ def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one aggregation tree over the tagged union (instead of five separate
     # two-exchange distinct aggs): the shuffle carries (split, mid) keys
     # only, and every branch's count/distinct partials combine map-side
+    counts = out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("row_ct"),
+        F.countDistinct("mid").alias("mid_ct"),
+    )
+    # an EMPTY split must still report a zero row (the per-branch .agg()
+    # form did; groupBy alone would drop it and break the 5-row contract)
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(splits)], "split string"
+    )
     return (
-        out.groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("row_ct"),
-            F.countDistinct("mid").alias("mid_ct"),
+        F.broadcast(names)
+        .join(counts, "split", "left")
+        .select(
+            "split",
+            F.coalesce("row_ct", F.lit(0)).alias("row_ct"),
+            F.coalesce("mid_ct", F.lit(0)).alias("mid_ct"),
         )
         .orderBy("split")
     )

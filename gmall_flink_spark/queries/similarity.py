@@ -74,15 +74,31 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: keep/drop decisions — one blocked pair scan serves both.
 _NEARDUP_PAIRS: dict[tuple, DataFrame] = {}
 
+#: the seed-centroid assignment frame feeding the pair scan, memoized too:
+#: the semdedup ledger needs per-cluster member counts and would otherwise
+#: re-run the vectors-x-centroids scoring its docstring promises it skips
+_ASSIGNED_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "embeddings", _ASSIGNED_MEMO)
+    if key not in _ASSIGNED_MEMO:
+        emb = prep(table(spark, sf_dir, "embeddings"))
+        assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+        _ASSIGNED_MEMO[key] = assigned.localCheckpoint(eager=True)
+    return _ASSIGNED_MEMO[key]
+
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.sources.tables import memo_key
 
     key = memo_key(spark, sf_dir, "embeddings", _NEARDUP_PAIRS)
     if key not in _NEARDUP_PAIRS:
-        emb = prep(table(spark, sf_dir, "embeddings"))
-        assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
-        pairs = near_dup_pairs(assigned, threshold=0.3, block_col="cluster")
+        pairs = near_dup_pairs(
+            _ivf_assigned(spark, sf_dir), threshold=0.3, block_col="cluster"
+        )
         _NEARDUP_PAIRS[key] = pairs.localCheckpoint(eager=True)
     return _NEARDUP_PAIRS[key]
 
@@ -206,27 +222,15 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied by partition routing, not post-scoring — at production scale
     label is the index's physical partition (per-tenant IVF lists) and a
     query touches only its shard; the query slice broadcasts. Exact within
-    the shard, so fully oracle-checkable."""
+    the shard, so fully oracle-checkable. One scoring/tie-break contract
+    with the unfiltered search (brute_force_topk(match_on=...))."""
     emb = prep(table(spark, sf_dir, "embeddings"))
-    queries = with_norm(emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("vec").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    cand = with_norm(emb).select("vec_id", "label", "vec", "norm")
-    scored = (
-        cand.join(F.broadcast(queries), cand.label == queries.q_label)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .withColumn(
-            "cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("vec"), F.col("norm"))
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    queries = emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= FILTERED_K)
-        .select("q_id", F.col("q_label").alias("tenant"), F.col("vec_id").alias("neighbor_id"), "rk", "cos")
+        brute_force_topk(emb, queries, k=FILTERED_K, match_on="label")
+        .select(
+            "q_id", F.col("label").alias("tenant"), "neighbor_id", "rk", "cos"
+        )
         .orderBy("q_id", "rk")
     )
 
@@ -251,8 +255,7 @@ def embed_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     count grows with the corpus), one distinct over the pair's larger
     side, one per-cluster aggregate. Nothing rescans the vectors after
     blocking."""
-    emb = prep(table(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    assigned = _ivf_assigned(spark, sf_dir)
     pairs = _neardup_pairs(spark, sf_dir)
     drops = pairs.select(F.col("block").alias("cluster"), F.col("b_id").alias("vec_id")).distinct()
     members = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("member_ct"))

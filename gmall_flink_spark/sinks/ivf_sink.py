@@ -54,11 +54,13 @@ def ivf_index_merge(
     try:
         buckets = touched_buckets(batch)
         prior = read_prior(spark, state_path, buckets)
-        # deterministic winner: the BATCH row survives a vec_id collision
-        # (prior rows anti-joined out), so even a contract-violating
-        # changed vector converges to the latest delivery instead of an
-        # arbitrary survivor. Within-batch duplicates remain
-        # arbitrary-but-equal under the immutable-id contract.
+        # deterministic winner WITHIN the touched buckets: the BATCH row
+        # survives a vec_id collision (prior rows anti-joined out). NB a
+        # contract-violating changed vector whose CLUSTER changed leaves
+        # its stale row in the old (untouched) bucket — removing that
+        # needs the upsert-by-key sink, per the docstring contract above.
+        # Within-batch duplicates remain arbitrary-but-equal under the
+        # immutable-id contract.
         merged = batch if prior is None else batch.unionAll(
             prior.select(*batch.columns).join(
                 batch.select("vec_id"), "vec_id", "left_anti"

@@ -36,15 +36,45 @@ ZBITS = 8
 _QERR = 1.0 / 1024
 
 
-def _bucket_expr(col: Column, bounds: list[float]) -> Column:
+#: deterministic sample cap for non-numeric boundary estimation: the
+#: driver receives at most this many distinct values per clustered column
+_SAMPLE_CAP = 64 * 1024
+
+from pyspark.sql.types import NumericType
+
+
+def _bucket_expr(col: Column, bounds: list) -> Column:
     """Map-side bucket id = number of boundaries <= value (binary-search
-    semantics as a fold over the literal boundary array; <= 255 terms)."""
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    semantics as a fold over the literal boundary array; <= 255 terms).
+    Works for any orderable literal type (numbers, strings)."""
+    arr = F.array(*[F.lit(b) for b in bounds])
     return F.aggregate(
         arr,
         F.lit(0),
         lambda acc, b: acc + F.when(col >= b, 1).otherwise(0),
     )
+
+
+def _string_bounds(df: DataFrame, c: str) -> list[str]:
+    """Boundary strings for a non-numeric column: hash-deterministic
+    distinct sample (driver receives <= _SAMPLE_CAP values), sorted, cut
+    to <= 255 evenly spaced boundaries. Dates/timestamps order correctly
+    through their ISO string form; sampling error only blurs bucket
+    balance, never ordering."""
+    vals = [
+        r[0]
+        for r in df.select(F.col(c).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .orderBy(F.xxhash64("v"))
+        .limit(_SAMPLE_CAP)
+        .collect()
+    ]
+    vals.sort()
+    if not vals:
+        return []
+    nb = 1 << ZBITS
+    return sorted({vals[(i * len(vals)) // nb] for i in range(1, nb)})
 
 
 def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -53,22 +83,36 @@ def zorder_key(df: DataFrame, cols: list[str]) -> DataFrame:
     (distribution-insensitive — skewed value ranges still fill the bucket
     space; duplicate quantiles collapse so constant-heavy columns just use
     fewer buckets), then bit b of every dimension d lands at interleaved
-    position b * ndims + d. One approxQuantile sketch pass per column; the
-    bucket assignment itself is map-side (no window, no shuffle)."""
+    position b * ndims + d. Numeric columns take one approxQuantile sketch
+    pass; non-numeric (string/date/timestamp) columns rank through a
+    bounded deterministic distinct sample compared in ISO string order.
+    Either way the bucket assignment itself is map-side (no window, no
+    shuffle)."""
     ndims = len(cols)
     probs = [i / (1 << ZBITS) for i in range(1, 1 << ZBITS)]
-    numeric = df.select(
-        *[F.col(c).cast("double").alias(f"_q{d}") for d, c in enumerate(cols)]
-    )
-    all_bounds = numeric.approxQuantile(
-        [f"_q{d}" for d in range(ndims)], probs, _QERR
-    )
+    num_idx = [
+        d for d, c in enumerate(cols)
+        if isinstance(df.schema[c].dataType, NumericType)
+    ]
+    all_bounds: dict[int, list] = {}
+    if num_idx:
+        numeric = df.select(
+            *[F.col(cols[d]).cast("double").alias(f"_q{d}") for d in num_idx]
+        )
+        got = numeric.approxQuantile([f"_q{d}" for d in num_idx], probs, _QERR)
+        for d, b in zip(num_idx, got):
+            all_bounds[d] = sorted({float(x) for x in b})
+    for d, c in enumerate(cols):
+        if d not in all_bounds:
+            all_bounds[d] = _string_bounds(df, c)
     out = df
     for d, c in enumerate(cols):
-        bounds = sorted(set(all_bounds[d]))
-        out = out.withColumn(
-            f"_r{d}", _bucket_expr(F.col(c).cast("double"), bounds)
+        src = (
+            F.col(c).cast("double")
+            if d in num_idx
+            else F.col(c).cast("string")
         )
+        out = out.withColumn(f"_r{d}", _bucket_expr(src, all_bounds[d]))
     parts = [
         F.shiftleft(
             F.shiftright(F.col(f"_r{d}"), b).bitwiseAND(F.lit(1)).cast("long"),

@@ -78,8 +78,9 @@ def ivfpq_index_merge(
     try:
         buckets = touched_buckets(batch)
         prior = read_prior(spark, state_path, buckets)
-        # deterministic winner: batch beats prior on a vec_id collision
-        # (see ivf_sink.ivf_index_merge — same contract, same reason)
+        # deterministic winner within touched buckets: batch beats prior
+        # on a vec_id collision (see ivf_sink.ivf_index_merge — same
+        # contract incl. the changed-cluster caveat)
         merged = batch if prior is None else batch.unionAll(
             prior.select(*batch.columns).join(
                 batch.select("vec_id"), "vec_id", "left_anti"

@@ -113,6 +113,7 @@ def main() -> None:
         )
         from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
         from gmall_flink_spark.queries.similarity import (
+            _ASSIGNED_MEMO,
             _NEARDUP_PAIRS,
             _PQ_BOOKS_MEMO,
         )
@@ -124,6 +125,7 @@ def main() -> None:
         _DOC_UNITS.clear()
         _LSH_CANDS.clear()
         _SAMPLE_EXACT.clear()
+        _ASSIGNED_MEMO.clear()
         _NEARDUP_PAIRS.clear()
         _PACK_TOTALS.clear()
         _PQ_BOOKS_MEMO.clear()

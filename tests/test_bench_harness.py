@@ -20,13 +20,11 @@ def test_terminal_sort_stripped_only_when_terminal(spark):
         ordered = df.groupBy("k").count().orderBy("k")
         topk = df.orderBy(F.desc("id")).limit(3)
     assert unsorted_form(ordered) is not ordered
-    import contextlib
-    import io
+    from bench import explain_str
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        unsorted_form(ordered).explain(mode="extended")
-    opt = buf.getvalue().split("== Optimized Logical Plan ==")[1]
+    opt = explain_str(unsorted_form(ordered), "extended").split(
+        "== Optimized Logical Plan =="
+    )[1]
     assert "Sort" not in opt
     assert unsorted_form(topk) is topk
     # and the patch is gone outside the context

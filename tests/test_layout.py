@@ -62,3 +62,28 @@ def test_zorder_prunes_on_both_columns(spark, tmp_path):
         p = _hit_fraction(plain, col, lo, hi)
         assert z <= 0.5, f"{col}: zorder layout did not prune ({z:.2f})"
         assert p >= 0.9, f"{col}: unsorted layout unexpectedly pruned ({p:.2f})"
+
+
+def test_zorder_handles_non_numeric_columns(spark, tmp_path):
+    """zorder_key over a string + a date column must produce a varying
+    Morton key for both dimensions (regression: the approxQuantile path
+    once cast strings to double -> all-null -> constant bucket)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sinks.layout import zorder_key
+
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("cc_"), F.lpad((F.col("id") % 97).cast("string"), 3, "0")).alias("code"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        F.col("id").alias("v"),
+    )
+    keyed = zorder_key(df, ["code", "d"])
+    stats = keyed.agg(
+        F.countDistinct("_zkey").alias("nk"),
+        F.min("_zkey").alias("lo"),
+        F.max("_zkey").alias("hi"),
+    ).collect()[0]
+    assert stats["nk"] > 50, "z-key collapsed — a dimension contributed a constant"
+    # both dimensions contribute: keys restricted to one code still vary by date
+    one_code = keyed.where(F.col("code") == "cc_001")
+    assert one_code.select("_zkey").distinct().count() > 1

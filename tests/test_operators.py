@@ -324,14 +324,10 @@ def test_jdbc_snapshot_s5(spark, tmp_path):
     assert parallel.rdd.getNumPartitions() == 4
     assert sorted(map(tuple, parallel.collect())) == src
 
-    import contextlib
-    import io
+    from bench import explain_str
 
     pushed = parallel.where(F.col("c_acctbal") > 0)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        pushed.explain()
-    plan = buf.getvalue()
+    plan = explain_str(pushed)
     assert "PushedFilters" in plan and "c_acctbal" in plan
     assert pushed.count() == sum(1 for r in src if r[2] > 0)
 

@@ -5,23 +5,11 @@ it shows up as a 100 TB incident."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
+from bench import explain_str
 from gmall_flink_spark.registry import all_queries
 
 SF = "/root/testdata/sf0.001"
 _Q = all_queries()
-
-
-def explain_str(df, mode: str = "simple") -> str:
-    """Public-API plan capture (same channel bench.py uses): df.explain()
-    routed through stdout redirection — no ``_jdf`` reflection, so it
-    survives Spark Connect and JVM-internal renames."""
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode=mode)
-    return buf.getvalue()
 
 
 def plan(spark, name: str) -> str:
