@@ -260,6 +260,7 @@ HEADLINE = [
     "lsh_recall_audit",
     "dedup_allpairs_exact",
     "dedup_components_exact",
+    "split_leakage_audit",
     "text_bigram_lm_score",
 ]
 

@@ -491,10 +491,62 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test SPLIT-LEAKAGE audit — the eval-integrity check run
+    before a benchmark split ships: near-duplicate document pairs whose
+    two ends landed in DIFFERENT splits of llm_split_assign's
+    deterministic hash rule mean the eval split is contaminated by
+    training data (the within-corpus complement of llm_decontaminate's
+    external-benchmark check). Per unordered split pair: verified j >= 0.9
+    pair count, how many are exact duplicates, and id checksums —
+    off-diagonal rows are the leaks; their fix is split-by-cluster
+    (assign dedup_components_exact components, not raw docs, to splits).
+
+    Scale: consumes the SAME memoized sampled exact pair graph as
+    dedup_allpairs_exact plus two map-side hash-split expressions; the
+    matrix aggregate is splits²-bounded."""
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN, SPLIT_VAL
+
+    def split_of(col: str):
+        b = F.pmod(md5_long(F.col(col).cast("string")), F.lit(100))
+        return (
+            F.when(b < SPLIT_TRAIN, "train")
+            .when(b < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    pairs = _sample_exact_jac(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter") == F.col("uni")).cast("bigint").alias("is_exact"),
+        split_of("doc_a").alias("sa"),
+        split_of("doc_b").alias("sb"),
+    )
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+            "is_exact",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum("is_exact").alias("exact_ct"),
+            F.sum("doc_a").alias("a_id_sum"),
+            F.sum("doc_b").alias("b_id_sum"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
     "dedup_allpairs_exact": dedup_allpairs_exact,
     "dedup_components_exact": dedup_components_exact,
+    "split_leakage_audit": split_leakage_audit,
     "dedup_exact_prefix": dedup_exact_prefix,
     "minhash_band_buckets": minhash_band_buckets,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -619,6 +671,8 @@ _SHINGLES3 = f"""
 
 _SAMPLE_UNITS = f"SELECT * FROM ({_UNITS}) WHERE doc_id % {AUDIT_MOD} = 0"
 
+from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN as _ST, SPLIT_VAL as _SV
+
 ORACLE = {
     "lsh_recall_audit": f"""
         WITH jac AS ({_jaccard(_SAMPLE_UNITS)}),
@@ -652,6 +706,35 @@ ORACLE = {
                CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
                CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
         FROM jac WHERE 10 * inter >= 9 * uni
+    """,
+    "split_leakage_audit": f"""
+        WITH jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
+            FROM jac WHERE 10 * inter >= 9 * uni
+        ),
+        sp AS (
+            SELECT doc_a, doc_b, is_exact,
+                   CASE WHEN ha < {_ST} THEN 'train'
+                        WHEN ha < {_SV} THEN 'val' ELSE 'test' END AS sa,
+                   CASE WHEN hb < {_ST} THEN 'train'
+                        WHEN hb < {_SV} THEN 'val' ELSE 'test' END AS sb
+            FROM (
+                SELECT *,
+                       ('0x' || substr(md5('0|' || doc_a::VARCHAR), 1, 15))::BIGINT
+                           % 100 AS ha,
+                       ('0x' || substr(md5('0|' || doc_b::VARCHAR), 1, 15))::BIGINT
+                           % 100 AS hb
+                FROM verified
+            )
+        )
+        SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_ct,
+               CAST(SUM(is_exact) AS BIGINT) AS exact_ct,
+               CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
+               CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "dedup_components_exact": f"""
         WITH RECURSIVE
