@@ -261,6 +261,7 @@ HEADLINE = [
     "dedup_allpairs_exact",
     "dedup_components_exact",
     "split_leakage_audit",
+    "llm_split_by_cluster",
     "text_bigram_lm_score",
 ]
 

@@ -542,11 +542,78 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-leakage FIX: assign train/val/test by the near-dup
+    CLUSTER's representative instead of the raw doc_id — every member of a
+    component hashes through its component id, so a dup family can never
+    straddle splits. Output is the same leakage matrix as
+    split_leakage_audit evaluated under the cluster-aware rule: only
+    diagonal (same-split) rows can exist, and the correctness gate hashes
+    that this holds on the sampled exact graph (detect -> fix -> verify,
+    all three oracle-checked).
+
+    Scale: the component mapping is the sampled exact graph's (bounded);
+    unclustered docs fall back to their own id, so the assignment is one
+    left join + the same map-side hash rule as llm_split_assign."""
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN, SPLIT_VAL
+
+    comp = connected_components(
+        _sample_exact_jac(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+    def split_of(key_col):
+        b = F.pmod(md5_long(key_col.cast("string")), F.lit(100))
+        return (
+            F.when(b < SPLIT_TRAIN, "train")
+            .when(b < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    pairs = (
+        _sample_exact_jac(spark, sf_dir)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") == F.col("uni")).cast("bigint").alias("is_exact"),
+        )
+        .join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select(
+            split_of(F.coalesce("comp_a", F.col("doc_a"))).alias("sa"),
+            split_of(F.coalesce("comp_b", F.col("doc_b"))).alias("sb"),
+            "doc_a",
+            "doc_b",
+            "is_exact",
+        )
+    )
+    return (
+        pairs.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            "doc_a",
+            "doc_b",
+            "is_exact",
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("pair_ct"),
+            F.sum("is_exact").alias("exact_ct"),
+            F.sum("doc_a").alias("a_id_sum"),
+            F.sum("doc_b").alias("b_id_sum"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
 QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
     "dedup_allpairs_exact": dedup_allpairs_exact,
     "dedup_components_exact": dedup_components_exact,
     "split_leakage_audit": split_leakage_audit,
+    "llm_split_by_cluster": llm_split_by_cluster,
     "dedup_exact_prefix": dedup_exact_prefix,
     "minhash_band_buckets": minhash_band_buckets,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -728,6 +795,52 @@ ORACLE = {
                            % 100 AS hb
                 FROM verified
             )
+        )
+        SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+               CAST(COUNT(*) AS BIGINT) AS pair_ct,
+               CAST(SUM(is_exact) AS BIGINT) AS exact_ct,
+               CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
+               CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "llm_split_by_cluster": f"""
+        WITH RECURSIVE
+        jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
+            FROM jac WHERE 10 * inter >= 9 * uni
+        ),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM verified
+            UNION ALL SELECT doc_b, doc_a FROM verified
+        ),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        ),
+        comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+        hashed AS (
+            SELECT v.doc_a, v.doc_b, v.is_exact,
+                   ('0x' || substr(md5('0|' ||
+                       COALESCE(ca.component, v.doc_a)::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS ha,
+                   ('0x' || substr(md5('0|' ||
+                       COALESCE(cb.component, v.doc_b)::VARCHAR), 1, 15))::BIGINT
+                       % 100 AS hb
+            FROM verified v
+            LEFT JOIN comp ca ON v.doc_a = ca.doc_id
+            LEFT JOIN comp cb ON v.doc_b = cb.doc_id
+        ),
+        sp AS (
+            SELECT doc_a, doc_b, is_exact,
+                   CASE WHEN ha < {_ST} THEN 'train'
+                        WHEN ha < {_SV} THEN 'val' ELSE 'test' END AS sa,
+                   CASE WHEN hb < {_ST} THEN 'train'
+                        WHEN hb < {_SV} THEN 'val' ELSE 'test' END AS sb
+            FROM hashed
         )
         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
                CAST(COUNT(*) AS BIGINT) AS pair_ct,
