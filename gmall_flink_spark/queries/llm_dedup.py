@@ -464,6 +464,23 @@ def dedup_allpairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: components of the sampled exact graph, memoized: the decision ledger
+#: and the cluster-aware split fix both cluster the same sampled edges.
+_SAMPLE_COMPONENTS: dict[tuple, DataFrame] = {}
+
+
+def _sample_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _SAMPLE_COMPONENTS)
+    if key not in _SAMPLE_COMPONENTS:
+        edges = _sample_exact_jac(spark, sf_dir).select("doc_a", "doc_b")
+        _SAMPLE_COMPONENTS[key] = connected_components(edges).localCheckpoint(
+            eager=True
+        )
+    return _SAMPLE_COMPONENTS[key]
+
+
 def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup DECISION ledger on the audit sample: connected
     components over the complete prefix-filtered j >= 0.9 pair graph
@@ -478,9 +495,8 @@ def dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: edges are the sampled exact graph (bounded by construction);
     components is the same iterative min-label propagation every dedup
     decision path uses (rounds = family diameter; families are near-
-    cliques, so 2-3)."""
-    edges = _sample_exact_jac(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(edges)
+    cliques, so 2-3; memoized and shared with llm_split_by_cluster)."""
+    comp = _sample_components(spark, sf_dir)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.count(F.lit(1)).alias("component_ct"),
@@ -505,38 +521,32 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: consumes the SAME memoized sampled exact pair graph as
     dedup_allpairs_exact plus two map-side hash-split expressions; the
     matrix aggregate is splits²-bounded."""
-    from gmall_flink_spark.functions.text import md5_long
-    from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN, SPLIT_VAL
-
-    def split_of(col: str):
-        b = F.pmod(md5_long(F.col(col).cast("string")), F.lit(100))
-        return (
-            F.when(b < SPLIT_TRAIN, "train")
-            .when(b < SPLIT_VAL, "val")
-            .otherwise("test")
-        )
+    from gmall_flink_spark.queries.llm_pipeline import split_expr
 
     pairs = _sample_exact_jac(spark, sf_dir).select(
         "doc_a",
         "doc_b",
         (F.col("inter") == F.col("uni")).cast("bigint").alias("is_exact"),
-        split_of("doc_a").alias("sa"),
-        split_of("doc_b").alias("sb"),
+        split_expr(F.col("doc_a")).alias("sa"),
+        split_expr(F.col("doc_b")).alias("sb"),
     )
+    # canonicalize the pair so side a IS the split_a side: checksums then
+    # read side-accurately ("a_id_sum = ids on the split_a side")
+    keep = F.col("sa") <= F.col("sb")
     return (
         pairs.select(
             F.least("sa", "sb").alias("split_a"),
             F.greatest("sa", "sb").alias("split_b"),
-            "doc_a",
-            "doc_b",
+            F.when(keep, F.col("doc_a")).otherwise(F.col("doc_b")).alias("side_a"),
+            F.when(keep, F.col("doc_b")).otherwise(F.col("doc_a")).alias("side_b"),
             "is_exact",
         )
         .groupBy("split_a", "split_b")
         .agg(
             F.count(F.lit(1)).alias("pair_ct"),
             F.sum("is_exact").alias("exact_ct"),
-            F.sum("doc_a").alias("a_id_sum"),
-            F.sum("doc_b").alias("b_id_sum"),
+            F.sum("side_a").alias("a_id_sum"),
+            F.sum("side_b").alias("b_id_sum"),
         )
         .orderBy("split_a", "split_b")
     )
@@ -555,21 +565,9 @@ def llm_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the component mapping is the sampled exact graph's (bounded);
     unclustered docs fall back to their own id, so the assignment is one
     left join + the same map-side hash rule as llm_split_assign."""
-    from gmall_flink_spark.functions.text import md5_long
-    from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN, SPLIT_VAL
+    from gmall_flink_spark.queries.llm_pipeline import split_expr
 
-    comp = connected_components(
-        _sample_exact_jac(spark, sf_dir).select("doc_a", "doc_b")
-    )
-
-    def split_of(key_col):
-        b = F.pmod(md5_long(key_col.cast("string")), F.lit(100))
-        return (
-            F.when(b < SPLIT_TRAIN, "train")
-            .when(b < SPLIT_VAL, "val")
-            .otherwise("test")
-        )
-
+    comp = _sample_components(spark, sf_dir)
     ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
     cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
     pairs = (
@@ -582,27 +580,30 @@ def llm_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ca, "doc_a", "left")
         .join(cb, "doc_b", "left")
         .select(
-            split_of(F.coalesce("comp_a", F.col("doc_a"))).alias("sa"),
-            split_of(F.coalesce("comp_b", F.col("doc_b"))).alias("sb"),
+            split_expr(F.coalesce("comp_a", F.col("doc_a"))).alias("sa"),
+            split_expr(F.coalesce("comp_b", F.col("doc_b"))).alias("sb"),
             "doc_a",
             "doc_b",
             "is_exact",
         )
     )
+    # canonicalize the pair so side a IS the split_a side: checksums then
+    # read side-accurately ("a_id_sum = ids on the split_a side")
+    keep = F.col("sa") <= F.col("sb")
     return (
         pairs.select(
             F.least("sa", "sb").alias("split_a"),
             F.greatest("sa", "sb").alias("split_b"),
-            "doc_a",
-            "doc_b",
+            F.when(keep, F.col("doc_a")).otherwise(F.col("doc_b")).alias("side_a"),
+            F.when(keep, F.col("doc_b")).otherwise(F.col("doc_a")).alias("side_b"),
             "is_exact",
         )
         .groupBy("split_a", "split_b")
         .agg(
             F.count(F.lit(1)).alias("pair_ct"),
             F.sum("is_exact").alias("exact_ct"),
-            F.sum("doc_a").alias("a_id_sum"),
-            F.sum("doc_b").alias("b_id_sum"),
+            F.sum("side_a").alias("a_id_sum"),
+            F.sum("side_b").alias("b_id_sum"),
         )
         .orderBy("split_a", "split_b")
     )
@@ -799,8 +800,10 @@ ORACLE = {
         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
                CAST(COUNT(*) AS BIGINT) AS pair_ct,
                CAST(SUM(is_exact) AS BIGINT) AS exact_ct,
-               CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
-               CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+               CAST(SUM(CASE WHEN sa <= sb THEN doc_a ELSE doc_b END) AS BIGINT)
+                   AS a_id_sum,
+               CAST(SUM(CASE WHEN sa <= sb THEN doc_b ELSE doc_a END) AS BIGINT)
+                   AS b_id_sum
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "llm_split_by_cluster": f"""
@@ -845,8 +848,10 @@ ORACLE = {
         SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
                CAST(COUNT(*) AS BIGINT) AS pair_ct,
                CAST(SUM(is_exact) AS BIGINT) AS exact_ct,
-               CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
-               CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+               CAST(SUM(CASE WHEN sa <= sb THEN doc_a ELSE doc_b END) AS BIGINT)
+                   AS a_id_sum,
+               CAST(SUM(CASE WHEN sa <= sb THEN doc_b ELSE doc_a END) AS BIGINT)
+                   AS b_id_sum
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "dedup_components_exact": f"""

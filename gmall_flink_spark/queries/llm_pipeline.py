@@ -235,6 +235,21 @@ SPLIT_TRAIN = 90
 SPLIT_VAL = 95
 
 
+def split_expr(key_col):
+    """THE train/val/test hash-split rule (portable md5 bucket of the
+    string-cast key) — the one expression behind llm_split_assign and the
+    leakage audit/fix pair in queries/llm_dedup, so the audited rule can
+    never drift from the assigning rule."""
+    from gmall_flink_spark.functions.text import md5_long
+
+    b = F.pmod(md5_long(key_col.cast("string")), F.lit(100))
+    return (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
 def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing audit: shard the corpus into
     ceil(total_tokens / PACK_SHARD_TOKENS) hash shards (bins never span
@@ -276,15 +291,10 @@ def llm_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment: portable-hash bucket of
     doc_id → split (map-only, seed-free, stable across runs/engines — the
     dataset-versioning property), audited per source x split."""
-    from gmall_flink_spark.functions.text import md5_long, token_count
+    from gmall_flink_spark.functions.text import token_count
 
     docs = table(spark, sf_dir, "documents")
-    bucket = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(100))
-    split = (
-        F.when(bucket < SPLIT_TRAIN, "train")
-        .when(bucket < SPLIT_VAL, "val")
-        .otherwise("test")
-    )
+    split = split_expr(F.col("doc_id"))
     return (
         docs.select("source", split.alias("split"), "doc_id", token_count("text").alias("tok"))
         .groupBy("source", "split")

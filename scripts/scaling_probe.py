@@ -108,6 +108,7 @@ def main() -> None:
             _DOC_TOKS,
             _DOC_UNITS,
             _LSH_CANDS,
+            _SAMPLE_COMPONENTS,
             _SAMPLE_EXACT,
             _VERIFIED,
         )
@@ -124,6 +125,7 @@ def main() -> None:
         _DOC_TOKS.clear()
         _DOC_UNITS.clear()
         _LSH_CANDS.clear()
+        _SAMPLE_COMPONENTS.clear()
         _SAMPLE_EXACT.clear()
         _ASSIGNED_MEMO.clear()
         _NEARDUP_PAIRS.clear()
