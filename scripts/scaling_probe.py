@@ -69,6 +69,11 @@ PROBES = [
                                 #   unit rows, inflating set sizes — cost
                                 #   signal only, not meaningful jaccard)
     "text_bigram_lm_score",     # bigram conditional-surprisal histogram
+    "split_leakage_audit",      # sampled exact graph x hash splits (NB:
+                                #   replication inflates unit-set sizes Kx,
+                                #   so verify volume ~Kx² — cost signal
+                                #   only; see SCALE.md r06 rows)
+    "llm_split_by_cluster",     # + memoized CC over the same graph
 ]
 
 
