@@ -102,3 +102,16 @@ def test_session_memo_invalidates_on_source_rewrite(spark, tmp_path):
     second = _winnow_docs(spark, sf)
     assert second is not first
     assert second.count() < n_first
+
+
+def test_headline_names_resolve_in_registry():
+    """Every benched name must be a registered query (a rename or typo
+    here would crash the driver's bench run, not just a local script)."""
+    from bench import HEADLINE, R1_HEADLINE_N
+    from gmall_flink_spark.registry import all_queries
+
+    qs = all_queries()
+    missing = [n for n in HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE entries not in registry: {missing}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate HEADLINE entries"
+    assert R1_HEADLINE_N <= len(HEADLINE)
