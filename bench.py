@@ -262,6 +262,7 @@ HEADLINE = [
     "dedup_components_exact",
     "split_leakage_audit",
     "llm_split_by_cluster",
+    "dedup_rep_select_exact",
     "text_bigram_lm_score",
 ]
 

@@ -609,8 +609,47 @@ def llm_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rep_select_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over the EXACT sampled dedup graph: within
+    each component of the complete prefix-filtered j >= 0.9 pair graph,
+    keep the highest-quality member (same integer basis-point score and
+    smallest-doc_id tie-break as dedup_rep_select, which makes the same
+    decision over the bounded LSH graph). Together with
+    dedup_components_exact this is the full exact decision path —
+    cluster, then keep the best copy — and on this corpus it surfaces the
+    big families the capped LSH graph cannot (largest sampled cluster:
+    40 members at sf0.01).
+
+    Scale: the component mapping is the memoized sampled one; scores join
+    on doc_id; the per-component argmax window is bounded by the sample
+    contract."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.queries.text import doc_quality_scores
+
+    comp = _sample_components(spark, sf_dir)
+    scored = doc_quality_scores(table(spark, sf_dir, "documents")).select(
+        "doc_id", "score"
+    )
+    members = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("score"), "doc_id")
+    return (
+        members.withColumn("rk", F.row_number().over(w))
+        .groupBy("component")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("rep_doc"),
+            F.count(F.lit(1)).alias("member_ct"),
+            (F.count(F.lit(1)) - 1).alias("drop_ct"),
+            F.max("score").alias("score_best"),
+            F.min("score").alias("score_worst"),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
+    "dedup_rep_select_exact": dedup_rep_select_exact,
     "dedup_allpairs_exact": dedup_allpairs_exact,
     "dedup_components_exact": dedup_components_exact,
     "split_leakage_audit": split_leakage_audit,
@@ -853,6 +892,36 @@ ORACLE = {
                CAST(SUM(CASE WHEN sa <= sb THEN doc_b ELSE doc_a END) AS BIGINT)
                    AS b_id_sum
         FROM sp GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "dedup_rep_select_exact": f"""
+        WITH RECURSIVE
+        jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        edges AS (SELECT doc_a, doc_b FROM jac WHERE 10 * inter >= 9 * uni),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        ),
+        comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+        scored AS ({SCORED_DOCS_SQL}),
+        ranked AS (
+            SELECT c.component, c.doc_id, s.score,
+                   row_number() OVER (PARTITION BY c.component
+                                      ORDER BY s.score DESC, c.doc_id) AS rk
+            FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+        )
+        SELECT component,
+               MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_doc,
+               COUNT(*) AS member_ct,
+               COUNT(*) - 1 AS drop_ct,
+               MAX(score) AS score_best,
+               MIN(score) AS score_worst
+        FROM ranked GROUP BY component ORDER BY component
     """,
     "dedup_components_exact": f"""
         WITH RECURSIVE
