@@ -84,21 +84,35 @@ def minhash_seed_hash(base: F.Column, seed: int) -> F.Column:
     return ((2 * seed + 1) * base + (seed * seed + 7)) % MINHASH_P
 
 
-def minhash_signatures(units: DataFrame, k: int = 12) -> DataFrame:
-    """One minhash value per (doc, seed): min over the doc's shingles of the
-    seeded hash. ``units`` = (doc_id, shingle) exploded frame.
+def minhash_matrix(units: DataFrame, k: int = 12) -> DataFrame:
+    """The WIDE per-doc minhash matrix: one row per doc with columns
+    ``_m0.._m{k-1}``. ``units`` = (doc_id, shingle) exploded frame.
 
     One-pass form: the shingle is md5-hashed ONCE, the k seeded variants are
     affine transforms of that base (minhash_seed_hash), and all k mins are
     aggregates of a single groupBy(doc_id) (map-side partials, ONE shuffle
-    of k-column doc rows); the tiny wide row then explodes to the
-    (doc_id, seed, mh) long format."""
+    of k-column doc rows). This wide row is the canonical signature store:
+    banding at ANY rows-per-band is a map-only projection of it
+    (``matrix_bands``), so multi-width pipelines (two-level LSH) pay the
+    signature shuffle once, not once per width."""
     hashed = units.select(
         "doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("_h")
     )
-    mins = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(minhash_seed_hash(F.col("_h"), s)).alias(f"_m{s}") for s in range(k)]
     )
+
+
+def matrix_k(matrix: DataFrame) -> int:
+    """Number of minhash functions in a ``minhash_matrix`` frame."""
+    return sum(1 for c in matrix.columns if c.startswith("_m"))
+
+
+def minhash_signatures(units: DataFrame, k: int = 12) -> DataFrame:
+    """Long-format (doc_id, seed, mh) signatures: the ``minhash_matrix``
+    wide row exploded. Kept for callers that want the relational form;
+    banding pipelines should band the matrix directly (``matrix_bands``)."""
+    mins = minhash_matrix(units, k)
     pairs = F.array(
         *[
             F.struct(F.lit(s).cast("int").alias("seed"), F.col(f"_m{s}").alias("mh"))
@@ -122,6 +136,28 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int) -> DataFrame:
         ",",
     )
     return banded.groupBy("doc_id", "band").agg(sig.alias("band_sig"))
+
+
+def matrix_bands(matrix: DataFrame, rows_per_band: int) -> DataFrame:
+    """Band the WIDE signature matrix (``minhash_matrix``) — byte-identical
+    output to ``lsh_bands(minhash_signatures(...), rows_per_band)`` (pinned
+    by test_matrix_bands_equals_lsh_bands) with ZERO shuffles: each band
+    signature is a concat of the per-doc row's own columns, then one
+    explode. A trailing partial band (k not divisible by rows_per_band)
+    keeps whatever seeds remain, exactly like the long-form banding."""
+    k = matrix_k(matrix)
+    structs = []
+    for band in range((k + rows_per_band - 1) // rows_per_band):
+        seeds = range(band * rows_per_band, min((band + 1) * rows_per_band, k))
+        sig = F.concat_ws(",", *[F.col(f"_m{s}").cast("string") for s in seeds])
+        structs.append(
+            F.struct(
+                F.lit(band).cast("bigint").alias("band"), sig.alias("band_sig")
+            )
+        )
+    return matrix.select("doc_id", F.explode(F.array(*structs)).alias("p")).select(
+        "doc_id", F.col("p.band").alias("band"), F.col("p.band_sig").alias("band_sig")
+    )
 
 
 def lsh_candidates(
@@ -189,7 +225,7 @@ def lsh_candidates(
 
 
 def lsh_candidates_two_level(
-    signatures: DataFrame,
+    matrix: DataFrame,
     rows_per_band: int,
     fine_rows_per_band: int,
     max_bucket: int,
@@ -199,49 +235,75 @@ def lsh_candidates_two_level(
     low-entropy vocabularies collapse most docs into a few giant coarse
     buckets, and a flat cap then loses every family buried inside them).
 
-    Level 1: band at ``rows_per_band``; buckets <= ``max_bucket`` pair
-    all-vs-all as usual. Level 2: docs from OVER-cap coarse buckets are
-    re-banded at ``fine_rows_per_band`` (more rows per band = higher
-    signature entropy = smaller buckets) using the SAME signature matrix
-    (no re-hashing), and pair within fine buckets under the same cap;
-    fine buckets still over the cap are dropped (documented residual).
+    Level 1: band ``matrix`` (the WIDE ``minhash_matrix`` frame) at
+    ``rows_per_band``; buckets <= ``max_bucket`` pair all-vs-all as usual.
+    Level 2: docs from OVER-cap coarse buckets are re-banded at
+    ``fine_rows_per_band`` (more rows per band = higher signature entropy =
+    smaller buckets) and pair within fine buckets under the same cap; fine
+    buckets still over the cap are dropped (documented residual).
 
     Recall at j: per coarse band j^rows, per fine band j^fine_rows — at
     j=0.9 with 3-row coarse / 6-row fine bands, a family in a mega-bucket
     retains 1-(1-0.9^6)^bands_fine ≈ 0.78 pair recall instead of 0.
-    Cost stays bounded: level 2 touches only mega-bucket members, and
-    every pairing join is capped."""
-    coarse = lsh_bands(signatures, rows_per_band)
-    stats = coarse.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n"))
-    small = coarse.join(
-        stats.where(F.col("_n") <= max_bucket).select("band", "band_sig"),
-        ["band", "band_sig"],
-    )
+
+    Cost stays bounded, and the shuffle budget is FOUR (r6 shape was ~8):
+    both bandings are MAP-ONLY projections of the one matrix
+    (``matrix_bands`` — the signature shuffle is paid once, by whoever
+    built the matrix); per level, ONE exchange on (band, band_sig) serves
+    both the window bucket-count and the pair expansion (the groupBy that
+    follows the window is already partitioned on its keys); the fine
+    banding joins the over-cap doc list BEFORE banding, so level 2
+    genuinely touches only mega-bucket members. Pair expansion collects a
+    bucket's member array ONLY for sub-cap buckets (array size <= cap by
+    the window filter — never a mega-bucket materialization) and explodes
+    the C(n,2) combinations map-side."""
+    coarse = _bucket_counted(matrix_bands(matrix, rows_per_band))
     refined_docs = (
-        coarse.join(
-            stats.where(F.col("_n") > max_bucket).select("band", "band_sig"),
-            ["band", "band_sig"],
-        )
-        .select("doc_id")
+        coarse.where(F.col("_n") > max_bucket).select("doc_id").distinct()
+    )
+    fine = _bucket_counted(
+        matrix_bands(matrix.join(refined_docs, "doc_id"), fine_rows_per_band)
+    )
+    return (
+        _capped_bucket_pairs(coarse, max_bucket)
+        .unionAll(_capped_bucket_pairs(fine, max_bucket))
         .distinct()
     )
-    fine = lsh_bands(signatures, fine_rows_per_band).join(refined_docs, "doc_id")
-    fstats = fine.groupBy("band", "band_sig").agg(F.count(F.lit(1)).alias("_n"))
-    fsmall = fine.join(
-        fstats.where(F.col("_n") <= max_bucket).select("band", "band_sig"),
-        ["band", "band_sig"],
+
+
+def _bucket_counted(bands: DataFrame) -> DataFrame:
+    """Per-row bucket size via a window count — ONE exchange on
+    (band, band_sig), no stats-table join. Both the sub-cap pair expansion
+    and the over-cap doc extraction read the SAME counted frame, so the
+    exchange is planned once (ReusedExchange on the second consumer)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_sig")
+    return bands.withColumn("_n", F.count(F.lit(1)).over(w))
+
+
+def _capped_bucket_pairs(counted: DataFrame, max_bucket: int) -> DataFrame:
+    """All within-bucket pairs of sub-cap buckets, by cap-bounded array
+    collection: the window filter guarantees every collected member array
+    has <= max_bucket entries, so the C(n,2) expansion is a map-side
+    higher-order-function explode, not a self-join (one exchange total —
+    the groupBy rides the window's (band, band_sig) partitioning).
+    ``counted`` = a ``_bucket_counted`` frame."""
+    grouped = (
+        counted.where(F.col("_n") <= max_bucket)
+        .groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_m"))
     )
-
-    def _pairs(banded: DataFrame) -> DataFrame:
-        a, b = banded.alias("a"), banded.alias("b")
-        return a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-
-    return _pairs(small).unionAll(_pairs(fsmall)).distinct()
+    combos = F.flatten(
+        F.transform(
+            F.col("_m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_m"), i + 2, F.size(F.col("_m"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(combos).alias("p")).select("p.doc_a", "p.doc_b")
 
 
 def prefix_filter_candidates(
@@ -264,10 +326,16 @@ def prefix_filter_candidates(
 
     * length filter — ``scale*min(na,nb) >= q*max(na,nb)`` (j <= min/max);
     * positional filter — a shared token at ranks (ra, rb) bounds the
-      overlap by ``min(na-ra, nb-rb) + 1``, which must reach the required
-      overlap ``alpha = ceil(q*(na+nb)/(q+scale))`` (from
-      ``i*(q+scale) >= q*(na+nb)``). Both bounds are upper bounds on the
-      true overlap, so every true pair survives every occurrence.
+      overlap REACHABLE FROM THAT OCCURRENCE ONWARD by
+      ``min(na-ra, nb-rb) + 1``, which must reach the required overlap
+      ``alpha = ceil(q*(na+nb)/(q+scale))`` (from
+      ``i*(q+scale) >= q*(na+nb)``). Completeness holds through the pair's
+      FIRST shared prefix token (zero prior matches there, so the bound is
+      a true overlap upper bound and a qualifying pair passes); later
+      occurrences of the same pair may legitimately FAIL the filter, and
+      the trailing ``distinct`` keeps any surviving occurrence. Do NOT
+      refactor to dedup pairs before this filter — completeness rests on
+      the first-occurrence pass, not on every occurrence passing.
 
     Scale: each doc contributes ~n/scale*(scale-q)+1 prefix tokens (4 of
     30 at t=0.9); buckets are keyed by each doc's RAREST tokens, so the
@@ -338,7 +406,11 @@ def jaccard_pairs(
       dropped BEFORE the expensive unit join using only the tiny per-doc
       size table. A provable no-false-negative prune (the standard MinHash
       verify optimization); pairs that survive are scored exactly, so
-      thresholded output is identical with or without it.
+      thresholded output is identical with or without it. On the
+      ``pairs=None`` self-join path the same prune applies as a final
+      filter on the already-joined sizes (the index join itself can't be
+      pre-pruned pairwise), so ``ratio`` means the same thing on both
+      paths: only pairs that could reach the threshold are returned.
     """
     if max_df is not None:
         keep = (
@@ -384,11 +456,14 @@ def jaccard_pairs(
         )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
-        .select("doc_a", "doc_b", "inter", "uni")
+    out = inter.join(sa, "doc_a").join(sb, "doc_b")
+    if pairs is None and ratio is not None:
+        q, scale = ratio
+        out = out.where(
+            scale * F.least("na", "nb") >= q * F.greatest("na", "nb")
+        )
+    return out.withColumn("uni", F.col("na") + F.col("nb") - F.col("inter")).select(
+        "doc_a", "doc_b", "inter", "uni"
     )
 
 
@@ -468,8 +543,16 @@ def connected_components(
             "component",
             (F.col("component") < F.col("_old")).alias("_chg"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.where(F.col("_chg")).limit(1).count()
+        # the convergence check rides the SAME job that materializes the
+        # round's labels (Observation metrics are collected during the
+        # eager localCheckpoint) — one job per round, not materialize+count
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        updated = updated.observe(
+            obs, F.sum(F.col("_chg").cast("bigint")).alias("chg")
+        ).localCheckpoint(eager=True)
+        changed = obs.get["chg"] or 0
         labels = updated.drop("_chg")
         if changed == 0:
             converged = True

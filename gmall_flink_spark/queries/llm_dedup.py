@@ -12,10 +12,10 @@ from gmall_flink_spark.llm.dedup import (
     connected_components,
     doc_tokens,
     jaccard_pairs,
-    lsh_bands,
     lsh_candidates,
     lsh_candidates_two_level,
-    minhash_signatures,
+    matrix_bands,
+    minhash_matrix,
     prefix_filter_candidates,
     shingles_from_tokens,
     simhash,
@@ -98,6 +98,26 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DOC_UNITS[key]
 
 
+#: WIDE minhash signature matrix (doc_id, _m0.._m{k-1}), memoized like
+#: _doc_units: the signature groupBy is the one shuffle every banding pays,
+#: and both band widths of the two-level candidate rule PLUS the bucket
+#: report (minhash_band_buckets) are map-only projections of this one frame
+#: (llm/dedup.matrix_bands) — so the matrix is aggregated exactly once per
+#: (session, sf_dir, content stamp). At production scale this is the
+#: persisted signature table of the dedup index.
+_MINHASH_MX: dict[tuple, DataFrame] = {}
+
+
+def _minhash_mx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _MINHASH_MX)
+    if key not in _MINHASH_MX:
+        mx = minhash_matrix(_doc_units(spark, sf_dir), MINHASH_K)
+        _MINHASH_MX[key] = mx.localCheckpoint(eager=True)
+    return _MINHASH_MX[key]
+
+
 #: two-level LSH candidate pairs, memoized like the other shared stages:
 #: the verified pair graph builds on them and lsh_recall_audit scores the
 #: SAME production candidate rule — one banding pipeline serves both.
@@ -110,7 +130,7 @@ def _lsh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(spark, sf_dir, "documents", _LSH_CANDS)
     if key not in _LSH_CANDS:
         cands = lsh_candidates_two_level(
-            minhash_signatures(_doc_units(spark, sf_dir), MINHASH_K),
+            _minhash_mx(spark, sf_dir),
             ROWS_PER_BAND,
             FINE_ROWS_PER_BAND,
             max_bucket=LSH_MAX_BUCKET,
@@ -148,8 +168,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH stage 1-3 (shingle→minhash→band): multi-member band
     buckets — each is a candidate near-dup cluster."""
-    sigs = minhash_signatures(_doc_units(spark, sf_dir), k=MINHASH_K)
-    bands = lsh_bands(sigs, ROWS_PER_BAND)
+    bands = matrix_bands(_minhash_mx(spark, sf_dir), ROWS_PER_BAND)
     return (
         bands.groupBy("band", "band_sig")
         .agg(F.count(F.lit(1)).alias("member_ct"), F.sum("doc_id").alias("doc_id_sum"))

@@ -64,10 +64,12 @@ def main() -> None:
             s_pdf = queries[name](spark, sf_dir).toPandas()
             rec["spark_rows"] = len(s_pdf)
             if name not in oracle:
-                # rows-only check (driver's weaker gate for non-SQL ops)
+                # no oracle: the only thing gated is "the query ran" —
+                # record that honestly instead of a tautological rows_match
                 rec.update(
-                    rows_match=len(s_pdf) >= 0,
-                    schema_match=True,
+                    checked="ran-only",
+                    rows_match=None,
+                    schema_match=None,
                     hash_match=None,
                     oracle_rows=None,
                     err=None,
@@ -84,7 +86,12 @@ def main() -> None:
                 )
         except Exception:
             rec["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
-        ok = rec["err"] is None and rec["rows_match"] and rec["schema_match"] and rec["hash_match"] in (True, None)
+        if rec["err"] is not None:
+            ok = False
+        elif rec.get("checked") == "ran-only":
+            ok = True
+        else:
+            ok = bool(rec["rows_match"] and rec["schema_match"] and rec["hash_match"])
         fails += 0 if ok else 1
         print(f"[{i + 1}/{len(queries)}] {name}: {'ok' if ok else 'FAIL ' + str(rec)}", flush=True)
         results[name] = rec

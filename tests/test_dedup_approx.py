@@ -124,25 +124,73 @@ def test_two_level_lsh_refines_within_megabuckets(spark):
     sub-cap-pairing bound."""
     from gmall_flink_spark.llm.dedup import (
         distinct_tokens,
-        lsh_bands,
         lsh_candidates,
         lsh_candidates_two_level,
-        minhash_signatures,
+        matrix_bands,
+        minhash_matrix,
     )
 
     base = " ".join(f"tok{i}" for i in range(29))
     rows = [(i, f"{base} unique{i}") for i in range(12)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     units = distinct_tokens(docs, spread_input=False)
-    sigs = minhash_signatures(units, 12)
+    mx = minhash_matrix(units, 12)
 
-    dropped = lsh_candidates(lsh_bands(sigs, 3), max_bucket=8, oversize="drop")
+    dropped = lsh_candidates(matrix_bands(mx, 3), max_bucket=8, oversize="drop")
     # cap 8 still over-caps the 12-member coarse buckets; fine 6-row bands
     # of an identical-signature family stay one bucket too, so grant the
     # fine level a cap that admits it (the heterogeneous-corpus case where
     # fine buckets split below the cap is exercised on real testdata by
     # lsh_recall_audit)
-    two = lsh_candidates_two_level(sigs, 3, 6, max_bucket=8)
-    refined = lsh_candidates_two_level(sigs, 3, 6, max_bucket=12)
+    two = lsh_candidates_two_level(mx, 3, 6, max_bucket=8)
+    refined = lsh_candidates_two_level(mx, 3, 6, max_bucket=12)
     assert dropped.count() == 0 and two.count() == 0
     assert refined.count() == 12 * 11 // 2
+
+
+def test_matrix_bands_equals_lsh_bands(spark):
+    """matrix_bands (map-only banding of the wide minhash matrix) must be
+    row-identical to the long-form lsh_bands at every width — including a
+    width that does NOT divide k (trailing partial band). This pins the
+    band_sig string format the two-level candidate rule and the streaming
+    LSH sink both key on."""
+    from gmall_flink_spark.llm.dedup import (
+        distinct_tokens,
+        lsh_bands,
+        matrix_bands,
+        minhash_matrix,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"alpha beta w{i} x{i * 7 % 5} y{i % 3} z{i * i % 11}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    units = distinct_tokens(docs, spread_input=False)
+    for width in (3, 6, 5):  # 5 leaves a 2-seed partial band at k=12
+        via_matrix = sorted(
+            map(tuple, matrix_bands(minhash_matrix(units, 12), width).collect())
+        )
+        via_long = sorted(
+            map(tuple, lsh_bands(minhash_signatures(units, 12), width).collect())
+        )
+        assert via_matrix == via_long, f"width {width} diverged"
+
+
+def test_jaccard_pairs_ratio_applies_on_selfjoin_path(spark):
+    """ratio=(q,scale) on the pairs=None path must drop exactly the pairs
+    the length bound excludes (j <= min/max can't reach q/scale) and keep
+    the rest identical to the unpruned self-join."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.dedup import distinct_tokens, jaccard_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),   # 10 toks
+        (2, "a b c d e f g h i k"),   # 10 toks, j(1,2)=9/11
+        (3, "a b c"),                 # 3 toks — fails 10*3 >= 9*10 vs both
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    units = distinct_tokens(docs, spread_input=False)
+    full = {(r.doc_a, r.doc_b) for r in jaccard_pairs(units).collect()}
+    pruned = {(r.doc_a, r.doc_b) for r in jaccard_pairs(units, ratio=(9, 10)).collect()}
+    assert full == {(1, 2), (1, 3), (2, 3)}
+    assert pruned == {(1, 2)}
