@@ -264,6 +264,8 @@ HEADLINE = [
     "llm_split_by_cluster",
     "dedup_rep_select_exact",
     "text_bigram_lm_score",
+    # round 8 additions: real-codec media decode (PNG/WAV dispatch)
+    "media_real_decode_stats",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
@@ -314,13 +316,21 @@ def main() -> None:
 
     calib = calibrate(spark)
 
+    # Per-query failure isolation (VERDICT r07 #2): one broken query must
+    # degrade the artifact (an `errors` record + `failed_ct`), never zero it
+    # out — round 7 lost the entire perf signal for 153 healthy queries to
+    # a single crash.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        with track_terminal_sort():
-            df = unsorted_form(queries[name](spark, sf_dir))
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            with track_terminal_sort():
+                df = unsorted_form(queries[name](spark, sf_dir))
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     # Warm second pass over the r01-comparable subset: codegen/scan caches
     # are hot, so (cold - warm) isolates first-execution overhead while
@@ -329,9 +339,14 @@ def main() -> None:
     # instead of argued about.
     t0 = time.perf_counter()
     for name in HEADLINE[:R1_HEADLINE_N]:
-        with track_terminal_sort():
-            df = unsorted_form(queries[name](spark, sf_dir))
-        df.write.format("noop").mode("overwrite").save()
+        if name in errors:
+            continue
+        try:
+            with track_terminal_sort():
+                df = unsorted_form(queries[name](spark, sf_dir))
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors.setdefault(name, f"warm: {type(exc).__name__}: {exc}"[:300])
     r01_warm = round(time.perf_counter() - t0, 3)
 
     # Streaming throughput: the M1 five-way log-split fan-out driven as a
@@ -349,14 +364,18 @@ def main() -> None:
     raw_dir, sink_dir = f"{stream_base}/raw", f"{stream_base}/sinks"
     if os.path.exists(stream_base):
         shutil.rmtree(stream_base)
-    raw = page_log_json(spark, sf_dir)
-    raw.repartition(16).write.parquet(raw_dir)
-    at_rest = spark.read.parquet(raw_dir)
-    n_rows = at_rest.count()
-    sdf = spark.readStream.schema(at_rest.schema).parquet(raw_dir)
-    t0 = time.perf_counter()
-    run_available_now(sdf, foreach_batch=log_split_sinks(sink_dir))
-    stream_sec = round(time.perf_counter() - t0, 3)
+    try:
+        raw = page_log_json(spark, sf_dir)
+        raw.repartition(16).write.parquet(raw_dir)
+        at_rest = spark.read.parquet(raw_dir)
+        n_rows = at_rest.count()
+        sdf = spark.readStream.schema(at_rest.schema).parquet(raw_dir)
+        t0 = time.perf_counter()
+        run_available_now(sdf, foreach_batch=log_split_sinks(sink_dir))
+        stream_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming:log_split_fanout"] = f"{type(exc).__name__}: {exc}"[:300]
+        n_rows, stream_sec = 0, 0.0
 
     # Stateful-streaming throughput: exact first-per-day UV dedup through
     # the applyInPandasWithState state store (D4) — the per-row keyed-state
@@ -364,14 +383,18 @@ def main() -> None:
     from gmall_flink_spark.sources.tables import table as _table
     from gmall_flink_spark.streaming.stateful import first_per_day_stream
 
-    ev = _table(spark, sf_dir, "events").select("user_id", "ts")
-    ev_dir = f"{stream_base}/events"
-    ev.repartition(16).write.parquet(ev_dir)
-    n_ev = spark.read.parquet(ev_dir).count()
-    sev = spark.readStream.schema(ev.schema).parquet(ev_dir)
-    t0 = time.perf_counter()
-    run_available_now(first_per_day_stream(sev, "user_id"))
-    state_sec = round(time.perf_counter() - t0, 3)
+    try:
+        ev = _table(spark, sf_dir, "events").select("user_id", "ts")
+        ev_dir = f"{stream_base}/events"
+        ev.repartition(16).write.parquet(ev_dir)
+        n_ev = spark.read.parquet(ev_dir).count()
+        sev = spark.readStream.schema(ev.schema).parquet(ev_dir)
+        t0 = time.perf_counter()
+        run_available_now(first_per_day_stream(sev, "user_id"))
+        state_sec = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["streaming:uv_first_per_day"] = f"{type(exc).__name__}: {exc}"[:300]
+        n_ev, state_sec = 0, 0.0
 
     detail = {
         "metric": "headline query suite wall time",
@@ -379,8 +402,10 @@ def main() -> None:
         "unit": "sec",
         "query_ct": len(timings),
         "r01_comparable_sec": round(
-            sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3
+            sum(timings.get(n, 0.0) for n in HEADLINE[:R1_HEADLINE_N]), 3
         ),
+        "failed_ct": len(errors),
+        "errors": errors,
         "calib_sec": calib,
         "r01_comparable_warm_sec": r01_warm,
         "queries": timings,
@@ -415,7 +440,7 @@ def main() -> None:
 
     compact = {k: detail[k] for k in
                ("metric", "value", "unit", "query_ct", "r01_comparable_sec",
-                "calib_sec", "r01_comparable_warm_sec")}
+                "calib_sec", "r01_comparable_warm_sec", "failed_ct")}
     compact["rows_per_sec_stream"] = detail["streaming"]["rows_per_sec"]
     compact["rows_per_sec_state"] = detail["streaming_stateful"]["rows_per_sec"]
     compact["sf"] = sf

@@ -244,40 +244,239 @@ def decode_stub(payload: bytes) -> tuple[int, int]:
     return len(payload), sum(payload) % 2_147_483_647
 
 
+def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize genuinely DECODABLE payloads (valid PNG / WAV bytes) from
+    `documents` doc_ids, per the generative formulas documented above:
+
+      doc_id % 3 == 0 -> image: real PNG, solid color
+      doc_id % 3 == 1 -> audio: real 16-bit mono PCM WAV
+      doc_id % 3 == 2 -> video: stub payload byte (id%256) × ((id%100)+1)
+                         (no video codec in this container — honest stub)
+
+    The DuckDB oracle twin re-derives dimensions / sample sums from the
+    same formulas, never from the bytes, so a green parity proves the
+    byte-level decode in ``decode_media`` actually ran. Payload synthesis
+    is an Arrow-batched mapInPandas (binary construction isn't
+    JVM-expressible); the closure is self-contained — Spark's Python
+    workers run without this repo on their PYTHONPATH."""
+    from gmall_flink_spark.sources.tables import spread
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+        import zlib
+
+        def png(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+            # inline twin of module-level png_bytes (parity pinned by test)
+            def chunk(tag: bytes, body: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(body))
+                    + tag
+                    + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = (b"\x00" + bytes(rgb) * w) * h
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        def wav(samples: list[int], rate: int) -> bytes:
+            # inline twin of module-level wav_bytes
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+            return buf.getvalue()
+
+        def row(mid: int):
+            m = mid % 3
+            if m == 0:
+                w, h = (mid % 31) + 1, (mid % 17) + 1
+                rgb = (mid % 256, mid * 7 % 256, mid * 13 % 256)
+                return "image", png(w, h, rgb), (w, h, None, None)
+            if m == 1:
+                n = (mid % 50) + 10
+                rate = 8000 + (mid % 3) * 4000
+                samples = [((mid * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+                return "audio", wav(samples, rate), (None, None, rate, n)
+            return (
+                "video",
+                bytes([mid % 256]) * ((mid % 100) + 1),
+                (None, None, None, None),
+            )
+
+        for pdf in batches:
+            recs = [(int(mid), *row(int(mid))) for mid in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in recs],
+                    "kind": [r[1] for r in recs],
+                    "payload": [r[2] for r in recs],
+                    "meta": [
+                        {
+                            "width": r[3][0],
+                            "height": r[3][1],
+                            "sample_rate": r[3][2],
+                            "n_frames": r[3][3],
+                        }
+                        for r in recs
+                    ],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode / feature extraction over (media_id, kind,
     payload, meta). One Python worker per partition; each pandas batch
-    decodes vectorized — the Spark-side shape of a real multimodal
-    featurizer at scale.
+    decodes through a per-payload format sniff:
 
-    The worker closure is self-contained (stub logic inlined): Spark's
-    Python workers run without this repo on their PYTHONPATH (the grading
-    driver's plain session), so nothing here may be pickled by module
-    reference.
+      ``\\x89PNG\\r\\n\\x1a\\n`` prefix -> REAL PNG decode (decoder='png';
+          width/height/content_sum from the actual bytes)
+      ``RIFF`` prefix -> REAL WAV decode (decoder='wav'; sample_rate /
+          content_sum from the actual bytes)
+      anything else  -> deterministic stub (decoder='stub'; width/height/
+          sample_rate passed through from meta, content_sum NULL)
+      corrupt container -> decoder='error', decode fields NULL — the
+          dead-letter posture; a 100 TB job must never die on one blob
+
+    byte_len / checksum are computed for every payload (vectorized uint8
+    sum). The worker closure is self-contained (decode logic inlined;
+    parity with the module-level decode_png/decode_wav is pinned by
+    tests): Spark's Python workers run without this repo on their
+    PYTHONPATH (the grading driver's plain session), so nothing here may
+    be pickled by module reference.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+        import zlib
+
         import numpy as np
 
-        def stub(payload: bytes) -> tuple[int, int]:
-            # vectorized form of decode_stub: np.uint8 sum, not a Python
-            # per-byte loop — the difference between 3s and 0.3s per SF0.1
-            # partition, and the pattern a real codec batch would follow
+        def stub_sum(payload: bytes) -> tuple[int, int]:
+            # vectorized byte math: np.uint8 sum, not a Python per-byte
+            # loop — the difference between 3s and 0.3s per SF0.1 partition
             arr = np.frombuffer(payload, dtype=np.uint8)
             return len(arr), int(arr.sum(dtype=np.int64)) % 2_147_483_647
 
+        def png_decode(data: bytes) -> tuple[int, int, int]:
+            # inline twin of module-level decode_png (parity pinned by test)
+            pos, idat, hdr = 8, [], None
+            while pos + 8 <= len(data):
+                (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if tag == b"IHDR":
+                    hdr = struct.unpack(">IIBBBBB", body)
+                elif tag == b"IDAT":
+                    idat.append(body)
+                elif tag == b"IEND":
+                    break
+            if hdr is None or not idat:
+                raise ValueError("truncated PNG")
+            width, height, depth, color, _, _, interlace = hdr
+            if depth != 8 or color not in (0, 2) or interlace:
+                raise ValueError("unsupported PNG")
+            nch = 3 if color == 2 else 1
+            stride = width * nch
+            raw = zlib.decompress(b"".join(idat))
+            if len(raw) != (stride + 1) * height:
+                raise ValueError("bad PNG payload length")
+            total = 0
+            prev = np.zeros(stride, dtype=np.uint8)
+            for y in range(height):
+                rowb = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+                ftype = rowb[0]
+                line = np.frombuffer(rowb[1:], dtype=np.uint8).copy()
+                if ftype == 0:
+                    cur = line
+                elif ftype == 2:  # Up
+                    cur = line + prev
+                elif ftype in (1, 3, 4):  # Sub / Average / Paeth
+                    cur = np.zeros(stride, dtype=np.uint8)
+                    for x in range(stride):
+                        left = int(cur[x - nch]) if x >= nch else 0
+                        up = int(prev[x])
+                        ul = int(prev[x - nch]) if x >= nch else 0
+                        if ftype == 1:
+                            pred = left
+                        elif ftype == 3:
+                            pred = (left + up) // 2
+                        else:
+                            p = left + up - ul
+                            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else (up if pb <= pc else ul)
+                            )
+                        cur[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                total += int(cur.sum(dtype=np.int64))
+                prev = cur
+            return width, height, total
+
+        def wav_decode(data: bytes) -> tuple[int, int]:
+            # inline twin of module-level decode_wav
+            with wave.open(io.BytesIO(data), "rb") as w:
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    raise ValueError("unsupported WAV layout")
+                rate, n = w.getframerate(), w.getnframes()
+                pcm = np.frombuffer(w.readframes(n), dtype=np.int16)
+            return rate, int(pcm.sum(dtype=np.int64))
+
+        def dispatch(payload: bytes, meta) -> tuple:
+            # -> (width, height, sample_rate, content_sum, decoder)
+            mw = meta["width"] if meta is not None else None
+            mh = meta["height"] if meta is not None else None
+            mr = meta["sample_rate"] if meta is not None else None
+            try:
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    w, h, total = png_decode(payload)
+                    return w, h, None, total, "png"
+                if payload[:4] == b"RIFF":
+                    rate, total = wav_decode(payload)
+                    return None, None, rate, total, "wav"
+            except Exception:
+                return None, None, None, None, "error"
+            return mw, mh, mr, None, "stub"
+
         for pdf in batches:
-            decoded = pdf["payload"].map(stub)
-            yield pd.DataFrame(
+            sizes = pdf["payload"].map(stub_sum)
+            dec = [
+                dispatch(p, m)
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "byte_len": decoded.map(lambda t: t[0]),
-                    "checksum": decoded.map(lambda t: t[1]),
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "byte_len": sizes.map(lambda t: t[0]),
+                    "checksum": sizes.map(lambda t: t[1]),
+                    "width": pd.array([d[0] for d in dec], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dec], dtype="Int32"),
+                    "sample_rate": pd.array([d[2] for d in dec], dtype="Int32"),
+                    "content_sum": pd.array([d[3] for d in dec], dtype="Int64"),
+                    "decoder": [d[4] for d in dec],
                 }
             )
+            yield out
 
     return df.mapInPandas(run, DECODED_SCHEMA)
 

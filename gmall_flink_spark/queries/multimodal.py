@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from gmall_flink_spark.llm.multimodal import (
     decode_media,
     frame_sample,
+    media_real_table,
     media_table,
     resize_plan,
 )
@@ -67,11 +68,36 @@ def media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode proof: synthesize valid PNG / WAV payloads
+    (llm/multimodal.py::media_real_table), run the sniff-and-dispatch
+    decode, and aggregate the decoded dimensions / sample sums per decoder.
+    The oracle re-derives every value from the GENERATIVE formulas — the
+    engine can only match it by actually parsing IHDR chunks, inflating
+    IDAT scanlines, and reading RIFF frames out of the bytes."""
+    out = decode_media(media_real_table(spark, sf_dir))
+    stub = F.col("decoder") == "stub"
+    return (
+        out.groupBy("decoder")
+        .agg(
+            F.count(F.lit(1)).alias("media_ct"),
+            F.sum("width").alias("w_sum"),
+            F.sum("height").alias("h_sum"),
+            F.sum("sample_rate").alias("rate_sum"),
+            F.sum("content_sum").alias("content_total"),
+            F.sum(F.when(stub, F.col("byte_len"))).alias("stub_bytes"),
+            F.sum(F.when(stub, F.col("checksum"))).alias("stub_checksum"),
+        )
+        .orderBy("decoder")
+    )
+
+
 QUERIES = {
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
     "media_resize_plan": media_resize_plan,
     "media_exact_dedup": media_exact_dedup,
+    "media_real_decode_stats": media_real_decode_stats,
 }
 
 _KIND = "(['image','audio','video'])[(doc_id % 3) + 1]"
@@ -109,6 +135,51 @@ ORACLE = {
                CAST(SUM(c) AS BIGINT) AS frame_ct,
                CAST(SUM(30 * c * (c - 1) // 2) AS BIGINT) AS idx_sum
         FROM v
+    """,
+    # every value below comes from the GENERATIVE formulas (llm/multimodal.py
+    # REAL_* constants), never from the bytes — so a green parity proves the
+    # engine's byte-level PNG/WAV decode actually ran.
+    #   png: w=(id%31)+1, h=(id%17)+1, content = w*h*(r+g+b)
+    #   wav: n=(id%50)+10, rate=8000+(id%3)*4000,
+    #        content = sum_i ((id*31+i*17)%65536 - 32768)
+    #   stub (video): payload = byte(id%256) × ((id%100)+1)
+    "media_real_decode_stats": """
+        WITH img AS (
+            SELECT doc_id AS id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h,
+                   (doc_id % 256) + (doc_id * 7) % 256 + (doc_id * 13) % 256 AS pix
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        aud AS (
+            SELECT doc_id AS id, (doc_id % 50) + 10 AS n,
+                   8000 + (doc_id % 3) * 4000 AS rate
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        aud_sum AS (
+            SELECT id, SUM(((id * 31 + i * 17) % 65536) - 32768) AS s
+            FROM aud, LATERAL (SELECT unnest(range(aud.n)) AS i) t
+            GROUP BY id
+        ),
+        vid AS (
+            SELECT doc_id AS id, (doc_id % 100) + 1 AS blen, doc_id % 256 AS bval
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT 'png' AS decoder, CAST(COUNT(*) AS BIGINT) AS media_ct,
+               CAST(SUM(w) AS BIGINT) AS w_sum, CAST(SUM(h) AS BIGINT) AS h_sum,
+               CAST(NULL AS BIGINT) AS rate_sum,
+               CAST(SUM(w * h * pix) AS BIGINT) AS content_total,
+               CAST(NULL AS BIGINT) AS stub_bytes,
+               CAST(NULL AS BIGINT) AS stub_checksum
+        FROM img
+        UNION ALL
+        SELECT 'stub', CAST(COUNT(*) AS BIGINT), NULL, NULL, NULL, NULL,
+               CAST(SUM(blen) AS BIGINT),
+               CAST(SUM((blen * bval) % 2147483647) AS BIGINT)
+        FROM vid
+        UNION ALL
+        SELECT 'wav', CAST(COUNT(*) AS BIGINT), NULL, NULL,
+               CAST(SUM(a.rate) AS BIGINT), CAST(SUM(s.s) AS BIGINT), NULL, NULL
+        FROM aud a JOIN aud_sum s ON a.id = s.id
+        ORDER BY decoder
     """,
     "media_resize_plan": """
         WITH img AS (
