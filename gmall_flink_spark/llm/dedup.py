@@ -467,11 +467,65 @@ def jaccard_pairs(
     )
 
 
+def _pregroup_labels(sym: DataFrame, parts: int = 32) -> DataFrame:
+    """Partition-local union-find seeding for connected_components: range-
+    partition the (src, dst) edge list by src and collapse each partition's
+    subgraph to its local roots in one Arrow pass — a chain of length n
+    contracts to ~``parts`` segments before the first distributed round,
+    so path halving then needs O(log parts) rounds instead of O(log n)
+    (VERDICT r07 #8). Returns (doc_id, seed) with seed = a node id in
+    doc_id's component, seed <= doc_id — any such seeding preserves the
+    min-label invariant (labels only decrease, stay inside the component),
+    pinned by test_connected_components_pregroup_equivalence.
+
+    The worker closure is self-contained (plain-dict union-find): Spark's
+    Python workers run without this repo on their PYTHONPATH."""
+    import pandas as pd
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min — roots stay component minima
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if parent:
+            nodes_ = list(parent)
+            yield pd.DataFrame(
+                {"doc_id": nodes_, "seed": [find(v) for v in nodes_]}
+            )
+
+    return (
+        sym.repartitionByRange(parts, "src")
+        .mapInPandas(run, "doc_id long, seed long")
+        # a node split across partitions has several seeds, all in its
+        # component: keep the smallest
+        .groupBy("doc_id")
+        .agg(F.min("seed").alias("seed"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_rounds: int = 20,
     shortcut: bool = False,
+    pregroup: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dup dedup (pair graph → clusters → keep one representative
@@ -506,9 +560,21 @@ def connected_components(
     )
     if nodes is None:
         nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).localCheckpoint(
-        eager=True
-    )
+    if pregroup:
+        # seed each label with its partition-local root (still inside the
+        # component, <= doc_id), collapsing long chains before round 1
+        seeds = _pregroup_labels(sym)
+        labels = (
+            nodes.join(seeds, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("seed", F.col("doc_id")).alias("component")
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        labels = nodes.select(
+            "doc_id", F.col("doc_id").alias("component")
+        ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_rounds):  # diameter bound; near-dup graphs converge in 2-3
         nbr_min = (

@@ -85,7 +85,9 @@ PIPELINES: list[Pipeline] = [
              "broadcast dict refreshed per micro-batch (J3 as-of-now)"),
     Pipeline("DwdTradeOrderDetail", "app/dwd/DwdTradeOrderDetail.java:20-224",
              "S3,P3,P4,J1,J2,J4,K3", _q("cdc_order_detail_wide"),
-             "stream-stream joins w/ watermarks (J4) -> upsert_writer (K3)"),
+             "streaming/pipelines.py::order_detail_wide_stream — ONE query, "
+             "chained stream-stream joins (J4) -> upsert_writer (K3); "
+             "batch-equality pinned by test_order_detail_wide_pipeline_end_to_end"),
     Pipeline("DwdCancelOrderDetail", "app/dwd/DwdCancelOrderDetail.java:24-226",
              "S3,P6,J1,J2,J4,K3", _q("cdc_cancel_enrich"),
              "as DwdTradeOrderDetail with the P6 cancel predicate"),
@@ -124,7 +126,9 @@ PIPELINES: list[Pipeline] = [
              "D5 new_user_flags_stream over the P7 pay-suc stream -> day window"),
     Pipeline("DwsTradeSkuOrderWindow", "app/dws/DwsTradeSkuOrderWindow.java:50-376",
              "S1,D2,A3,A6,J7/J8/J9,K5", _q("dws_brand_order_window"),
-             "keep_first_stream (D2 TTL=watermark) -> window agg -> broadcast enrich"),
+             "streaming/pipelines.py::sku_order_window_stream — ONE query, "
+             "D2 dedup -> broadcast enrich -> window agg; batch-equality "
+             "pinned by test_sku_order_window_pipeline_end_to_end"),
     Pipeline("DwsTradeProvinceOrderWindow", "app/dws/DwsTradeProvinceOrderWindow.java:36-140",
              "S1,D2,A4,A6,J8,K5", _q("dws_nation_order_window"), "as sku window"),
 ]

@@ -98,7 +98,10 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case: sequential names chain into one table-sized component),
     so the survivor argmax is deliberately max(struct(bal, -key)) — an
     ordinary aggregate with map-side partials that a giant cluster cannot
-    serialize — never a per-cluster window sort."""
+    serialize — never a per-cluster window sort. ``pregroup=True`` runs a
+    range-partitioned local union-find first, contracting each executor's
+    chain segment to one label so the distributed rounds start from
+    ~n_partitions super-nodes instead of n nodes (O(log parts) rounds)."""
     from gmall_flink_spark.llm.dedup import connected_components
     from gmall_flink_spark.sources.tables import spread
 
@@ -110,7 +113,7 @@ def entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = hamming1_pairs(
         cust, key_col="c_name", id_col="c_custkey", positions=NAME_DIGIT_POSITIONS
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
-    comp = connected_components(edges, shortcut=True)
+    comp = connected_components(edges, shortcut=True, pregroup=True)
     members = comp.join(
         cust, comp.doc_id == cust.c_custkey
     ).select("component", "c_custkey", "bal_cents")

@@ -138,3 +138,46 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if width >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def clear_session_memos() -> None:
+    """Reset every session-memoized shared stage (winnow fingerprints,
+    tokenized docs, LSH candidates, near-dup components, IVF assignment,
+    PQ codebooks, ...). Callers that must observe or time a COLD pipeline
+    (scripts/scaling_probe.py, scripts/explain_audit.py) use this so a
+    warm memo can't turn a measured run into a cache read. Single source
+    of truth: adding a new memo means adding it here, and only here."""
+    from gmall_flink_spark.queries.llm_dedup import (
+        _COMPONENTS,
+        _DOC_TOKS,
+        _DOC_UNITS,
+        _LSH_CANDS,
+        _MINHASH_MX,
+        _SAMPLE_COMPONENTS,
+        _SAMPLE_EXACT,
+        _VERIFIED,
+    )
+    from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
+    from gmall_flink_spark.queries.similarity import (
+        _ASSIGNED_MEMO,
+        _NEARDUP_PAIRS,
+        _PQ_BOOKS_MEMO,
+    )
+    from gmall_flink_spark.queries.text import _WINNOW_DOCS
+
+    for memo in (
+        _WINNOW_DOCS,
+        _COMPONENTS,
+        _DOC_TOKS,
+        _DOC_UNITS,
+        _LSH_CANDS,
+        _MINHASH_MX,
+        _SAMPLE_COMPONENTS,
+        _SAMPLE_EXACT,
+        _ASSIGNED_MEMO,
+        _NEARDUP_PAIRS,
+        _PACK_TOTALS,
+        _PQ_BOOKS_MEMO,
+        _VERIFIED,
+    ):
+        memo.clear()

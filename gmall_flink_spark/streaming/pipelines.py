@@ -1,0 +1,196 @@
+"""End-to-end streaming compositions of the two richest reference
+pipelines (SURVEY §2.11; VERDICT r07 task #3) — whole apps run as ONE
+Structured Streaming query, source → stateful → window/join → sink, not
+per-operator twins.
+
+* ``sku_order_window_stream`` = DwsTradeSkuOrderWindow
+  (app/dws/DwsTradeSkuOrderWindow.java:50-376): CDC order_detail envelope
+  stream → P2/P4 filters → D2 keep-first dedup (dropDuplicatesWithinWatermark)
+  → J7 broadcast dim enrich (stream-static) → A3 money sums in tumbling
+  windows → A6 stt/edt decoration. One query, two stateful operators
+  (dedup + window agg) chained under a single watermark — supported by
+  Spark's multiple-stateful-operator execution in append mode.
+
+* ``order_detail_wide_stream`` = DwdTradeOrderDetail
+  (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
+  order_info (J1) LEFT JOIN detail_activity LEFT JOIN detail_coupon (J2×2)
+  as chained stream-stream joins with watermark-bounded state (J4), after a
+  D-style keep-first on the detail stream (the K3 upsert compaction pulled
+  to the front, where the stream form can do it exactly once). The caller
+  sinks it through ``sinks.upsert.upsert_writer`` (K3).
+
+Batch-vs-stream equality demands closed windows / closed join state at end
+of replay; availableNow advances the watermark only with data, so the test
+harness appends far-future *sentinel* slices (``sentinel_envelope_slices``)
+whose ids can never join — they push the watermark past every real window
+without contributing rows, the streaming analogue of the reference's
+job-drain barrier.
+
+Interval bounds: the tests use generous bounds (the synthetic envelopes
+pack colliding ids years apart — see queries/cdc.py::cdc_order_detail_wide)
+so the stream join state covers every batch-joinable pair. Production
+deployments tighten the bound to the business skew (order→ship ≤ ~4
+months) and the same code holds state proportional to it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.operators.cdc import d, drop_bootstrap, src_filter
+from gmall_flink_spark.operators.windows import tumble_agg
+
+#: ids used by sentinel rows — negative, so they can never equi-join the
+#: synthetic envelopes' non-negative packed keys.
+SENTINEL_ID = -1
+
+
+def _od_stream(env: DataFrame) -> DataFrame:
+    """Shared order_detail parse: P2 bootstrap drop, P4 table/type filter,
+    P3 projection, event time from the envelope ts."""
+    return src_filter(drop_bootstrap(env), "order_detail", ["insert"]).select(
+        d("id").cast("bigint").alias("id"),
+        d("order_id").cast("bigint").alias("order_id"),
+        d("sku_id").cast("bigint").alias("sku_id"),
+        d("sku_num").cast("bigint").alias("sku_num"),
+        d("split_total_amount").cast("decimal(18,2)").alias("amount"),
+        F.col("ts"),
+        F.timestamp_seconds("ts").alias("od_ts"),
+    )
+
+
+def sku_order_window_stream(
+    od_env: DataFrame,
+    part: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTradeSkuOrderWindow as one streaming query (D2→J7→A3→A6).
+
+    ``dedup_delay`` bounds the keep-first state: it must exceed the widest
+    event-time gap between duplicate detail ids (the synthetic envelopes
+    collide packed ids years apart; production CDC dups arrive within
+    seconds and use the reference's 5 s-scale TTL)."""
+    od = _od_stream(od_env).withColumnRenamed("od_ts", "rt").drop("ts", "order_id")
+    od = od.withWatermark("rt", dedup_delay).dropDuplicatesWithinWatermark(["id"])
+    enriched = od.join(F.broadcast(part), od.sku_id == part.p_partkey)
+    return tumble_agg(
+        enriched,
+        "rt",
+        "30 days",
+        [F.col("p_brand").alias("brand")],
+        [
+            F.count(F.lit(1)).alias("order_ct"),
+            F.sum("sku_num").alias("sku_num_sum"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        ],
+    )
+
+
+def order_detail_wide_stream(
+    od_env: DataFrame,
+    oi_env: DataFrame,
+    oa_env: DataFrame,
+    oc_env: DataFrame,
+    bound: str = "2600 days",
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwdTradeOrderDetail as one streaming query (D→J1→J2×2), ready for a
+    K3 upsert sink. ``bound`` is the stream-stream join's event-time window
+    (state retention); it must cover the max event-time skew between
+    joinable rows."""
+
+    def within(a: str, b: str) -> Column:
+        return F.expr(
+            f"{b} >= {a} - interval {bound} AND {b} <= {a} + interval {bound}"
+        )
+
+    od = (
+        _od_stream(od_env)
+        .withColumnRenamed("amount", "split_total_amount")
+        .withWatermark("od_ts", dedup_delay)
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    oi = (
+        src_filter(drop_bootstrap(oi_env), "order_info", ["insert"])
+        .select(
+            d("id").cast("bigint").alias("order_id"),
+            d("user_id").cast("bigint").alias("user_id"),
+            F.timestamp_seconds("ts").alias("oi_ts"),
+        )
+        .withWatermark("oi_ts", dedup_delay)
+    )
+    oa = (
+        oa_env.select(
+            d("order_detail_id").cast("bigint").alias("oa_id"),
+            d("activity_id").cast("bigint").alias("activity_id"),
+            F.timestamp_seconds("ts").alias("oa_ts"),
+        )
+        .withWatermark("oa_ts", dedup_delay)
+    )
+    oc = (
+        oc_env.select(
+            d("order_detail_id").cast("bigint").alias("oc_id"),
+            d("coupon_id").cast("bigint").alias("coupon_id"),
+            F.timestamp_seconds("ts").alias("oc_ts"),
+        )
+        .withWatermark("oc_ts", dedup_delay)
+    )
+
+    wide = (
+        od.join(oi, (od.order_id == oi.order_id) & within("od_ts", "oi_ts"))
+        .drop(oi.order_id)
+        .join(oa, (F.col("id") == oa.oa_id) & within("od_ts", "oa_ts"), "leftOuter")
+        .join(oc, (F.col("id") == oc.oc_id) & within("od_ts", "oc_ts"), "leftOuter")
+    )
+    return wide.select(
+        "id", "order_id", "user_id", "sku_id", "sku_num",
+        F.col("split_total_amount").cast("double").alias("split_total_amount"),
+        "activity_id", "coupon_id", "ts",
+    )
+
+
+def sentinel_envelope_slices(
+    spark,
+    slices_dir: str,
+    table: str,
+    data: dict[str, str],
+    ts: int,
+    n: int = 2,
+) -> None:
+    """Append ``n`` single-row far-future slices to a ``split_into_files``
+    directory. Each sentinel is a valid insert envelope for ``table`` whose
+    key fields are SENTINEL_ID (never joinable), timestamped ``ts + j·1h``
+    (strictly increasing, so every sentinel batch advances the watermark) —
+    they push the watermark past every real window/join without adding
+    output rows. The first raises the watermark at its batch's END; each
+    later one triggers an emission/eviction pass that uses it. CHAINED
+    outer joins cascade null-padded rows one stateful stage per batch, so
+    a pipeline with k chained outer joins needs n ≥ k + 1 sentinels.
+
+    Sizing ``ts``: watermark propagation subtracts each interval join's
+    bound from the watermark it hands downstream, so the sentinel must
+    clear  max_event_time + watermark_delay + (k+1)·bound  — for the wide
+    pipeline (delay 3650 d, three 2600 d joins) that is > 14 050 days past
+    the data; undershooting silently withholds the null-padded tail."""
+    from gmall_flink_spark.schemas import CDC_ENVELOPE
+
+    base = max(
+        int(os.path.getmtime(os.path.join(slices_dir, f)))
+        for f in os.listdir(slices_dir)
+    )
+    for j in range(1, n + 1):
+        row = ("gmall_flink", table, "insert", ts + (j - 1) * 3600, data, None)
+        tmp = os.path.join(slices_dir, f"_sentinel_tmp_{j}")
+        spark.createDataFrame([row], CDC_ENVELOPE).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(slices_dir, f"zz-sentinel-{j:02d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + j, base + j))

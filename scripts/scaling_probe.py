@@ -7,6 +7,17 @@ better, sublinearly per-row) survives scale-up; a super-linear ratio is a
 cliff to investigate. Results recorded in SCALE.md.
 
 Usage: python scripts/scaling_probe.py [K] (default 5; needs a quiet host)
+
+``--distinct`` switches documents replication from symlinks to an
+ID-DISTINCT materialized corpus (VERDICT r06 #2 / r07 #6): replica i
+remaps doc_id by +i*stride and salts every token with the replica tag, so
+replicas share no ids and no shingles. Symlink replication is
+dedup-ADVERSARIAL for the pair-graph family — every copy of a doc is an
+exact dup of K-1 others and each (doc_id, token) unit row multiplies, so
+verify volume grows ~K² without the corpus actually growing; the
+id-distinct mode measures those queries under real corpus growth (K
+independent corpora of identical shape: dup families scale in count, not
+in size). Only the pair-graph probes run in this mode.
 """
 
 from __future__ import annotations
@@ -56,7 +67,7 @@ PROBES = [
     "llm_bpe_merge_round",      # 1-row pair broadcast + match-island window
     "uv_rolling7_kmv",          # per-day min-k sketches + days-table window
     "stats_table_profile",      # one-pass profile (Expand x k distincts)
-    "dedup_cross_source",       # verified pair graph + source matrix
+    "dedup_cross_source",       # exact sampled pair graph + source matrix
     "sim_pq_topk",              # PQ train + code scan x broadcast ADC LUT
                                 #   (NB: replicated vec_ids collapse in the
                                 #   (vec_id, sub) argmin, so codebooks and
@@ -77,6 +88,17 @@ PROBES = [
 ]
 
 
+#: pair-graph probes whose symlink-replication ratios are cost signals
+#: only (see PROBES annotations) — the id-distinct mode measures these
+DISTINCT_PROBES = [
+    "dedup_allpairs_exact",
+    "split_leakage_audit",
+    "llm_split_by_cluster",
+    "dedup_cross_source",
+    "minhash_band_buckets",
+]
+
+
 def build_scaled_dir(base: str, k: int) -> str:
     root = f"/tmp/gmall_scale_x{k}"
     if os.path.exists(root):
@@ -90,8 +112,47 @@ def build_scaled_dir(base: str, k: int) -> str:
     return root
 
 
+def build_distinct_documents(spark, root: str, base: str, k: int) -> None:
+    """Replace the symlinked documents replication under ``root`` with K
+    id-distinct, token-salted replicas (replica 0 = the original corpus
+    verbatim). doc_id stride is a multiple of 4 so the deterministic
+    1-in-AUDIT_MOD sample keeps the same density in every replica."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    stride = ((int(max_id) // 4) + 1) * 4
+
+    def replica(i: int):
+        if i == 0:
+            return docs
+        salted = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                # empty tokens stay empty: the tokenizers drop them, and
+                # salting one into existence would add phantom shingles
+                lambda t: F.when(t == "", t).otherwise(
+                    F.concat(t, F.lit(f"~r{i}"))
+                ),
+            ),
+            " ",
+        )
+        return docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride)).withColumn(
+            "text", salted
+        )
+
+    out = replica(0)
+    for i in range(1, k):
+        out = out.unionAll(replica(i))
+    d = os.path.join(root, "documents.parquet")
+    shutil.rmtree(d)
+    out.repartition(16).write.parquet(d)
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    distinct = "--distinct" in sys.argv[1:]
+    k = int(args[0]) if args else 5
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scaled = build_scaled_dir(base, k)
 
@@ -103,43 +164,15 @@ def main() -> None:
     queries = all_queries()
     queries["q1_pricing_summary"](spark, base).write.format("noop").mode("overwrite").save()
 
-    def clear_session_memos() -> None:
-        """Reset the session-memoized shared stages (winnow fingerprints,
-        near-dup components): the probe must time the FULL pipeline at both
-        scales — a warm-up that leaves the 1x memo populated would make the
-        timed 1x run a cache read and blow the ratio up artificially."""
-        from gmall_flink_spark.queries.llm_dedup import (
-            _COMPONENTS,
-            _DOC_TOKS,
-            _DOC_UNITS,
-            _LSH_CANDS,
-            _SAMPLE_COMPONENTS,
-            _SAMPLE_EXACT,
-            _VERIFIED,
-        )
-        from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
-        from gmall_flink_spark.queries.similarity import (
-            _ASSIGNED_MEMO,
-            _NEARDUP_PAIRS,
-            _PQ_BOOKS_MEMO,
-        )
-        from gmall_flink_spark.queries.text import _WINNOW_DOCS
+    from gmall_flink_spark.sources.tables import clear_session_memos
 
-        _WINNOW_DOCS.clear()
-        _COMPONENTS.clear()
-        _DOC_TOKS.clear()
-        _DOC_UNITS.clear()
-        _LSH_CANDS.clear()
-        _SAMPLE_COMPONENTS.clear()
-        _SAMPLE_EXACT.clear()
-        _ASSIGNED_MEMO.clear()
-        _NEARDUP_PAIRS.clear()
-        _PACK_TOTALS.clear()
-        _PQ_BOOKS_MEMO.clear()
-        _VERIFIED.clear()
-
+    probes = PROBES
+    if distinct:
+        build_distinct_documents(spark, scaled, base, k)
+        probes = DISTINCT_PROBES
+        print(f"id-distinct documents mode (K={k} salted replicas)")
     print(f"{'query':28s} {'1x':>7s} {'%dx' % k:>7s} {'ratio':>6s}")
-    for name in PROBES:
+    for name in probes:
         # untimed 1x warm-up so codegen/compilation doesn't land in the
         # 1x column and flatter the ratio
         queries[name](spark, base).write.format("noop").mode("overwrite").save()

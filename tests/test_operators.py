@@ -616,3 +616,40 @@ def test_connected_components_shortcut_equivalence(spark):
         connected_components(chain, max_rounds=20)
     got = connected_components(chain, max_rounds=20, shortcut=True).collect()
     assert {r.component for r in got} == {0} and len(got) == 50
+
+
+def test_connected_components_pregroup_equivalence(spark):
+    """Partition-local union-find seeding (pregroup=True) must produce
+    exactly the plain labels (min reachable id) — on the real fuzzy-match
+    graph AND on a chain long enough that unseeded plain propagation can't
+    converge within the round budget. Seeds are only valid if they stay
+    inside the component and <= the node id; label equality across modes
+    is the proof."""
+    from gmall_flink_spark.llm.dedup import connected_components
+    from gmall_flink_spark.operators.fuzzy import hamming1_pairs
+    from gmall_flink_spark.queries.entity import NAME_DIGIT_POSITIONS
+    from gmall_flink_spark.sources.tables import spread, table
+
+    cust = spread(table(spark, "/root/testdata/sf0.001", "customer"), "c_custkey")
+    edges = hamming1_pairs(
+        cust.select("c_custkey", "c_name"),
+        key_col="c_name",
+        id_col="c_custkey",
+        positions=NAME_DIGIT_POSITIONS,
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    edges = edges.localCheckpoint(eager=True)
+    plain = sorted(map(tuple, connected_components(edges).collect()))
+    seeded = sorted(
+        map(tuple, connected_components(edges, shortcut=True, pregroup=True).collect())
+    )
+    assert plain == seeded
+
+    # 5000-node sequential chain (the production shape: consecutive-id
+    # entity matches), 100x plain mode's 20-round bound: pregroup
+    # contracts each range partition to one label before round 1, so the
+    # distributed rounds see ~n_partitions super-nodes
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(4999)], "doc_a bigint, doc_b bigint"
+    )
+    got = connected_components(chain, max_rounds=20, shortcut=True, pregroup=True).collect()
+    assert {r.component for r in got} == {0} and len(got) == 5000

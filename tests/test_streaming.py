@@ -1256,3 +1256,100 @@ def test_allpairs_index_sink_equals_batch_exact_graph(spark):
     ).where(10 * F.col("inter") >= 9 * F.col("uni"))
     assert rows(got) == rows(want)
     assert got.count() > 0
+
+
+def test_sku_order_window_pipeline_end_to_end(spark):
+    """DwsTradeSkuOrderWindow as ONE availableNow query — envelope source →
+    D2 dedup → J7 broadcast enrich → A3/A6 window agg → memory sink —
+    equals the batch twin dws_brand_order_window exactly (VERDICT r07 #3).
+    Far-future sentinel slices close every real window; their sku_id can't
+    join `part`, so they add no output."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import detail_envelope
+    from gmall_flink_spark.streaming.pipelines import (
+        sentinel_envelope_slices,
+        sku_order_window_stream,
+    )
+
+    env = detail_envelope(spark, SF)
+    slices = os.path.join(TMP, "sku_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    far = int(env.agg(F.max("ts")).collect()[0][0]) + 2_160_000_000  # +10k days
+    sentinel_envelope_slices(
+        spark, slices, "order_detail",
+        {"id": "-1", "order_id": "-1", "sku_id": "-1", "sku_num": "1",
+         "split_total_amount": "0"},
+        far,
+    )
+    got = run_available_now(
+        sku_order_window_stream(stream_from(spark, slices, env), table(spark, SF, "part"))
+    )
+    batch = all_queries()["dws_brand_order_window"](spark, SF)
+    assert rows(got) == rows(batch)
+
+
+def test_order_detail_wide_pipeline_end_to_end(spark):
+    """DwdTradeOrderDetail as ONE availableNow query — four envelope streams,
+    D keep-first on the detail side, J1 inner + J2×2 left stream-stream
+    joins with watermark-bounded state (J4), K3 upsert sink — final sink
+    state equals the batch twin cdc_order_detail_wide (VERDICT r07 #3).
+    Each stream gets far-future sentinels with mutually NON-joinable ids
+    (distinct negatives) so the global watermark (min across inputs) passes
+    every join window and all left-outer nulls emit."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sinks.upsert import read_state, upsert_writer
+    from gmall_flink_spark.sources.cdc_synth import (
+        activity_envelope,
+        coupon_envelope,
+        detail_envelope,
+        orders_envelope,
+    )
+    from gmall_flink_spark.streaming.pipelines import (
+        order_detail_wide_stream,
+        sentinel_envelope_slices,
+    )
+
+    specs = {
+        "od": (detail_envelope(spark, SF), "order_detail",
+               {"id": "-1", "order_id": "-1", "sku_id": "-1", "sku_num": "1",
+                "split_total_amount": "0"}),
+        "oi": (orders_envelope(spark, SF), "order_info",
+               {"id": "-2", "user_id": "-2"}),
+        "oa": (activity_envelope(spark, SF), "order_detail_activity",
+               {"order_detail_id": "-3", "activity_id": "-3"}),
+        "oc": (coupon_envelope(spark, SF), "order_detail_coupon",
+               {"order_detail_id": "-4", "coupon_id": "-4"}),
+    }
+    streams = {}
+    for name, (env, tbl, data) in specs.items():
+        slices = os.path.join(TMP, f"odw_{name}_slices")
+        split_into_files(env, 4, "ts", slices)
+        far = int(env.agg(F.max("ts")).collect()[0][0]) + 2_160_000_000
+        # 4 sentinels: 3 chained joins cascade null emission one stateful
+        # stage per batch (see sentinel_envelope_slices docstring)
+        sentinel_envelope_slices(spark, slices, tbl, data, far, n=4)
+        streams[name] = stream_from(spark, slices, env)
+
+    wide = order_detail_wide_stream(
+        streams["od"], streams["oi"], streams["oa"], streams["oc"]
+    )
+    state = os.path.join(TMP, "odw_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    # K3 sink: keys=id. The detail stream is already key-compacted by the
+    # in-stream keep-first, so per-id re-emissions only occur for
+    # value-identical join copies — last-wins merge lands the same rows the
+    # batch twin's keep-first compaction does.
+    run_available_now(
+        wide,
+        foreach_batch=upsert_writer(
+            state, ["id"], ["ts", "sku_num", "split_total_amount"]
+        ),
+    )
+    got = read_state(spark, state).drop("ts")
+    batch = all_queries()["cdc_order_detail_wide"](spark, SF)
+
+    def nrows(df):  # NULL-safe sort (bare tuple '<' raises on None cells)
+        return sorted(map(tuple, df.select(*sorted(df.columns)).collect()), key=repr)
+
+    assert nrows(got) == nrows(batch)
