@@ -264,8 +264,11 @@ HEADLINE = [
     "llm_split_by_cluster",
     "dedup_rep_select_exact",
     "text_bigram_lm_score",
-    # round 8 additions: real-codec media decode (PNG/WAV dispatch)
+    # round 8 additions: real-codec media decode (PNG/WAV dispatch) +
+    # audio/image feature extraction over the decoded samples
     "media_real_decode_stats",
+    "media_audio_features",
+    "media_image_channel_stats",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -467,16 +467,17 @@ def jaccard_pairs(
     )
 
 
-def _pregroup_labels(sym: DataFrame, parts: int = 32) -> DataFrame:
-    """Partition-local union-find seeding for connected_components: range-
-    partition the (src, dst) edge list by src and collapse each partition's
-    subgraph to its local roots in one Arrow pass — a chain of length n
-    contracts to ~``parts`` segments before the first distributed round,
-    so path halving then needs O(log parts) rounds instead of O(log n)
-    (VERDICT r07 #8). Returns (doc_id, seed) with seed = a node id in
-    doc_id's component, seed <= doc_id — any such seeding preserves the
-    min-label invariant (labels only decrease, stay inside the component),
-    pinned by test_connected_components_pregroup_equivalence.
+def _pregroup_labels(sym: DataFrame, parts: int = 32, block: int = 4096) -> DataFrame:
+    """Partition-local union-find seeding for connected_components: shuffle
+    the (src, dst) edge list by CONTIGUOUS id block (``src div block`` —
+    hash-partitioned, so no range-sampling job) and collapse each
+    partition's subgraph to its local roots in one Arrow pass — a chain of
+    length n contracts to ~n/block segments before the first distributed
+    round, so path halving then needs O(log(n/block)) rounds instead of
+    O(log n) (VERDICT r07 #8). Returns (doc_id, seed) with seed = a node
+    id in doc_id's component, seed <= doc_id — any such seeding preserves
+    the min-label invariant (labels only decrease, stay inside the
+    component), pinned by test_connected_components_pregroup_equivalence.
 
     The worker closure is self-contained (plain-dict union-find): Spark's
     Python workers run without this repo on their PYTHONPATH."""
@@ -511,7 +512,7 @@ def _pregroup_labels(sym: DataFrame, parts: int = 32) -> DataFrame:
             )
 
     return (
-        sym.repartitionByRange(parts, "src")
+        sym.repartition(parts, F.expr(f"src div {block}"))
         .mapInPandas(run, "doc_id long, seed long")
         # a node split across partitions has several seeds, all in its
         # component: keep the smallest

@@ -244,7 +244,9 @@ def decode_stub(payload: bytes) -> tuple[int, int]:
     return len(payload), sum(payload) % 2_147_483_647
 
 
-def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_real_table(
+    spark: SparkSession, sf_dir: str, kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """Synthesize genuinely DECODABLE payloads (valid PNG / WAV bytes) from
     `documents` doc_ids, per the generative formulas documented above:
 
@@ -258,10 +260,18 @@ def media_real_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-level decode in ``decode_media`` actually ran. Payload synthesis
     is an Arrow-batched mapInPandas (binary construction isn't
     JVM-expressible); the closure is self-contained — Spark's Python
-    workers run without this repo on their PYTHONPATH."""
+    workers run without this repo on their PYTHONPATH.
+
+    ``kinds`` prunes BEFORE synthesis (a JVM-side doc_id-modulus filter),
+    so a consumer that only wants audio never pays PNG/zlib construction
+    for the other two thirds of the corpus — the metadata-prunes-payload
+    contract of the module docstring, applied to the synthesizer."""
     from gmall_flink_spark.sources.tables import spread
 
     ids = spread(table(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    if kinds is not None:
+        mods = [i for i, k in enumerate(KINDS) if k in kinds]
+        ids = ids.where((F.col("doc_id") % 3).isin(mods))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -567,3 +577,167 @@ def phash_media(df: DataFrame, bits: int = 16) -> DataFrame:
             yield out
 
     return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("energy_sum", LongType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("s_min", IntegerType()),
+        StructField("s_max", IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over real WAV payloads — the step after
+    decode in a training-data pipeline (silence/clipping filters, energy
+    stratification): per clip, integer-exact energy (sum of squared PCM16
+    samples), zero-crossing count (sign flips of the non-negative
+    predicate), and sample extrema. Non-RIFF payloads are skipped (the
+    caller filters kind=='audio'; skipping keeps the operator total on a
+    mixed table). All features are integers so the DuckDB oracle re-derives
+    them exactly from the generative formula — proving the samples really
+    came out of the RIFF container.
+
+    The worker closure is self-contained: Spark's Python workers run
+    without this repo on their PYTHONPATH."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_frames", "energy_sum",
+                    "zero_crossings", "s_min", "s_max")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or payload[:4] != b"RIFF":
+                    continue
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        continue
+                    rate, n = w.getframerate(), w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype=np.int16)
+                s = pcm.astype(np.int64)
+                nonneg = s >= 0
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["energy_sum"].append(int((s * s).sum()))
+                out["zero_crossings"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("r_sum", LongType()),
+        StructField("g_sum", LongType()),
+        StructField("b_sum", LongType()),
+    ]
+)
+
+
+def image_channel_stats(df: DataFrame) -> DataFrame:
+    """Per-channel pixel sums from real PNG decodes — the image-side
+    feature-extraction twin of ``audio_features`` (color-cast / blank-frame
+    filters in an image training pipeline). Reuses the same chunk-walk +
+    unfilter decode as the worker in ``decode_media``, then folds the
+    (h, w·3) plane per channel. Non-PNG payloads are skipped. Integer
+    sums, so the oracle re-derives them from the generative RGB formula.
+
+    The worker closure is self-contained: Spark's Python workers run
+    without this repo on their PYTHONPATH."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def decode(data: bytes):
+            pos, idat, hdr = 8, [], None
+            while pos + 8 <= len(data):
+                (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                tag = data[pos + 4 : pos + 8]
+                body = data[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if tag == b"IHDR":
+                    hdr = struct.unpack(">IIBBBBB", body)
+                elif tag == b"IDAT":
+                    idat.append(body)
+                elif tag == b"IEND":
+                    break
+            if hdr is None or not idat:
+                raise ValueError("truncated PNG")
+            width, height, depth, color, _, _, interlace = hdr
+            if depth != 8 or color != 2 or interlace:
+                raise ValueError("unsupported PNG")
+            stride = width * 3
+            raw = zlib.decompress(b"".join(idat))
+            if len(raw) != (stride + 1) * height:
+                raise ValueError("bad PNG payload length")
+            out = np.zeros((height, stride), dtype=np.uint8)
+            prev = np.zeros(stride, dtype=np.uint8)
+            for y in range(height):
+                rowb = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+                ftype = rowb[0]
+                line = np.frombuffer(rowb[1:], dtype=np.uint8).copy()
+                if ftype == 0:
+                    cur = line
+                elif ftype == 2:
+                    cur = line + prev
+                elif ftype in (1, 3, 4):
+                    cur = np.zeros(stride, dtype=np.uint8)
+                    for x in range(stride):
+                        left = int(cur[x - 3]) if x >= 3 else 0
+                        up = int(prev[x])
+                        ul = int(prev[x - 3]) if x >= 3 else 0
+                        if ftype == 1:
+                            pred = left
+                        elif ftype == 3:
+                            pred = (left + up) // 2
+                        else:
+                            p = left + up - ul
+                            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else (up if pb <= pc else ul)
+                            )
+                        cur[x] = (int(line[x]) + pred) & 0xFF
+                else:
+                    raise ValueError("bad PNG filter")
+                out[y] = cur
+                prev = cur
+            return width, height, out.reshape(height, width, 3)
+
+        for pdf in batches:
+            cols = {k: [] for k in
+                    ("media_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+                    continue
+                w, h, px = decode(payload)
+                sums = px.sum(axis=(0, 1), dtype=np.int64)
+                cols["media_id"].append(int(mid))
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["r_sum"].append(int(sums[0]))
+                cols["g_sum"].append(int(sums[1]))
+                cols["b_sum"].append(int(sums[2]))
+            yield pd.DataFrame(cols)
+
+    return df.select("media_id", "payload").mapInPandas(run, CHANNEL_STATS_SCHEMA)

@@ -1,7 +1,10 @@
 """Oracle-checked multimodal-pipeline queries (north-star ops): binary
-payload decode stats, video frame-sampling plans, image resize plans —
-the Spark plumbing is real (mapInPandas / sequence+explode); only the
-codec byte-work is stubbed (see llm/multimodal.py)."""
+payload decode stats, REAL PNG/WAV decode proofs and feature extraction
+(audio energy/zero-crossings, image channel sums), video frame-sampling
+plans, image resize plans. The Spark plumbing is real (mapInPandas /
+sequence+explode); PNG and WAV decode is real byte-level work (stdlib
+zlib/struct/wave — llm/multimodal.py); only codecs absent from this
+container (video) stay stubbed."""
 
 from __future__ import annotations
 
@@ -92,7 +95,44 @@ def media_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio features from REAL WAV decodes (energy, zero
+    crossings, extrema — the silence/clipping-filter inputs of an audio
+    training pipeline), integer-exact so the oracle re-derives every value
+    from the generative sample formula. Kind-filter first: the payload
+    column of non-audio rows is never read (llm/multimodal.py layout)."""
+    from gmall_flink_spark.llm.multimodal import audio_features
+
+    m = media_real_table(spark, sf_dir, kinds=("audio",))
+    return audio_features(m).orderBy("media_id")
+
+
+def media_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel sums from REAL PNG decodes, aggregated per
+    (width, height) shape class: image count and exact per-channel pixel
+    totals — the color-cast / blank-frame filter inputs of an image
+    training pipeline. The oracle re-derives every sum from the generative
+    RGB formula (w·h·r etc.), proving the unfiltered scanlines really came
+    out of the IDAT stream."""
+    from gmall_flink_spark.llm.multimodal import image_channel_stats
+
+    m = media_real_table(spark, sf_dir, kinds=("image",))
+    return (
+        image_channel_stats(m)
+        .groupBy("width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("img_ct"),
+            F.sum("r_sum").alias("r_total"),
+            F.sum("g_sum").alias("g_total"),
+            F.sum("b_sum").alias("b_total"),
+        )
+        .orderBy("width", "height")
+    )
+
+
 QUERIES = {
+    "media_audio_features": media_audio_features,
+    "media_image_channel_stats": media_image_channel_stats,
     "media_decode_stats": media_decode_stats,
     "media_frame_plan": media_frame_plan,
     "media_resize_plan": media_resize_plan,
@@ -143,6 +183,52 @@ ORACLE = {
     #   wav: n=(id%50)+10, rate=8000+(id%3)*4000,
     #        content = sum_i ((id*31+i*17)%65536 - 32768)
     #   stub (video): payload = byte(id%256) × ((id%100)+1)
+    # formula-derived channel sums: solid RGB (id%256, id*7%256, id*13%256)
+    # over w·h pixels, w=(id%31)+1, h=(id%17)+1
+    "media_image_channel_stats": """
+        WITH img AS (
+            SELECT doc_id AS id,
+                   CAST((doc_id % 31) + 1 AS INTEGER) AS width,
+                   CAST((doc_id % 17) + 1 AS INTEGER) AS height,
+                   doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+                   (doc_id * 13) % 256 AS b
+            FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT width, height, CAST(COUNT(*) AS BIGINT) AS img_ct,
+               CAST(SUM(width * height * r) AS BIGINT) AS r_total,
+               CAST(SUM(width * height * g) AS BIGINT) AS g_total,
+               CAST(SUM(width * height * b) AS BIGINT) AS b_total
+        FROM img GROUP BY width, height ORDER BY width, height
+    """,
+    # formula-derived per-clip features: v_i = (id*31 + i*17) % 65536 - 32768,
+    # n = (id%50)+10, rate = 8000+(id%3)*4000; zero crossing = flip of the
+    # non-negative predicate between consecutive samples
+    "media_audio_features": """
+        WITH aud AS (
+            SELECT doc_id AS id, (doc_id % 50) + 10 AS n,
+                   8000 + (doc_id % 3) * 4000 AS rate
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        s AS (
+            SELECT id, n, rate, i,
+                   ((id * 31 + i * 17) % 65536) - 32768 AS v
+            FROM aud, LATERAL (SELECT unnest(range(aud.n)) AS i) t
+        ),
+        w AS (
+            SELECT id, n, rate, v,
+                   lag(v) OVER (PARTITION BY id ORDER BY i) AS pv
+            FROM s
+        )
+        SELECT id AS media_id, CAST(rate AS INTEGER) AS sample_rate,
+               CAST(n AS INTEGER) AS n_frames,
+               CAST(SUM(v * v) AS BIGINT) AS energy_sum,
+               CAST(SUM(CASE WHEN pv IS NOT NULL
+                             AND (v >= 0) != (pv >= 0) THEN 1 ELSE 0 END)
+                    AS INTEGER) AS zero_crossings,
+               CAST(MIN(v) AS INTEGER) AS s_min,
+               CAST(MAX(v) AS INTEGER) AS s_max
+        FROM w GROUP BY id, rate, n ORDER BY media_id
+    """,
     "media_real_decode_stats": """
         WITH img AS (
             SELECT doc_id AS id, (doc_id % 31) + 1 AS w, (doc_id % 17) + 1 AS h,

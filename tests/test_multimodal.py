@@ -163,3 +163,57 @@ def test_corrupt_payload_dead_letters_not_crashes(spark):
     assert out[2]["decoder"] == "error" and out[2]["sample_rate"] is None
     # byte math still runs for dead-lettered rows
     assert out[1]["byte_len"] == 24
+
+
+def test_audio_features_match_decoded_samples(spark):
+    """audio_features values must equal plain-Python recomputation from the
+    decoded PCM (module-level decode twin), and non-RIFF payloads must be
+    skipped, not fabricated."""
+    from gmall_flink_spark.llm.multimodal import audio_features, media_real_table
+
+    m = media_real_table(spark, SF)
+    rows = {
+        r["media_id"]: r
+        for r in audio_features(m).orderBy("media_id").limit(20).collect()
+    }
+    assert rows, "no audio features emitted"
+    for mid, r in rows.items():
+        assert mid % 3 == 1  # only the audio rows survive the RIFF sniff
+        n = (mid % 50) + 10
+        s = [((mid * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+        assert r["n_frames"] == n
+        assert r["energy_sum"] == sum(v * v for v in s)
+        assert r["zero_crossings"] == sum(
+            1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)
+        )
+        assert (r["s_min"], r["s_max"]) == (min(s), max(s))
+
+
+def test_image_channel_stats_match_formula(spark):
+    """image_channel_stats per-channel sums must equal the generative
+    formula (w·h·channel), and non-PNG payloads must be skipped."""
+    from gmall_flink_spark.llm.multimodal import image_channel_stats, media_real_table
+
+    m = media_real_table(spark, SF)
+    rows = {
+        r["media_id"]: r
+        for r in image_channel_stats(m).orderBy("media_id").limit(20).collect()
+    }
+    assert rows, "no image stats emitted"
+    for mid, r in rows.items():
+        assert mid % 3 == 0  # only PNG rows survive the sniff
+        w, h = (mid % 31) + 1, (mid % 17) + 1
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["r_sum"] == w * h * (mid % 256)
+        assert r["g_sum"] == w * h * (mid * 7 % 256)
+        assert r["b_sum"] == w * h * (mid * 13 % 256)
+
+
+def test_media_real_table_kind_pruning(spark):
+    """kinds= prunes before synthesis: an audio-only table contains only
+    RIFF payloads (and exactly the doc_id%3==1 ids)."""
+    from gmall_flink_spark.llm.multimodal import media_real_table
+
+    aud = media_real_table(spark, SF, kinds=("audio",)).limit(30).collect()
+    assert aud and all(r["kind"] == "audio" and r["media_id"] % 3 == 1 for r in aud)
+    assert all(bytes(r["payload"])[:4] == b"RIFF" for r in aud)
