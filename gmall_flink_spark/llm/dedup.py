@@ -467,7 +467,9 @@ def jaccard_pairs(
     )
 
 
-def _pregroup_labels(sym: DataFrame, parts: int = 32, block: int = 4096) -> DataFrame:
+def _pregroup_labels(
+    sym: DataFrame, parts: int | None = None, block: int = 4096
+) -> DataFrame:
     """Partition-local union-find seeding for connected_components: shuffle
     the (src, dst) edge list by CONTIGUOUS id block (``src div block`` —
     hash-partitioned, so no range-sampling job) and collapse each
@@ -479,9 +481,18 @@ def _pregroup_labels(sym: DataFrame, parts: int = 32, block: int = 4096) -> Data
     the min-label invariant (labels only decrease, stay inside the
     component), pinned by test_connected_components_pregroup_equivalence.
 
+    ``parts`` defaults to max(32, the edge frame's own partition count) so
+    the per-task union-find dict holds ~|edges|/parts entries at any input
+    size instead of a fixed 1/32 share (an OOM cliff at 100 TB); callers
+    with a known bigger graph plumb parts/block through
+    ``connected_components(pregroup_parts=..., pregroup_block=...)``.
+
     The worker closure is self-contained (plain-dict union-find): Spark's
     Python workers run without this repo on their PYTHONPATH."""
     import pandas as pd
+
+    if parts is None:
+        parts = max(32, sym.rdd.getNumPartitions())
 
     def run(batches):
         parent: dict = {}
@@ -527,6 +538,8 @@ def connected_components(
     max_rounds: int = 20,
     shortcut: bool = False,
     pregroup: bool = False,
+    pregroup_parts: int | None = None,
+    pregroup_block: int = 4096,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dup dedup (pair graph → clusters → keep one representative
@@ -564,7 +577,7 @@ def connected_components(
     if pregroup:
         # seed each label with its partition-local root (still inside the
         # component, <= doc_id), collapsing long chains before round 1
-        seeds = _pregroup_labels(sym)
+        seeds = _pregroup_labels(sym, parts=pregroup_parts, block=pregroup_block)
         labels = (
             nodes.join(seeds, "doc_id", "left")
             .select(

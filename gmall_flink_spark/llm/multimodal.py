@@ -362,7 +362,8 @@ def decode_media(df: DataFrame) -> DataFrame:
           dead-letter posture; a 100 TB job must never die on one blob
 
     byte_len / checksum are computed for every payload (vectorized uint8
-    sum). The worker closure is self-contained (decode logic inlined;
+    sum); a NULL payload yields NULL byte_len/checksum and
+    decoder='error' instead of killing the task. The worker closure is self-contained (decode logic inlined;
     parity with the module-level decode_png/decode_wav is pinned by
     tests): Spark's Python workers run without this repo on their
     PYTHONPATH (the grading driver's plain session), so nothing here may
@@ -379,7 +380,11 @@ def decode_media(df: DataFrame) -> DataFrame:
 
         def stub_sum(payload: bytes) -> tuple[int, int]:
             # vectorized byte math: np.uint8 sum, not a Python per-byte
-            # loop — the difference between 3s and 0.3s per SF0.1 partition
+            # loop — the difference between 3s and 0.3s per SF0.1 partition.
+            # NULL payload -> (None, None): the dead-letter posture must
+            # hold on the byte-math path too, not just inside dispatch.
+            if payload is None:
+                return None, None
             arr = np.frombuffer(payload, dtype=np.uint8)
             return len(arr), int(arr.sum(dtype=np.int64)) % 2_147_483_647
 
@@ -477,8 +482,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "byte_len": sizes.map(lambda t: t[0]),
-                    "checksum": sizes.map(lambda t: t[1]),
+                    "byte_len": pd.array(
+                        [t[0] for t in sizes], dtype="Int64"
+                    ),
+                    "checksum": pd.array(
+                        [t[1] for t in sizes], dtype="Int64"
+                    ),
                     "width": pd.array([d[0] for d in dec], dtype="Int32"),
                     "height": pd.array([d[1] for d in dec], dtype="Int32"),
                     "sample_rate": pd.array([d[2] for d in dec], dtype="Int32"),

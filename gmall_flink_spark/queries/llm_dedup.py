@@ -255,6 +255,16 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     path stays oracle-checked by minhash_lsh_pairs / dedup_components
     (whose oracles must mirror the banding rule by construction).
 
+    SAMPLED SCOPE (declared in the column names): the exact graph is
+    built on the deterministic 1-in-AUDIT_MOD document sample, so a pair
+    survives only when BOTH endpoints sample in — counts here are
+    ~1/AUDIT_MOD² (1/16) of the full-corpus pair counts, and a dup family
+    with no doc_id % AUDIT_MOD == 0 member is invisible. The matrix is a
+    contamination-RATE estimator (relative source-pair comparisons,
+    which-feed-to-drop decisions); for absolute full-corpus counts either
+    scale by ~AUDIT_MOD² or consume the recall-lossy full LSH graph via
+    minhash_lsh_pairs.
+
     Scale: the memoized sampled graph is shared with dedup_allpairs_exact
     and the leakage audit; two doc_id-keyed joins attach sources; the
     matrix aggregate is |sources|²-bounded — tiny at any corpus size."""
@@ -275,9 +285,9 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         attached.groupBy("source_a", "source_b")
         .agg(
-            F.count(F.lit(1)).alias("pair_ct"),
-            F.sum("doc_a").alias("a_id_sum"),
-            F.sum("doc_b").alias("b_id_sum"),
+            F.count(F.lit(1)).alias("sampled_pair_ct"),
+            F.sum("doc_a").alias("sampled_a_id_sum"),
+            F.sum("doc_b").alias("sampled_b_id_sum"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -1128,8 +1138,8 @@ ORACLE["dedup_cross_source"] = f"""
         JOIN documents da ON e.doc_a = da.doc_id
         JOIN documents db ON e.doc_b = db.doc_id
     )
-    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS pair_ct,
-           CAST(SUM(doc_a) AS BIGINT) AS a_id_sum,
-           CAST(SUM(doc_b) AS BIGINT) AS b_id_sum
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS sampled_pair_ct,
+           CAST(SUM(doc_a) AS BIGINT) AS sampled_a_id_sum,
+           CAST(SUM(doc_b) AS BIGINT) AS sampled_b_id_sum
     FROM attached GROUP BY 1, 2 ORDER BY 1, 2
 """

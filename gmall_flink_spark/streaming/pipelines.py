@@ -174,12 +174,26 @@ def sentinel_envelope_slices(
     bound from the watermark it hands downstream, so the sentinel must
     clear  max_event_time + watermark_delay + (k+1)·bound  — for the wide
     pipeline (delay 3650 d, three 2600 d joins) that is > 14 050 days past
-    the data; undershooting silently withholds the null-padded tail."""
+    the data; undershooting silently withholds the null-padded tail.
+
+    Ordering contract: the file source lists files and (with
+    ``latestFirst`` left at its false default) processes them oldest-mtime
+    first, so the sentinels are mtime-stamped strictly AFTER the newest
+    real slice — callers must pair this with ``maxFilesPerTrigger=1`` (as
+    ``envelope_stream`` does) so each sentinel lands in its own batch; a
+    single batch containing sentinel + real rows would advance the
+    watermark before the real rows are stated."""
     from gmall_flink_spark.schemas import CDC_ENVELOPE
 
+    slices = os.listdir(slices_dir)
+    if not slices:
+        raise ValueError(
+            f"sentinel_envelope_slices: {slices_dir!r} is empty — write the "
+            "real slices (split_into_files) before appending sentinels, or "
+            "the sentinel mtimes cannot be ordered after the data"
+        )
     base = max(
-        int(os.path.getmtime(os.path.join(slices_dir, f)))
-        for f in os.listdir(slices_dir)
+        int(os.path.getmtime(os.path.join(slices_dir, f))) for f in slices
     )
     for j in range(1, n + 1):
         row = ("gmall_flink", table, "insert", ts + (j - 1) * 3600, data, None)

@@ -165,6 +165,28 @@ def test_corrupt_payload_dead_letters_not_crashes(spark):
     assert out[1]["byte_len"] == 24
 
 
+def test_null_payload_dead_letters_not_crashes(spark):
+    """A NULL payload must dead-letter (decoder='error', every decode and
+    byte-math field NULL), not TypeError the task — the byte-math path
+    needs the same never-die posture as the container dispatch (ADVICE
+    r08)."""
+    from gmall_flink_spark.llm.multimodal import MEDIA_SCHEMA
+
+    rows = spark.createDataFrame(
+        [
+            (1, "image", None, None),
+            (2, "text", b"hello world", None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in decode_media(rows).collect()}
+    assert out[1]["decoder"] == "error"
+    assert out[1]["byte_len"] is None and out[1]["checksum"] is None
+    assert out[1]["content_sum"] is None
+    # the healthy row in the same Arrow batch is untouched
+    assert out[2]["decoder"] == "stub" and out[2]["byte_len"] == 11
+
+
 def test_audio_features_match_decoded_samples(spark):
     """audio_features values must equal plain-Python recomputation from the
     decoded PCM (module-level decode twin), and non-RIFF payloads must be
