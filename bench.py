@@ -269,6 +269,9 @@ HEADLINE = [
     "media_real_decode_stats",
     "media_audio_features",
     "media_image_channel_stats",
+    # round 9 additions: exact substring-span dedup (ExactSubstr family)
+    "substr_dup_spans",
+    "substr_dedup_stats",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -1,0 +1,146 @@
+"""Exact substring-span deduplication — the ExactSubstr family of
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better"): find every token span of >= W tokens whose text occurs more
+than once in the corpus and report the merged duplicated intervals per
+document. The remaining canonical training-data dedup mode next to the
+suite's exact-hash / MinHash-LSH / SimHash / n-gram-Jaccard / embedding
+families (no gmall-flink counterpart — this extends the LLM pipeline
+surface, not SURVEY §2).
+
+Spark-first re-expression: the paper's single-node algorithm builds a
+suffix array over the concatenated corpus — at 100 TB that is a global
+sort of every suffix, which no cluster materializes. The distributed
+equivalent is fixed-width W-gram inversion: every duplicated span of
+length >= W is exactly a run of duplicated W-grams, so
+
+1. explode each doc into (pos, W-gram) rows — map-only JVM
+   ``transform``/``slice``/``explode``, no Python;
+2. hash-aggregate grams with occurrence >= min_occ — ONE shuffle with
+   map-side partials (the corpus-sized stage);
+3. left-semi join positions to the duplicated gram set — AQE broadcasts
+   it when small (real corpora: dup grams are a thin tail);
+4. per-doc sort + equal-width interval merge in one ``aggregate`` fold —
+   ONE shuffle on doc_id; the fold is a JVM higher-order function.
+
+Exactness: grams are compared exactly, so there are no false-positive
+spans (with ``hashed=True`` a 64-bit xxhash collision could over-mark at
+probability ~n²/2^65 — the production trade for 8-byte shuffle keys
+instead of ~W-token strings; the DuckDB oracle groups the strings
+themselves, so gate parity also certifies collision-freedom at gate SF).
+Spans shorter than W are out of scope by definition: W IS the minimum
+duplicated-span threshold, the paper's 50-token knob.
+
+Interval semantics (mirrored bit-for-bit by the SQL twin): positions are
+sorted per doc; all intervals are [pos, pos+W) of equal width, so the
+running merged end is prev_pos + W and a NEW span starts exactly when
+pos - prev_pos > W (touching intervals merge). Per-span coverage is
+max(pos) + W - min(pos).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: minimum duplicated-span width in tokens (Lee et al. use 50 BPE tokens
+#: on real corpora; testdata docs are 10-100 whitespace tokens, so the
+#: gate pins a width that can actually fire there)
+SUBSTR_W = 8
+
+#: a gram is "duplicated" at >= this many corpus-wide occurrences
+#: (2 = the paper's any-second-occurrence rule; within-doc repeats count)
+SUBSTR_MIN_OCC = 2
+
+
+def position_grams(
+    toked: DataFrame, w: int = SUBSTR_W, hashed: bool = True
+) -> DataFrame:
+    """(doc_id, n_toks, pos, gram_key) for every token position
+    0..len-w of a pre-tokenized ``(doc_id, toks)`` frame. Map-only: the
+    per-position slice+join and (optionally) xxhash64 fuse onto the
+    token scan inside whole-stage codegen."""
+    pg = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - w),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.array_join(F.slice("toks", i + 1, w), " ").alias("gram"),
+        ),
+    )
+    out = (
+        toked.where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_toks"),
+            F.explode(pg).alias("pg"),
+        )
+    )
+    key = F.xxhash64("pg.gram") if hashed else F.col("pg.gram")
+    return out.select(
+        "doc_id", "n_toks", F.col("pg.pos").alias("pos"), key.alias("gram_key")
+    )
+
+
+def duplicated_keys(pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC) -> DataFrame:
+    """Gram keys occurring >= min_occ times corpus-wide — the inverted
+    index's duplicated tail. One hash aggregation (map-side combine); at
+    100 TB this is the dominant shuffle and it moves (key, partial-count)
+    pairs, never the positions."""
+    return (
+        pg.groupBy("gram_key")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_occ)
+        .select("gram_key")
+    )
+
+
+def dup_span_stats(
+    toked: DataFrame,
+    w: int = SUBSTR_W,
+    min_occ: int = SUBSTR_MIN_OCC,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span report: docs owning >= 1 duplicated
+    W-gram, with their duplicated positions merged into maximal intervals.
+
+    Returns (doc_id, n_toks, dup_pos_ct, span_ct, dup_token_ct):
+    dup_pos_ct = duplicated gram positions, span_ct = merged intervals,
+    dup_token_ct = tokens covered by the union of intervals — the number
+    ExactSubstr dedup would cut from the doc."""
+    pg = position_grams(toked, w=w, hashed=hashed)
+    dpos = pg.join(duplicated_keys(pg, min_occ=min_occ), "gram_key", "leftsemi")
+    per_doc = dpos.groupBy("doc_id").agg(
+        F.max("n_toks").alias("n_toks"),
+        F.count(F.lit(1)).alias("dup_pos_ct"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    zero = F.lit(0).cast("long")
+    merged = F.aggregate(
+        "ps",
+        F.struct(
+            F.lit(-1).cast("long").alias("end"),
+            zero.alias("spans"),
+            zero.alias("covered"),
+        ),
+        # equal-width sorted intervals: running merged end is the previous
+        # pos + w, a new span starts iff pos clears it (docstring contract)
+        lambda acc, p: F.struct(
+            F.greatest(acc["end"], p + w).alias("end"),
+            (
+                acc["spans"]
+                + F.when(p > acc["end"], F.lit(1)).otherwise(F.lit(0))
+            ).alias("spans"),
+            (
+                acc["covered"]
+                + F.least(F.lit(w).cast("long"), p + w - acc["end"])
+            ).alias("covered"),
+        ),
+    )
+    return (
+        per_doc.withColumn("_m", merged)
+        .select(
+            "doc_id",
+            "n_toks",
+            "dup_pos_ct",
+            F.col("_m.spans").alias("span_ct"),
+            F.col("_m.covered").alias("dup_token_ct"),
+        )
+    )

@@ -20,6 +20,11 @@ from gmall_flink_spark.llm.dedup import (
     shingles_from_tokens,
     simhash,
 )
+from gmall_flink_spark.llm.substring import (
+    SUBSTR_MIN_OCC,
+    SUBSTR_W,
+    dup_span_stats,
+)
 from gmall_flink_spark.sources.tables import table
 
 MINHASH_K = 12
@@ -290,6 +295,62 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_b").alias("sampled_b_id_sum"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup report (ExactSubstr, Lee et al. 2022):
+    per document owning >= 1 duplicated SUBSTR_W-token span, the merged
+    duplicated intervals — positions, span count, covered tokens, and the
+    fraction of the doc ExactSubstr dedup would cut. See
+    llm/substring.py's module docstring for the suffix-array → W-gram
+    inversion re-expression and the exactness contract.
+
+    Scale: rides the shared _doc_toks stage; 1 corpus-wide gram hash-agg
+    (map-side partials, 8-byte xxhash64 keys) + 1 semi join + 1 doc_id
+    agg. The oracle groups the gram STRINGS, so gate parity also
+    certifies hash-collision-freedom at gate SF."""
+    stats = dup_span_stats(_doc_toks(spark, sf_dir), w=SUBSTR_W)
+    return (
+        stats.withColumn(
+            "dup_frac",
+            F.col("dup_token_ct").cast("double") / F.col("n_toks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance rollup of substr_dup_spans: per source, how much
+    of the feed is duplicated substring mass (doc counts, affected docs,
+    duplicated tokens vs total tokens). The report that prices what
+    ExactSubstr dedup would remove per feed before a training run.
+
+    Scale: the per-doc span stats (bounded by docs with dups) left-join
+    back to the full doc list — token totals count EVERY doc of the
+    source, not just affected ones; the final matrix is |sources|-bounded."""
+    toked = _doc_toks(spark, sf_dir)
+    stats = dup_span_stats(toked, w=SUBSTR_W)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .join(toked.select("doc_id", F.size("toks").cast("long").alias("n_toks")),
+              "doc_id")
+        .join(stats.select("doc_id", "dup_token_ct", "span_ct"), "doc_id", "left")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.count("span_ct").alias("dup_doc_ct"),
+            F.sum("n_toks").alias("token_ct"),
+            F.coalesce(F.sum("dup_token_ct"), F.lit(0)).alias("dup_token_ct"),
+            (
+                F.coalesce(F.sum("dup_token_ct"), F.lit(0)).cast("double")
+                / F.sum("n_toks")
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("source")
     )
 
 
@@ -689,6 +750,8 @@ QUERIES = {
     "ngram_jaccard_stats": ngram_jaccard_stats,
     "dedup_simhash": dedup_simhash,
     "dedup_cross_source": dedup_cross_source,
+    "substr_dup_spans": substr_dup_spans,
+    "substr_dedup_stats": substr_dedup_stats,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
@@ -1142,4 +1205,73 @@ ORACLE["dedup_cross_source"] = f"""
            CAST(SUM(doc_a) AS BIGINT) AS sampled_a_id_sum,
            CAST(SUM(doc_b) AS BIGINT) AS sampled_b_id_sum
     FROM attached GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ExactSubstr twin: positions of every SUBSTR_W-gram (the grams GROUPed as
+# STRINGS — the engine's xxhash64 keys must agree or the gate fails),
+# duplicated = corpus occurrence >= SUBSTR_MIN_OCC, then the same
+# equal-width interval-merge rule as llm/substring.py (new span iff
+# pos - prev_pos > W; per-span coverage = max - min + W).
+_SUBSTR_PER_DOC = f"""
+    pos AS (
+        SELECT doc_id, len(toks) AS n_toks,
+               unnest([{{'p': i,
+                         'g': array_to_string(toks[i + 1 : i + {SUBSTR_W}], ' ')}}
+                       for i in range(0, len(toks) - {SUBSTR_W} + 1)]) AS s
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
+        WHERE len(toks) >= {SUBSTR_W}
+    ),
+    flat AS (SELECT doc_id, n_toks, s.p AS pos, s.g AS gram FROM pos),
+    dup AS (
+        SELECT gram FROM flat GROUP BY gram
+        HAVING COUNT(*) >= {SUBSTR_MIN_OCC}
+    ),
+    dpos AS (SELECT doc_id, n_toks, pos FROM flat JOIN dup USING (gram)),
+    flagged AS (
+        SELECT doc_id, n_toks, pos,
+               CASE WHEN pos - LAG(pos) OVER w > {SUBSTR_W}
+                    OR LAG(pos) OVER w IS NULL THEN 1 ELSE 0 END AS new_span
+        FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    numbered AS (
+        SELECT doc_id, n_toks, pos,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM flagged
+    ),
+    per_span AS (
+        SELECT doc_id, n_toks, span_id, COUNT(*) AS pos_ct,
+               MAX(pos) + {SUBSTR_W} - MIN(pos) AS covered
+        FROM numbered GROUP BY doc_id, n_toks, span_id
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+               CAST(SUM(pos_ct) AS BIGINT) AS dup_pos_ct,
+               CAST(COUNT(*) AS BIGINT) AS span_ct,
+               CAST(SUM(covered) AS BIGINT) AS dup_token_ct
+        FROM per_span GROUP BY doc_id, n_toks
+    )
+"""
+
+ORACLE["substr_dup_spans"] = f"""
+    WITH {_SUBSTR_PER_DOC}
+    SELECT doc_id, n_toks, dup_pos_ct, span_ct, dup_token_ct,
+           CAST(dup_token_ct AS DOUBLE) / n_toks AS dup_frac
+    FROM per_doc ORDER BY doc_id
+"""
+
+ORACLE["substr_dedup_stats"] = f"""
+    WITH {_SUBSTR_PER_DOC},
+    all_docs AS (
+        SELECT d.source, d.doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_toks,
+               p.dup_token_ct, p.span_ct
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(COUNT(span_ct) AS BIGINT) AS dup_doc_ct,
+           CAST(SUM(n_toks) AS BIGINT) AS token_ct,
+           CAST(COALESCE(SUM(dup_token_ct), 0) AS BIGINT) AS dup_token_ct,
+           CAST(COALESCE(SUM(dup_token_ct), 0) AS DOUBLE) / SUM(n_toks)
+               AS dup_token_frac
+    FROM all_docs GROUP BY source ORDER BY source
 """

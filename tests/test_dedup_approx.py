@@ -194,3 +194,60 @@ def test_jaccard_pairs_ratio_applies_on_selfjoin_path(spark):
     pruned = {(r.doc_a, r.doc_b) for r in jaccard_pairs(units, ratio=(9, 10)).collect()}
     assert full == {(1, 2), (1, 3), (2, 3)}
     assert pruned == {(1, 2)}
+
+
+def test_substr_span_merge_semantics(spark, tmp_path):
+    """ExactSubstr interval merge, pinned on a corpus with every edge the
+    rule has: cross-doc shared span (overlapping gram chain -> ONE span),
+    within-doc repetition (gap > W -> TWO spans), touching intervals
+    (gap == W -> merged), and a sub-W doc (excluded). Engine and DuckDB
+    oracle must agree row-for-row on the same parquet."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_dedup import ORACLE, substr_dup_spans
+
+    a = " ".join(f"a{i}" for i in range(10))      # 10-token shared span
+    b8 = " ".join(f"b{i}" for i in range(8))
+    d8 = " ".join(f"d{i}" for i in range(8))
+    e8 = " ".join(f"e{i}" for i in range(8))
+    rows = [
+        (0, a + " u1 u2 u3 u4 u5"),               # dup pos 0,1,2 -> 1 span
+        (1, "v1 v2 " + a + " w1 w2 w3"),          # dup pos 2,3,4 -> 1 span
+        (2, b8 + " z1 " + b8),                    # pos 0,9: gap 9 > 8 -> 2 spans
+        (3, "c1 c2 c3"),                          # < W tokens: no row
+        (4, d8 + " " + e8),                       # pos 0,8: gap 8 == W -> merged
+        (5, "x " + d8 + " y " + e8),              # pos 1,10: gap 9 -> 2 spans
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in substr_dup_spans(spark, sf).collect()]
+    assert got == [
+        (0, 15, 3, 1, 10, 10 / 15),
+        (1, 15, 3, 1, 10, 10 / 15),
+        (2, 17, 2, 2, 16, 16 / 17),
+        (4, 16, 2, 1, 16, 1.0),
+        (5, 18, 2, 2, 16, 16 / 18),
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["substr_dup_spans"]).fetchall()
+
+
+def test_substr_hashed_matches_plain(spark):
+    """The production 8-byte xxhash64 gram keys must produce the same
+    span report as grouping the gram strings themselves (collision-free
+    at gate SF — the documented trade in llm/substring.py)."""
+    from gmall_flink_spark.llm.dedup import doc_tokens
+    from gmall_flink_spark.llm.substring import dup_span_stats
+    from gmall_flink_spark.sources.tables import table
+
+    toked = doc_tokens(table(spark, SF_ORACLE, "documents"))
+    hashed = sorted(map(tuple, dup_span_stats(toked, hashed=True).collect()))
+    plain = sorted(map(tuple, dup_span_stats(toked, hashed=False).collect()))
+    assert hashed == plain and len(hashed) > 0
