@@ -1,6 +1,6 @@
-"""End-to-end streaming compositions of the two richest reference
-pipelines (SURVEY §2.11; VERDICT r07 task #3) — whole apps run as ONE
-Structured Streaming query, source → stateful → window/join → sink, not
+"""End-to-end streaming compositions of whole reference pipelines
+(SURVEY §2.11; VERDICT r07 task #3) — each app runs as ONE Structured
+Streaming query, source → stateful → window/join → sink, not
 per-operator twins.
 
 * ``sku_order_window_stream`` = DwsTradeSkuOrderWindow
@@ -10,6 +10,19 @@ per-operator twins.
   windows → A6 stt/edt decoration. One query, two stateful operators
   (dedup + window agg) chained under a single watermark — supported by
   Spark's multiple-stateful-operator execution in append mode.
+
+* ``cart_add_uu_window_stream`` = DwsTradeCartAddUuWindow
+  (app/dws/DwsTradeCartAddUuWindow.java:37-142): CDC cart_info envelope
+  stream → W5 coalesce event time → D4 first-per-day dedup (keyed on
+  (sku, day)) → A5 daily unique counts — the D4 day-keyed state shape
+  under a data-column event time.
+
+* ``traffic_grain_window_stream`` = DwsTrafficVcChArIsNewPageViewWindow
+  (app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:130-154): raw
+  topic_log JSON → P1 parse → M1 page split → EXACT uv via a
+  self-union (plain branch + (grain, mid, day)-deduped branch) → A1
+  pairwise-counter day windows — the traffic family's log source, where
+  the other compositions consume CDC envelopes.
 
 * ``order_detail_wide_stream`` = DwdTradeOrderDetail
   (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
@@ -87,6 +100,145 @@ def sku_order_window_stream(
             F.sum("amount").cast("double").alias("amount_sum"),
         ],
     )
+
+
+def cart_add_uu_window_stream(
+    cart_env: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTradeCartAddUuWindow as one streaming query (W5→D4→A5/A6,
+    app/dws/DwsTradeCartAddUuWindow.java:37-142): cart_info envelope
+    stream → P2/P4 filters → W5 coalesce(operate_time, create_time) event
+    time → D4 first-event-per-day-per-sku as dedup-on-(key, day) under the
+    watermark (the reference's lastCartAddDate ValueState) → A5 daily
+    unique counts with day-tumbling windows. Two chained stateful
+    operators (dedup → window agg) under a single watermark, like
+    sku_order_window_stream but with the D4 day-keyed state shape and a
+    data-column (not envelope-ts) event time.
+
+    Which duplicate the dedup keeps is batch-order-dependent, but the
+    downstream per-day COUNT is tie-insensitive, so stream == batch twin
+    (queries/cdc.py::cart_uu_daily) exactly. ``dedup_delay`` must exceed
+    the corpus's event-time span so replayed history is never late; the
+    per-key state a production 0-lateness deployment holds is one day of
+    sku ids, exactly the reference's."""
+    cart = src_filter(drop_bootstrap(cart_env), "cart_info", ["insert", "update"]).select(
+        d("sku_id").cast("bigint").alias("sku_id"),
+        F.coalesce(
+            F.to_timestamp(d("operate_time")), F.to_timestamp(d("create_time"))
+        ).alias("rt"),
+    )
+    firsts = (
+        cart.withColumn("cur_date", F.date_format("rt", "yyyy-MM-dd"))
+        .withWatermark("rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(["sku_id", "cur_date"])
+    )
+    # day-tumble window start date == cur_date (both UTC-day buckets of rt)
+    return tumble_agg(
+        firsts, "rt", "1 day", [], [F.count(F.lit(1)).alias("cart_uu_ct")]
+    ).select(F.substring("stt", 1, 10).alias("cur_date"), "cart_uu_ct")
+
+
+def traffic_grain_window_stream(
+    raw: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTrafficVcChArIsNewPageViewWindow as one streaming query
+    (P1→M1→D4→A1/A6, app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:
+    130-154): raw topic_log JSON stream → permissive parse → page-split
+    predicate → 1-day tumbling (vc, ch, ar, is_new) windows with pv,
+    EXACT uv, and duration sums.
+
+    Exact distinct counts are not a streaming aggregate, so the
+    reference's per-mid ValueState flag is re-expressed as a SELF-UNION:
+    the pv/duration branch passes every page view tagged (pv=1, uv=0)
+    while the uv branch first dedups on (grain, mid, day) under the
+    watermark and tags survivors (pv=0, uv=1); one window aggregation
+    then sums the pairwise counters (A5's trick at the traffic grain).
+    Both branches read the SAME source instance, so a micro-batch feeds
+    them in lockstep; the query runs two stateful operators (dedup +
+    window agg) under one watermark.
+
+    Scale: the union doubles the window-agg input but both branches are
+    map-side partial-aggregated per grain key; dedup state is one entry
+    per (grain, mid, day) — the same cardinality the reference's keyed
+    ValueState holds."""
+    from gmall_flink_spark.operators.log_split import parse_page_log
+    from gmall_flink_spark.operators.windows import tumble_agg
+
+    parsed = parse_page_log(raw)
+    page = parsed.where(F.col("start").isNull() & F.col("page").isNotNull())
+    keys = ["vc", "ch", "ar", "is_new"]
+    grain = page.select(
+        *[F.col(f"common.{k}").alias(k) for k in keys],
+        F.col("common.mid").alias("mid"),
+        F.col("page.during_time").cast("long").alias("during_time"),
+        F.timestamp_millis("ts").alias("rt"),
+    )
+    pv = grain.withWatermark("rt", dedup_delay).select(
+        *keys, "rt",
+        F.lit(1).cast("long").alias("pv"),
+        F.lit(0).cast("long").alias("uv"),
+        F.col("during_time").alias("dur"),
+    )
+    uv = (
+        grain.withColumn("cur_date", F.date_format("rt", "yyyy-MM-dd"))
+        .withWatermark("rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(keys + ["mid", "cur_date"])
+        .select(
+            *keys, "rt",
+            F.lit(0).cast("long").alias("pv"),
+            F.lit(1).cast("long").alias("uv"),
+            F.lit(0).cast("long").alias("dur"),
+        )
+    )
+    return tumble_agg(
+        pv.unionByName(uv),
+        "rt",
+        "1 day",
+        keys,
+        [
+            F.sum("pv").alias("pv_ct"),
+            F.sum("uv").alias("uv_ct"),
+            F.sum("dur").alias("dur_sum"),
+        ],
+    )
+
+
+def sentinel_value_slices(
+    spark,
+    slices_dir: str,
+    value: str,
+    n: int = 2,
+) -> None:
+    """``sentinel_envelope_slices`` for raw-JSON ``value`` topics
+    (topic_log): append ``n`` single-row slices each holding the given
+    far-future JSON line. The same ordering contract applies (mtimes
+    strictly after the newest real slice; pair with
+    ``maxFilesPerTrigger=1``); the caller crafts ``value`` so it parses
+    and reaches the watermark node but can never land in a closed
+    window."""
+    slices = os.listdir(slices_dir)
+    if not slices:
+        raise ValueError(
+            f"sentinel_value_slices: {slices_dir!r} is empty — write the "
+            "real slices before appending sentinels"
+        )
+    base = max(
+        int(os.path.getmtime(os.path.join(slices_dir, f))) for f in slices
+    )
+    for j in range(1, n + 1):
+        tmp = os.path.join(slices_dir, f"_sentinel_tmp_{j}")
+        spark.createDataFrame([(value,)], "value string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(slices_dir, f"zz-sentinel-{j:02d}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        import shutil
+
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + j, base + j))
 
 
 def order_detail_wide_stream(

@@ -1353,3 +1353,73 @@ def test_order_detail_wide_pipeline_end_to_end(spark):
         return sorted(map(tuple, df.select(*sorted(df.columns)).collect()), key=repr)
 
     assert nrows(got) == nrows(batch)
+
+
+def test_cart_add_uu_window_pipeline_end_to_end(spark):
+    """DwsTradeCartAddUuWindow as ONE availableNow query — cart envelope
+    source → W5 coalesce event time → D4 dedup-on-(sku, day) → A5 daily UU
+    window — equals the batch twin cart_uu_daily exactly. The sentinel's
+    far-future create_time drives the watermark (rt is a DATA column here,
+    not the envelope ts); its own day-window never closes, so it adds no
+    output row."""
+    from datetime import datetime, timezone
+
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import cart_envelope
+    from gmall_flink_spark.streaming.pipelines import (
+        cart_add_uu_window_stream,
+        sentinel_envelope_slices,
+    )
+
+    env = cart_envelope(spark, SF)
+    slices = os.path.join(TMP, "cart_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    far = int(env.agg(F.max("ts")).collect()[0][0]) + 864_000_000  # +10k days
+    far_str = datetime.fromtimestamp(far, tz=timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    sentinel_envelope_slices(
+        spark, slices, "cart_info",
+        {"id": "-1", "sku_id": "-1", "sku_num": "1", "create_time": far_str},
+        far,
+    )
+    got = run_available_now(
+        cart_add_uu_window_stream(stream_from(spark, slices, env))
+    )
+    batch = all_queries()["cart_uu_daily"](spark, SF)
+    assert rows(got) == rows(batch)
+
+
+def test_traffic_grain_window_pipeline_end_to_end(spark):
+    """DwsTrafficVcChArIsNewPageViewWindow as ONE availableNow query — raw
+    JSON log source → parse → page split → self-union exact-uv trick →
+    day-window grain agg — equals the batch twin log_traffic_grain_window
+    exactly. The sentinel is a parseable far-future page line whose own
+    window never closes, so it drives the watermark without adding output."""
+    import json
+
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.log_synth import page_log_json
+    from gmall_flink_spark.streaming.pipelines import (
+        sentinel_value_slices,
+        traffic_grain_window_stream,
+    )
+
+    raw = page_log_json(spark, SF)
+    slices = os.path.join(TMP, "traffic_log_slices")
+    split_into_files(raw.withColumn("ts", F.get_json_object("value", "$.ts")),
+                     4, "ts", slices)
+    far_ms = (int(raw.agg(
+        F.max(F.get_json_object("value", "$.ts").cast("long"))
+    ).collect()[0][0]) + 864_000_000_000)  # +10k days
+    sentinel = json.dumps({
+        "common": {"mid": "sentinel", "vc": "v0", "ch": "web", "ar": "0",
+                   "is_new": "0"},
+        "page": {"page_id": "home", "during_time": 0},
+        "ts": far_ms,
+    })
+    sentinel_value_slices(spark, slices, sentinel)
+    stream = stream_from(spark, slices, raw).select("value")
+    got = run_available_now(traffic_grain_window_stream(stream))
+    batch = all_queries()["log_traffic_grain_window"](spark, SF)
+    assert rows(got) == rows(batch)
