@@ -30,6 +30,13 @@ themselves, so gate parity also certifies collision-freedom at gate SF).
 Spans shorter than W are out of scope by definition: W IS the minimum
 duplicated-span threshold, the paper's 50-token knob.
 
+Streaming posture: gram occurrence counts are algebraic, so the corpus
+index is maintainable per micro-batch through the bucketed rollup sink
+(sinks/rollup.py) as docs stream in — pinned by
+test_streaming_substr_gram_index_equals_batch; the per-doc span merge is
+then a map-side pass over each new batch against the maintained
+duplicated-gram set.
+
 Interval semantics (mirrored bit-for-bit by the SQL twin): positions are
 sorted per doc; all intervals are [pos, pos+W) of equal width, so the
 running merged end is prev_pos + W and a NEW span starts exactly when

@@ -85,6 +85,12 @@ PROBES = [
                                 #   so verify volume ~Kx² — cost signal
                                 #   only; see SCALE.md r06 rows)
     "llm_split_by_cluster",     # + memoized CC over the same graph
+    # round 9 addition
+    "substr_dup_spans",         # W-gram inversion + interval merge (NB:
+                                #   replication duplicates every gram, so
+                                #   ALL positions mark duplicated — cost
+                                #   signal only; id-distinct mode measures
+                                #   real growth)
 ]
 
 
@@ -96,6 +102,7 @@ DISTINCT_PROBES = [
     "llm_split_by_cluster",
     "dedup_cross_source",
     "minhash_band_buckets",
+    "substr_dup_spans",
 ]
 
 

@@ -1423,3 +1423,43 @@ def test_traffic_grain_window_pipeline_end_to_end(spark):
     got = run_available_now(traffic_grain_window_stream(stream))
     batch = all_queries()["log_traffic_grain_window"](spark, SF)
     assert rows(got) == rows(batch)
+
+
+def test_streaming_substr_gram_index_equals_batch(spark):
+    """ExactSubstr's corpus gram index as a continuous aggregate: per-batch
+    W-gram occurrence counts merged through the rollup sink end exactly at
+    the batch-built index, so the duplicated-gram set (occ >= min_occ) —
+    the corpus-wide half of llm/substring.py — is maintainable per
+    micro-batch as docs stream in; the per-doc span merge stays a map-side
+    pass over each new batch."""
+    from gmall_flink_spark.llm.dedup import doc_tokens
+    from gmall_flink_spark.llm.substring import (
+        SUBSTR_MIN_OCC,
+        duplicated_keys,
+        position_grams,
+    )
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "substr_gram_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    src = os.path.join(TMP, "substr_docs_slices")
+    split_into_files(docs, 3, "doc_id", src)
+
+    def partial(df):
+        return (
+            position_grams(doc_tokens(df, spread_input=False))
+            .groupBy("gram_key")
+            .agg(F.count(F.lit(1)).alias("occ_ct"))
+        )
+
+    sdf = stream_from(spark, src, docs)
+    run_available_now(sdf, foreach_batch=rollup_writer(state, ["gram_key"], partial))
+    got = (
+        read_state(spark, state)
+        .where(F.col("occ_ct") >= SUBSTR_MIN_OCC)
+        .select("gram_key")
+    )
+    batch = duplicated_keys(position_grams(doc_tokens(docs)))
+    assert rows(got) == rows(batch) and got.count() > 0
