@@ -272,6 +272,7 @@ HEADLINE = [
     # round 9 additions: exact substring-span dedup (ExactSubstr family)
     "substr_dup_spans",
     "substr_dedup_stats",
+    "substr_cut_plan",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

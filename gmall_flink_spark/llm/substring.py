@@ -99,24 +99,19 @@ def duplicated_keys(pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC) -> DataFrame:
     )
 
 
-def dup_span_stats(
-    toked: DataFrame,
-    w: int = SUBSTR_W,
-    min_occ: int = SUBSTR_MIN_OCC,
-    hashed: bool = True,
-) -> DataFrame:
-    """Per-document duplicated-span report: docs owning >= 1 duplicated
-    W-gram, with their duplicated positions merged into maximal intervals.
+def merged_intervals(positions: DataFrame, w: int) -> DataFrame:
+    """Merge a per-doc position set into maximal [pos, pos+w) intervals —
+    one doc_id shuffle, then the equal-width merge as a JVM ``aggregate``
+    fold over the sorted positions (docstring contract: running end is
+    prev pos + w, a new span starts iff pos clears it).
 
-    Returns (doc_id, n_toks, dup_pos_ct, span_ct, dup_token_ct):
-    dup_pos_ct = duplicated gram positions, span_ct = merged intervals,
-    dup_token_ct = tokens covered by the union of intervals — the number
-    ExactSubstr dedup would cut from the doc."""
-    pg = position_grams(toked, w=w, hashed=hashed)
-    dpos = pg.join(duplicated_keys(pg, min_occ=min_occ), "gram_key", "leftsemi")
-    per_doc = dpos.groupBy("doc_id").agg(
+    Input (doc_id, n_toks, pos); returns (doc_id, n_toks, pos_ct,
+    span_ct, covered_ct). Per-doc arrays are bounded by doc length — the
+    same everything-about-one-doc-fits-in-memory contract every
+    tokenizer in the suite already assumes."""
+    per_doc = positions.groupBy("doc_id").agg(
         F.max("n_toks").alias("n_toks"),
-        F.count(F.lit(1)).alias("dup_pos_ct"),
+        F.count(F.lit(1)).alias("pos_ct"),
         F.sort_array(F.collect_list("pos")).alias("ps"),
     )
     zero = F.lit(0).cast("long")
@@ -127,8 +122,6 @@ def dup_span_stats(
             zero.alias("spans"),
             zero.alias("covered"),
         ),
-        # equal-width sorted intervals: running merged end is the previous
-        # pos + w, a new span starts iff pos clears it (docstring contract)
         lambda acc, p: F.struct(
             F.greatest(acc["end"], p + w).alias("end"),
             (
@@ -146,8 +139,86 @@ def dup_span_stats(
         .select(
             "doc_id",
             "n_toks",
-            "dup_pos_ct",
+            "pos_ct",
             F.col("_m.spans").alias("span_ct"),
-            F.col("_m.covered").alias("dup_token_ct"),
+            F.col("_m.covered").alias("covered_ct"),
         )
+    )
+
+
+def dup_span_stats(
+    toked: DataFrame,
+    w: int = SUBSTR_W,
+    min_occ: int = SUBSTR_MIN_OCC,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document duplicated-span report: docs owning >= 1 duplicated
+    W-gram, with their duplicated positions merged into maximal intervals.
+
+    Returns (doc_id, n_toks, dup_pos_ct, span_ct, dup_token_ct):
+    dup_pos_ct = duplicated gram positions, span_ct = merged intervals,
+    dup_token_ct = tokens covered by the union of intervals — the mass
+    ExactSubstr would touch (every occurrence counted; see
+    ``cut_plan`` for the keep-one-copy action)."""
+    pg = position_grams(toked, w=w, hashed=hashed)
+    dpos = pg.join(duplicated_keys(pg, min_occ=min_occ), "gram_key", "leftsemi")
+    return merged_intervals(dpos, w).select(
+        "doc_id",
+        "n_toks",
+        F.col("pos_ct").alias("dup_pos_ct"),
+        "span_ct",
+        F.col("covered_ct").alias("dup_token_ct"),
+    )
+
+
+def cut_positions(
+    pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC
+) -> DataFrame:
+    """Non-canonical occurrences of duplicated grams — the keep-one-copy
+    rule: per duplicated gram the globally minimal (doc_id, pos)
+    occurrence is the kept canonical copy; every other occurrence is a
+    cut position. One struct-min aggregate on the gram agg already being
+    paid, then the same (usually broadcast) join shape as
+    duplicated_keys plus a 16-byte keeper struct per dup gram."""
+    per_gram = (
+        pg.groupBy("gram_key")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
+        .where(F.col("occ") >= min_occ)
+        .select("gram_key", "keeper")
+    )
+    return (
+        pg.join(per_gram, "gram_key")
+        .where(
+            (F.col("doc_id") != F.col("keeper.doc_id"))
+            | (F.col("pos") != F.col("keeper.pos"))
+        )
+        .select("doc_id", "n_toks", "pos")
+    )
+
+
+def cut_plan(
+    toked: DataFrame,
+    w: int = SUBSTR_W,
+    min_occ: int = SUBSTR_MIN_OCC,
+    hashed: bool = True,
+) -> DataFrame:
+    """The ExactSubstr ACTION: per document, the merged intervals the
+    keep-one-copy rule would cut (``cut_positions`` → interval merge).
+    Returns (doc_id, n_toks, cut_pos_ct, cut_span_ct, cut_token_ct,
+    kept_token_ct) for docs with >= 1 cut position. The canonical copy
+    of every duplicated span survives somewhere in the corpus by
+    construction; a keeper doc may still lose OVERLAPPING positions
+    whose own grams are canonical elsewhere — inherent to span-level
+    keep-one-copy (the paper cuts exact ranges the same way)."""
+    pg = position_grams(toked, w=w, hashed=hashed)
+    return merged_intervals(cut_positions(pg, min_occ=min_occ), w).select(
+        "doc_id",
+        "n_toks",
+        F.col("pos_ct").alias("cut_pos_ct"),
+        F.col("span_ct").alias("cut_span_ct"),
+        F.col("covered_ct").alias("cut_token_ct"),
+        (F.col("n_toks") - F.col("covered_ct")).alias("kept_token_ct"),
     )

@@ -354,6 +354,20 @@ def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr ACTION (keep-one-copy): per document, the merged
+    intervals the cut rule removes — every occurrence of a duplicated
+    SUBSTR_W-gram except its globally first (doc_id, pos) copy — with the
+    kept-token remainder. The plan a training-data build executes after
+    substr_dup_spans priced the duplication (llm/substring.py::cut_plan).
+
+    Scale: same two-shuffle shape as substr_dup_spans plus a 16-byte
+    keeper struct on the gram agg already being paid."""
+    from gmall_flink_spark.llm.substring import cut_plan
+
+    return cut_plan(_doc_toks(spark, sf_dir), w=SUBSTR_W).orderBy("doc_id")
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document."""
     docs = table(spark, sf_dir, "documents")
@@ -752,6 +766,7 @@ QUERIES = {
     "dedup_cross_source": dedup_cross_source,
     "substr_dup_spans": substr_dup_spans,
     "substr_dedup_stats": substr_dedup_stats,
+    "substr_cut_plan": substr_cut_plan,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
@@ -1212,8 +1227,8 @@ ORACLE["dedup_cross_source"] = f"""
 # duplicated = corpus occurrence >= SUBSTR_MIN_OCC, then the same
 # equal-width interval-merge rule as llm/substring.py (new span iff
 # pos - prev_pos > W; per-span coverage = max - min + W).
-_SUBSTR_PER_DOC = f"""
-    pos AS (
+_SUBSTR_FLAT = f"""
+    posu AS (
         SELECT doc_id, len(toks) AS n_toks,
                unnest([{{'p': i,
                          'g': array_to_string(toks[i + 1 : i + {SUBSTR_W}], ' ')}}
@@ -1221,17 +1236,19 @@ _SUBSTR_PER_DOC = f"""
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
         WHERE len(toks) >= {SUBSTR_W}
     ),
-    flat AS (SELECT doc_id, n_toks, s.p AS pos, s.g AS gram FROM pos),
-    dup AS (
-        SELECT gram FROM flat GROUP BY gram
-        HAVING COUNT(*) >= {SUBSTR_MIN_OCC}
-    ),
-    dpos AS (SELECT doc_id, n_toks, pos FROM flat JOIN dup USING (gram)),
+    flat AS (SELECT doc_id, n_toks, s.p AS pos, s.g AS gram FROM posu)
+"""
+
+
+def _substr_merge(src: str) -> str:
+    """The interval-merge CTE chain over a (doc_id, n_toks, pos) source —
+    the SQL twin of llm/substring.merged_intervals."""
+    return f"""
     flagged AS (
         SELECT doc_id, n_toks, pos,
                CASE WHEN pos - LAG(pos) OVER w > {SUBSTR_W}
                     OR LAG(pos) OVER w IS NULL THEN 1 ELSE 0 END AS new_span
-        FROM dpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        FROM {src} WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
     ),
     numbered AS (
         SELECT doc_id, n_toks, pos,
@@ -1245,17 +1262,28 @@ _SUBSTR_PER_DOC = f"""
     ),
     per_doc AS (
         SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
-               CAST(SUM(pos_ct) AS BIGINT) AS dup_pos_ct,
+               CAST(SUM(pos_ct) AS BIGINT) AS pos_ct,
                CAST(COUNT(*) AS BIGINT) AS span_ct,
-               CAST(SUM(covered) AS BIGINT) AS dup_token_ct
+               CAST(SUM(covered) AS BIGINT) AS covered_ct
         FROM per_span GROUP BY doc_id, n_toks
-    )
+    )"""
+
+
+_SUBSTR_PER_DOC = f"""
+    {_SUBSTR_FLAT},
+    dup AS (
+        SELECT gram FROM flat GROUP BY gram
+        HAVING COUNT(*) >= {SUBSTR_MIN_OCC}
+    ),
+    dpos AS (SELECT doc_id, n_toks, pos FROM flat JOIN dup USING (gram)),
+    {_substr_merge("dpos")}
 """
 
 ORACLE["substr_dup_spans"] = f"""
     WITH {_SUBSTR_PER_DOC}
-    SELECT doc_id, n_toks, dup_pos_ct, span_ct, dup_token_ct,
-           CAST(dup_token_ct AS DOUBLE) / n_toks AS dup_frac
+    SELECT doc_id, n_toks, pos_ct AS dup_pos_ct, span_ct,
+           covered_ct AS dup_token_ct,
+           CAST(covered_ct AS DOUBLE) / n_toks AS dup_frac
     FROM per_doc ORDER BY doc_id
 """
 
@@ -1264,7 +1292,7 @@ ORACLE["substr_dedup_stats"] = f"""
     all_docs AS (
         SELECT d.source, d.doc_id,
                CAST(len({_TOKS}) AS BIGINT) AS n_toks,
-               p.dup_token_ct, p.span_ct
+               p.covered_ct AS dup_token_ct, p.span_ct
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
@@ -1274,4 +1302,23 @@ ORACLE["substr_dedup_stats"] = f"""
            CAST(COALESCE(SUM(dup_token_ct), 0) AS DOUBLE) / SUM(n_toks)
                AS dup_token_frac
     FROM all_docs GROUP BY source ORDER BY source
+"""
+
+# keep-one-copy twin: a position is cut iff it is NOT the globally first
+# (doc_id, pos) occurrence of its gram — rn >= 2 both selects duplicated
+# grams and drops the canonical copy (rn = 2 exists only at occ >= 2),
+# mirroring llm/substring.cut_positions' min-struct rule at min_occ = 2.
+ORACLE["substr_cut_plan"] = f"""
+    WITH {_SUBSTR_FLAT},
+    ranked AS (
+        SELECT doc_id, n_toks, pos,
+               ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        FROM flat
+    ),
+    cuts AS (SELECT doc_id, n_toks, pos FROM ranked WHERE rn >= 2),
+    {_substr_merge("cuts")}
+    SELECT doc_id, n_toks, pos_ct AS cut_pos_ct, span_ct AS cut_span_ct,
+           covered_ct AS cut_token_ct,
+           n_toks - covered_ct AS kept_token_ct
+    FROM per_doc ORDER BY doc_id
 """

@@ -251,3 +251,44 @@ def test_substr_hashed_matches_plain(spark):
     hashed = sorted(map(tuple, dup_span_stats(toked, hashed=True).collect()))
     plain = sorted(map(tuple, dup_span_stats(toked, hashed=False).collect()))
     assert hashed == plain and len(hashed) > 0
+
+
+def test_substr_cut_plan_keeps_one_copy(spark, tmp_path):
+    """Keep-one-copy on the same every-edge corpus: the globally first
+    (doc_id, pos) occurrence of each duplicated gram survives, every
+    other occurrence is cut — so doc0 (the a-span keeper) and doc4 (both
+    grams' keeper) lose nothing, while doc1/doc2/doc5 lose exactly the
+    non-canonical copies. Engine == DuckDB oracle row-for-row."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_dedup import ORACLE, substr_cut_plan
+
+    a = " ".join(f"a{i}" for i in range(10))
+    b8 = " ".join(f"b{i}" for i in range(8))
+    d8 = " ".join(f"d{i}" for i in range(8))
+    e8 = " ".join(f"e{i}" for i in range(8))
+    rows = [
+        (0, a + " u1 u2 u3 u4 u5"),
+        (1, "v1 v2 " + a + " w1 w2 w3"),
+        (2, b8 + " z1 " + b8),
+        (3, "c1 c2 c3"),
+        (4, d8 + " " + e8),
+        (5, "x " + d8 + " y " + e8),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in substr_cut_plan(spark, sf).collect()]
+    assert got == [
+        (1, 15, 3, 1, 10, 5),
+        (2, 17, 1, 1, 8, 9),
+        (5, 18, 2, 2, 16, 2),
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["substr_cut_plan"]).fetchall()
