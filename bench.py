@@ -273,6 +273,7 @@ HEADLINE = [
     "substr_dup_spans",
     "substr_dedup_stats",
     "substr_cut_plan",
+    "web_domain_mix",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -9,7 +9,7 @@ set broadcasts (llm/corpus.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gmall_flink_spark.llm.corpus import (
@@ -655,6 +655,72 @@ def llm_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: web-governance synthesis parameters (engine builds the MESSY raw URL
+#: from these and normalizes it; the DuckDB twin re-derives the CANONICAL
+#: form straight from the same formulas — the normalizer is proven by
+#: construction, never mirrored). URL_PATH_MOD = 50 makes same-resource
+#: refetches exist at gate SF (collision period lcm(20 sources, 3 tlds,
+#: 50 paths) = 300 < corpus size).
+URL_TLDS = ["com", "org", "net"]
+URL_PATH_MOD = 50
+URL_BLOCKLIST = ["src0.com", "src3.org"]
+
+
+def _raw_url() -> Column:
+    """Scraped-URL noise from doc_id: mixed-case host, explicit default
+    port, trailing slash, utm query, fragment — everything
+    functions/web.normalize_url must strip."""
+    did = F.col("doc_id")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in URL_TLDS]), (did % 3 + 1).cast("int")
+    )
+    sub = F.when(did % 4 == 1, "WWW.").otherwise("www.")
+    port = F.when(did % 5 == 0, ":443").otherwise("")
+    slash = F.when(did % 6 == 2, "/").otherwise("")
+    qs = F.when(
+        did % 2 == 0, F.concat(F.lit("?utm="), (did % 9).cast("string"))
+    ).otherwise("")
+    frag = F.when(did % 7 == 3, "#sec").otherwise("")
+    return F.concat(
+        F.lit("https://"), sub, F.col("source"), F.lit("."), tld, port,
+        F.lit("/p/"), (did % URL_PATH_MOD).cast("string"), slash, qs, frag,
+    )
+
+
+def web_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus intake governance (the RefinedWeb/C4 URL stage): per
+    registrable domain — docs fetched, distinct canonical URLs, refetches
+    of the same resource (crawl dup detection: doc_ct - url_ct), token
+    mass, and the blocklist verdict. Raw URLs are synthesized noisy
+    (case/port/slash/query/fragment) and pushed through
+    functions/web.normalize_url + registered_domain; the oracle re-derives
+    the canonical form from the synthesis formulas, so parity proves the
+    normalizer strips exactly the noise and nothing else.
+
+    Scale: normalization is scan-stage JVM regexp; one shuffle on domain
+    with map-side partials (distinct-URL count is the second,
+    Expand-based pass Catalyst plans for count+countDistinct)."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.functions.web import normalize_url, registered_domain
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.size(tokenize("text")).alias("n_toks"),
+        normalize_url(_raw_url()).alias("norm_url"),
+    ).withColumn("domain", registered_domain("norm_url"))
+    return (
+        d.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.countDistinct("norm_url").alias("url_ct"),
+            (F.count(F.lit(1)) - F.countDistinct("norm_url")).alias("refetch_ct"),
+            F.sum("n_toks").alias("token_ct"),
+        )
+        .withColumn("is_blocked", F.col("domain").isin(URL_BLOCKLIST))
+        .orderBy("domain")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
@@ -672,6 +738,7 @@ QUERIES = {
     "llm_bpe_merge_round": llm_bpe_merge_round,
     "llm_chunk_split": llm_chunk_split,
     "llm_mix_rebalance": llm_mix_rebalance,
+    "web_domain_mix": web_domain_mix,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1010,4 +1077,30 @@ ORACLE["llm_bpe_merge_round"] = f"""
            CAST(SUM(merges) AS BIGINT) AS merge_ct,
            CAST(SUM(n) - SUM(merges) AS BIGINT) AS tok_after
     FROM per_doc GROUP BY source, pair ORDER BY source
+"""
+
+# canonical-URL twin derived from the SYNTHESIS formulas (never the
+# engine's regexps): the normalizer is proven by construction
+ORACLE["web_domain_mix"] = f"""
+    WITH d AS (
+        SELECT source,
+               (['com','org','net'])[(doc_id % 3) + 1] AS tld,
+               doc_id % {URL_PATH_MOD} AS path_id,
+               len({_TOKS}) AS n_toks
+        FROM documents
+    ),
+    u AS (
+        SELECT source || '.' || tld AS domain,
+               'https://www.' || source || '.' || tld || '/p/' ||
+                   CAST(path_id AS VARCHAR) AS norm_url,
+               n_toks
+        FROM d
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS url_ct,
+           CAST(COUNT(*) - COUNT(DISTINCT norm_url) AS BIGINT) AS refetch_ct,
+           CAST(SUM(n_toks) AS BIGINT) AS token_ct,
+           domain IN {tuple(URL_BLOCKLIST)} AS is_blocked
+    FROM u GROUP BY domain ORDER BY domain
 """

@@ -653,3 +653,32 @@ def test_connected_components_pregroup_equivalence(spark):
     )
     got = connected_components(chain, max_rounds=20, shortcut=True, pregroup=True).collect()
     assert {r.component for r in got} == {0} and len(got) == 5000
+
+
+def test_normalize_url_rules(spark):
+    """functions/web.normalize_url strips exactly the declared noise —
+    host case, default ports, query, fragment, one trailing slash — and
+    leaves path case and non-default ports alone."""
+    from gmall_flink_spark.functions.web import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    cases = [
+        ("https://WWW.Ex.COM:443/p/1/?utm=9#frag", "https://www.ex.com/p/1"),
+        ("http://A.B.ORG:80/Path/X", "http://a.b.org/Path/X"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),
+        ("https://ex.com/p//", "https://ex.com/p/"),
+        ("https://EX.net/UPPER", "https://ex.net/UPPER"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string").select(
+        "want", normalize_url("url").alias("got"), url_host("url").alias("host"),
+        registered_domain("url").alias("dom"),
+    )
+    rows_ = df.collect()
+    for r in rows_:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+    assert [r["dom"] for r in rows_] == [
+        "ex.com", "b.org", "ex.com", "ex.com", "ex.net"
+    ]
