@@ -292,3 +292,47 @@ def test_substr_cut_plan_keeps_one_copy(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
     )
     assert got == con.sql(ORACLE["substr_cut_plan"]).fetchall()
+
+
+def test_substr_randomized_corpus_matches_oracle(spark, tmp_path):
+    """Seeded random corpus (shared phrase pool, so duplicated spans of
+    every length/overlap shape occur by construction): engine and DuckDB
+    oracle must agree row-for-row on both the span report and the cut
+    plan — broader than the hand-built edge corpus, still deterministic."""
+    import random
+
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_dedup import (
+        ORACLE,
+        substr_cut_plan,
+        substr_dup_spans,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    phrases = [
+        [f"p{k}_{i}" for i in range(rng.randint(8, 14))] for k in range(6)
+    ]
+    rows = []
+    for doc_id in range(60):
+        toks: list[str] = []
+        for _ in range(rng.randint(1, 4)):
+            if rng.random() < 0.6:
+                toks += rng.choice(phrases)
+            toks += [f"u{doc_id}_{i}" for i in range(rng.randint(0, 9))]
+        rows.append((doc_id, " ".join(toks)))
+    docs = spark.createDataFrame(
+        [(i, t, "en", f"s{i % 3}", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for fn, key in ((substr_dup_spans, "substr_dup_spans"),
+                    (substr_cut_plan, "substr_cut_plan")):
+        got = [tuple(r) for r in fn(spark, sf).collect()]
+        want = con.sql(ORACLE[key]).fetchall()
+        assert got == want and len(got) > 10, (key, len(got))
