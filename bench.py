@@ -274,6 +274,7 @@ HEADLINE = [
     "substr_dedup_stats",
     "substr_cut_plan",
     "web_domain_mix",
+    "corpus_version_diff",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -721,6 +721,76 @@ def web_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus-v2 synthesis rules (engine and oracle both derive v2 from v1
+#: with these; the diff then has known ground truth): %DIFF_DROP docs
+#: removed, %DIFF_EDIT survivors text-mutated, %DIFF_ADD docs cloned in
+#: under shifted ids.
+DIFF_DROP, DIFF_EDIT, DIFF_ADD = 13, 11, 17
+DIFF_ID_OFFSET = 1_000_000_000
+
+
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots (the
+    crawl-over-crawl governance report): per source, how many docs were
+    added, removed, changed, or unchanged, and the net character delta.
+    Change detection compares 64-bit content fingerprints, never the
+    texts — at 100 TB each snapshot manifest is (doc_id, source, len,
+    xxhash64(text)) and the diff is one full-outer join on doc_id (two
+    id shuffles; AQE merges them when manifests are co-bucketed by id,
+    the layout a versioned corpus store would pin).
+
+    v2 synthesizes from v1 by the DIFF_* rules, so the oracle re-derives
+    both sides independently and the status taxonomy has exact ground
+    truth (a %DROP doc that is also %EDIT is 'removed' — edits apply to
+    survivors only; added clones are never re-edited)."""
+    docs = table(spark, sf_dir, "documents")
+    v1 = docs.select(
+        "doc_id", "source",
+        F.length("text").alias("len1"),
+        F.xxhash64("text").alias("fp1"),
+    )
+    survivors = docs.where(F.col("doc_id") % DIFF_DROP != 0)
+    t2 = F.when(
+        F.col("doc_id") % DIFF_EDIT == 0, F.concat("text", F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    v2 = (
+        survivors.select("doc_id", "source", t2.alias("text"))
+        .unionByName(
+            docs.where(F.col("doc_id") % DIFF_ADD == 0).select(
+                (F.col("doc_id") + DIFF_ID_OFFSET).alias("doc_id"),
+                "source",
+                "text",
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("source").alias("source2"),
+            F.length("text").alias("len2"),
+            F.xxhash64("text").alias("fp2"),
+        )
+    )
+    j = v1.join(v2, "doc_id", "full_outer").select(
+        F.coalesce("source", "source2").alias("src"),
+        F.when(F.col("fp1").isNull(), "added")
+        .when(F.col("fp2").isNull(), "removed")
+        .when(F.col("fp1") != F.col("fp2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce("len2", F.lit(0)) - F.coalesce("len1", F.lit(0))
+        ).cast("long").alias("delta"),
+    )
+    cnt = lambda s: F.sum((F.col("status") == s).cast("bigint")).alias(f"{s}_ct")  # noqa: E731
+    return (
+        j.groupBy(F.col("src").alias("source"))
+        .agg(
+            cnt("added"), cnt("removed"), cnt("changed"), cnt("unchanged"),
+            F.sum("delta").alias("char_delta"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
@@ -739,6 +809,7 @@ QUERIES = {
     "llm_chunk_split": llm_chunk_split,
     "llm_mix_rebalance": llm_mix_rebalance,
     "web_domain_mix": web_domain_mix,
+    "corpus_version_diff": corpus_version_diff,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1103,4 +1174,43 @@ ORACLE["web_domain_mix"] = f"""
            CAST(SUM(n_toks) AS BIGINT) AS token_ct,
            domain IN {tuple(URL_BLOCKLIST)} AS is_blocked
     FROM u GROUP BY domain ORDER BY domain
+"""
+
+# snapshot-diff twin: v2 re-derived from the same DIFF_* rules; texts
+# compared directly (the engine compares xxhash64 fingerprints — parity
+# again doubles as a collision check)
+ORACLE["corpus_version_diff"] = f"""
+    WITH v1 AS (
+        SELECT doc_id, source, length(text) AS len1, text AS t1 FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % {DIFF_EDIT} = 0 THEN text || ' rev2'
+                    ELSE text END AS t2
+        FROM documents WHERE doc_id % {DIFF_DROP} != 0
+        UNION ALL
+        SELECT doc_id + {DIFF_ID_OFFSET}, source, text
+        FROM documents WHERE doc_id % {DIFF_ADD} = 0
+    ),
+    v2l AS (SELECT doc_id, source AS source2, length(t2) AS len2, t2 FROM v2),
+    j AS (
+        SELECT COALESCE(v1.source, v2l.source2) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2l.doc_id IS NULL THEN 'removed'
+                    WHEN t1 != t2 THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(len2, 0) - COALESCE(len1, 0) AS delta
+        FROM v1 FULL OUTER JOIN v2l ON v1.doc_id = v2l.doc_id
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+               AS added_ct,
+           CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS removed_ct,
+           CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS changed_ct,
+           CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+               AS unchanged_ct,
+           CAST(SUM(delta) AS BIGINT) AS char_delta
+    FROM j GROUP BY source ORDER BY source
 """
