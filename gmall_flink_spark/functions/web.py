@@ -14,19 +14,30 @@ from pyspark.sql import Column, functions as F
 
 
 def normalize_url(url: Column | str) -> Column:
-    """Canonical URL: lowercase scheme+host, strip a default port
-    (:80/:443), drop query string and fragment, drop one trailing slash
-    from a non-root path. Deliberately conservative — anything beyond
-    these rules (utm-param whitelists, IDN, scheme upgrades) changes
-    identity and belongs in policy, not the canonicalizer."""
+    """Canonical URL: lowercase scheme+host, drop query string and
+    fragment, strip the scheme's OWN default port (http:80 / https:443 —
+    a non-default port is a different resource and stays), drop one
+    trailing slash after a non-empty path segment (the root slash and
+    pathological empty segments stay). Deliberately conservative —
+    anything beyond these rules (utm-param whitelists, IDN, scheme
+    upgrades) changes identity and belongs in policy, not the
+    canonicalizer."""
     c = F.col(url) if isinstance(url, str) else url
+    # split at the authority boundary so each rule acts on one component:
     # scheme://host[:port] is case-insensitive by RFC 3986; the path is not
-    head = F.regexp_extract(c, r"^([^/]*//[^/]*)", 1)
+    head = F.regexp_extract(c, r"^([^/?#]*//[^/?#]*)", 1)
     rest = F.substring(c, F.length(head) + 1, F.lit(1 << 30))
-    canon = F.concat(F.lower(head), rest)
-    canon = F.regexp_replace(canon, r"^(https?://[^/:]*):(?:80|443)(/|$)", r"$1$2")
-    canon = F.regexp_replace(canon, r"[?#].*$", "")
-    return F.regexp_replace(canon, r"(.)/$", r"$1")
+    # the authority carries no / ? #, so default-port rules anchor fully;
+    # a non-default port for the scheme is a different resource and stays
+    head = F.lower(head)
+    head = F.regexp_replace(head, r"^(http://[^:]*):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^:]*):443$", r"$1")
+    # path side: drop query+fragment, then one trailing slash after a
+    # non-empty segment (the root slash and empty segments stay — the
+    # segment pattern cannot reach into the // authority, already split)
+    rest = F.regexp_replace(rest, r"[?#].*$", "")
+    rest = F.regexp_replace(rest, r"(/[^/]+)/$", r"$1")
+    return F.concat(head, rest)
 
 
 def url_host(url: Column | str) -> Column:

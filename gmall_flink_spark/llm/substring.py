@@ -86,17 +86,30 @@ def position_grams(
     )
 
 
-def duplicated_keys(pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC) -> DataFrame:
-    """Gram keys occurring >= min_occ times corpus-wide — the inverted
-    index's duplicated tail. One hash aggregation (map-side combine); at
-    100 TB this is the dominant shuffle and it moves (key, partial-count)
-    pairs, never the positions."""
+def gram_index(pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC) -> DataFrame:
+    """(gram_key, keeper) for every duplicated gram: the occurrence count
+    gate plus the globally minimal (doc_id, pos) occurrence, in ONE hash
+    aggregation (map-side combine) — membership serves the span report,
+    the keeper serves the cut plan. At 100 TB this is the dominant
+    shuffle and it moves (key, partial count+min) pairs, never the
+    positions; callers running several substring queries in one session
+    memoize it (queries/llm_dedup._substr_index) so the corpus-wide agg
+    is paid once."""
     return (
         pg.groupBy("gram_key")
-        .agg(F.count(F.lit(1)).alias("occ"))
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.min(F.struct("doc_id", "pos")).alias("keeper"),
+        )
         .where(F.col("occ") >= min_occ)
-        .select("gram_key")
+        .select("gram_key", "keeper")
     )
+
+
+def duplicated_keys(pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC) -> DataFrame:
+    """Gram keys occurring >= min_occ times corpus-wide — the inverted
+    index's duplicated tail (membership projection of ``gram_index``)."""
+    return gram_index(pg, min_occ=min_occ).select("gram_key")
 
 
 def merged_intervals(positions: DataFrame, w: int) -> DataFrame:
@@ -151,6 +164,7 @@ def dup_span_stats(
     w: int = SUBSTR_W,
     min_occ: int = SUBSTR_MIN_OCC,
     hashed: bool = True,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span report: docs owning >= 1 duplicated
     W-gram, with their duplicated positions merged into maximal intervals.
@@ -159,9 +173,14 @@ def dup_span_stats(
     dup_pos_ct = duplicated gram positions, span_ct = merged intervals,
     dup_token_ct = tokens covered by the union of intervals — the mass
     ExactSubstr would touch (every occurrence counted; see
-    ``cut_plan`` for the keep-one-copy action)."""
+    ``cut_plan`` for the keep-one-copy action).
+
+    ``index`` injects a pre-built (usually memoized) ``gram_index`` frame
+    so sibling queries share the corpus-wide gram aggregation; it must
+    have been built with the same (w, min_occ, hashed) contract."""
     pg = position_grams(toked, w=w, hashed=hashed)
-    dpos = pg.join(duplicated_keys(pg, min_occ=min_occ), "gram_key", "leftsemi")
+    idx = index if index is not None else gram_index(pg, min_occ=min_occ)
+    dpos = pg.join(idx.select("gram_key"), "gram_key", "leftsemi")
     return merged_intervals(dpos, w).select(
         "doc_id",
         "n_toks",
@@ -171,26 +190,14 @@ def dup_span_stats(
     )
 
 
-def cut_positions(
-    pg: DataFrame, min_occ: int = SUBSTR_MIN_OCC
-) -> DataFrame:
+def cut_positions(pg: DataFrame, index: DataFrame) -> DataFrame:
     """Non-canonical occurrences of duplicated grams — the keep-one-copy
-    rule: per duplicated gram the globally minimal (doc_id, pos)
-    occurrence is the kept canonical copy; every other occurrence is a
-    cut position. One struct-min aggregate on the gram agg already being
-    paid, then the same (usually broadcast) join shape as
-    duplicated_keys plus a 16-byte keeper struct per dup gram."""
-    per_gram = (
-        pg.groupBy("gram_key")
-        .agg(
-            F.count(F.lit(1)).alias("occ"),
-            F.min(F.struct("doc_id", "pos")).alias("keeper"),
-        )
-        .where(F.col("occ") >= min_occ)
-        .select("gram_key", "keeper")
-    )
+    rule: per duplicated gram, ``index``'s keeper (the globally minimal
+    (doc_id, pos) occurrence) is the kept canonical copy; every other
+    occurrence is a cut position. Same (usually broadcast) join shape as
+    the span report plus the 16-byte keeper struct per dup gram."""
     return (
-        pg.join(per_gram, "gram_key")
+        pg.join(index, "gram_key")
         .where(
             (F.col("doc_id") != F.col("keeper.doc_id"))
             | (F.col("pos") != F.col("keeper.pos"))
@@ -204,6 +211,7 @@ def cut_plan(
     w: int = SUBSTR_W,
     min_occ: int = SUBSTR_MIN_OCC,
     hashed: bool = True,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """The ExactSubstr ACTION: per document, the merged intervals the
     keep-one-copy rule would cut (``cut_positions`` → interval merge).
@@ -212,9 +220,13 @@ def cut_plan(
     of every duplicated span survives somewhere in the corpus by
     construction; a keeper doc may still lose OVERLAPPING positions
     whose own grams are canonical elsewhere — inherent to span-level
-    keep-one-copy (the paper cuts exact ranges the same way)."""
+    keep-one-copy (the paper cuts exact ranges the same way).
+
+    ``index`` as in ``dup_span_stats``: inject the memoized
+    ``gram_index`` so siblings share the corpus-wide aggregation."""
     pg = position_grams(toked, w=w, hashed=hashed)
-    return merged_intervals(cut_positions(pg, min_occ=min_occ), w).select(
+    idx = index if index is not None else gram_index(pg, min_occ=min_occ)
+    return merged_intervals(cut_positions(pg, idx), w).select(
         "doc_id",
         "n_toks",
         F.col("pos_ct").alias("cut_pos_ct"),

@@ -298,6 +298,25 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: duplicated-gram index (gram_key, keeper), memoized like _doc_toks: the
+#: corpus-wide W-gram aggregation feeds all three substr_* queries; one
+#: eager localCheckpoint pays the dominant shuffle once per session.
+_SUBSTR_IDX: dict[tuple, DataFrame] = {}
+
+
+def _substr_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.llm.substring import gram_index, position_grams
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _SUBSTR_IDX)
+    if key not in _SUBSTR_IDX:
+        pg = position_grams(_doc_toks(spark, sf_dir), w=SUBSTR_W)
+        _SUBSTR_IDX[key] = gram_index(
+            pg, min_occ=SUBSTR_MIN_OCC
+        ).localCheckpoint(eager=True)
+    return _SUBSTR_IDX[key]
+
+
 def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup report (ExactSubstr, Lee et al. 2022):
     per document owning >= 1 duplicated SUBSTR_W-token span, the merged
@@ -310,7 +329,9 @@ def substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side partials, 8-byte xxhash64 keys) + 1 semi join + 1 doc_id
     agg. The oracle groups the gram STRINGS, so gate parity also
     certifies hash-collision-freedom at gate SF."""
-    stats = dup_span_stats(_doc_toks(spark, sf_dir), w=SUBSTR_W)
+    stats = dup_span_stats(
+        _doc_toks(spark, sf_dir), w=SUBSTR_W, index=_substr_index(spark, sf_dir)
+    )
     return (
         stats.withColumn(
             "dup_frac",
@@ -330,7 +351,7 @@ def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the full doc list — token totals count EVERY doc of the
     source, not just affected ones; the final matrix is |sources|-bounded."""
     toked = _doc_toks(spark, sf_dir)
-    stats = dup_span_stats(toked, w=SUBSTR_W)
+    stats = dup_span_stats(toked, w=SUBSTR_W, index=_substr_index(spark, sf_dir))
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source")
@@ -365,7 +386,9 @@ def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper struct on the gram agg already being paid."""
     from gmall_flink_spark.llm.substring import cut_plan
 
-    return cut_plan(_doc_toks(spark, sf_dir), w=SUBSTR_W).orderBy("doc_id")
+    return cut_plan(
+        _doc_toks(spark, sf_dir), w=SUBSTR_W, index=_substr_index(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

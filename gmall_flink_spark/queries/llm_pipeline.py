@@ -724,9 +724,11 @@ def web_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: corpus-v2 synthesis rules (engine and oracle both derive v2 from v1
 #: with these; the diff then has known ground truth): %DIFF_DROP docs
 #: removed, %DIFF_EDIT survivors text-mutated, %DIFF_ADD docs cloned in
-#: under shifted ids.
+#: under NEGATED ids (-doc_id - 1) — disjoint from every non-negative
+#: real id at ANY corpus size, where a fixed additive offset would
+#: collide once ids exceed it (id fan-out would then double-count
+#: identically on both sides and parity could not catch it).
 DIFF_DROP, DIFF_EDIT, DIFF_ADD = 13, 11, 17
-DIFF_ID_OFFSET = 1_000_000_000
 
 
 def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -757,7 +759,7 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.select("doc_id", "source", t2.alias("text"))
         .unionByName(
             docs.where(F.col("doc_id") % DIFF_ADD == 0).select(
-                (F.col("doc_id") + DIFF_ID_OFFSET).alias("doc_id"),
+                (-F.col("doc_id") - 1).alias("doc_id"),
                 "source",
                 "text",
             )
@@ -1189,7 +1191,7 @@ ORACLE["corpus_version_diff"] = f"""
                     ELSE text END AS t2
         FROM documents WHERE doc_id % {DIFF_DROP} != 0
         UNION ALL
-        SELECT doc_id + {DIFF_ID_OFFSET}, source, text
+        SELECT -doc_id - 1, source, text
         FROM documents WHERE doc_id % {DIFF_ADD} = 0
     ),
     v2l AS (SELECT doc_id, source AS source2, length(t2) AS len2, t2 FROM v2),

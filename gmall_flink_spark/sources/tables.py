@@ -155,6 +155,7 @@ def clear_session_memos() -> None:
         _MINHASH_MX,
         _SAMPLE_COMPONENTS,
         _SAMPLE_EXACT,
+        _SUBSTR_IDX,
         _VERIFIED,
     )
     from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
@@ -174,6 +175,7 @@ def clear_session_memos() -> None:
         _MINHASH_MX,
         _SAMPLE_COMPONENTS,
         _SAMPLE_EXACT,
+        _SUBSTR_IDX,
         _ASSIGNED_MEMO,
         _NEARDUP_PAIRS,
         _PACK_TOTALS,

@@ -164,7 +164,6 @@ def traffic_grain_window_stream(
     per (grain, mid, day) — the same cardinality the reference's keyed
     ValueState holds."""
     from gmall_flink_spark.operators.log_split import parse_page_log
-    from gmall_flink_spark.operators.windows import tumble_agg
 
     parsed = parse_page_log(raw)
     page = parsed.where(F.col("start").isNull() & F.col("page").isNotNull())
@@ -218,27 +217,11 @@ def sentinel_value_slices(
     ``maxFilesPerTrigger=1``); the caller crafts ``value`` so it parses
     and reaches the watermark node but can never land in a closed
     window."""
-    slices = os.listdir(slices_dir)
-    if not slices:
-        raise ValueError(
-            f"sentinel_value_slices: {slices_dir!r} is empty — write the "
-            "real slices before appending sentinels"
-        )
-    base = max(
-        int(os.path.getmtime(os.path.join(slices_dir, f))) for f in slices
+    _append_sentinel_slices(
+        slices_dir,
+        lambda j: spark.createDataFrame([(value,)], "value string"),
+        n,
     )
-    for j in range(1, n + 1):
-        tmp = os.path.join(slices_dir, f"_sentinel_tmp_{j}")
-        spark.createDataFrame([(value,)], "value string").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        dst = os.path.join(slices_dir, f"zz-sentinel-{j:02d}.parquet")
-        os.replace(os.path.join(tmp, src), dst)
-        import shutil
-
-        shutil.rmtree(tmp)
-        os.utime(dst, (base + j, base + j))
 
 
 def order_detail_wide_stream(
@@ -337,26 +320,36 @@ def sentinel_envelope_slices(
     watermark before the real rows are stated."""
     from gmall_flink_spark.schemas import CDC_ENVELOPE
 
+    def make_df(j: int):
+        row = ("gmall_flink", table, "insert", ts + (j - 1) * 3600, data, None)
+        return spark.createDataFrame([row], CDC_ENVELOPE)
+
+    _append_sentinel_slices(slices_dir, make_df, n)
+
+
+def _append_sentinel_slices(slices_dir: str, make_df, n: int) -> None:
+    """Shared file-append machinery for both sentinel flavors: write each
+    single-row frame (``make_df(j)``) as zz-sentinel-NN.parquet with an
+    mtime strictly after the newest real slice, so the file source (false
+    ``latestFirst`` + ``maxFilesPerTrigger=1``) replays them last, one
+    batch each. The mtime-ordering contract lives HERE and only here."""
+    import shutil
+
     slices = os.listdir(slices_dir)
     if not slices:
         raise ValueError(
-            f"sentinel_envelope_slices: {slices_dir!r} is empty — write the "
-            "real slices (split_into_files) before appending sentinels, or "
-            "the sentinel mtimes cannot be ordered after the data"
+            f"sentinel slices: {slices_dir!r} is empty — write the real "
+            "slices (split_into_files) before appending sentinels, or the "
+            "sentinel mtimes cannot be ordered after the data"
         )
     base = max(
         int(os.path.getmtime(os.path.join(slices_dir, f))) for f in slices
     )
     for j in range(1, n + 1):
-        row = ("gmall_flink", table, "insert", ts + (j - 1) * 3600, data, None)
         tmp = os.path.join(slices_dir, f"_sentinel_tmp_{j}")
-        spark.createDataFrame([row], CDC_ENVELOPE).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        make_df(j).coalesce(1).write.mode("overwrite").parquet(tmp)
         src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
         dst = os.path.join(slices_dir, f"zz-sentinel-{j:02d}.parquet")
         os.replace(os.path.join(tmp, src), dst)
-        import shutil
-
         shutil.rmtree(tmp)
         os.utime(dst, (base + j, base + j))

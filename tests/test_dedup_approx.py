@@ -196,15 +196,14 @@ def test_jaccard_pairs_ratio_applies_on_selfjoin_path(spark):
     assert pruned == {(1, 2)}
 
 
-def test_substr_span_merge_semantics(spark, tmp_path):
-    """ExactSubstr interval merge, pinned on a corpus with every edge the
-    rule has: cross-doc shared span (overlapping gram chain -> ONE span),
-    within-doc repetition (gap > W -> TWO spans), touching intervals
-    (gap == W -> merged), and a sub-W doc (excluded). Engine and DuckDB
-    oracle must agree row-for-row on the same parquet."""
+def _substr_edge_corpus(spark, tmp_path):
+    """The every-edge substring corpus, written once per test tmpdir:
+    cross-doc overlap chain (docs 0/1), within-doc repetition with a
+    gap > W (doc 2), a sub-W doc (doc 3), and touching vs gapped
+    adjacent grams (docs 4/5). Returns (sf_dir, duckdb connection with
+    the documents view registered) — the single place the corpus lives,
+    so the span and cut tests can never drift onto different inputs."""
     import duckdb
-
-    from gmall_flink_spark.queries.llm_dedup import ORACLE, substr_dup_spans
 
     a = " ".join(f"a{i}" for i in range(10))      # 10-token shared span
     b8 = " ".join(f"b{i}" for i in range(8))
@@ -224,6 +223,22 @@ def test_substr_span_merge_semantics(spark, tmp_path):
     )
     sf = str(tmp_path)
     docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    return sf, con
+
+
+def test_substr_span_merge_semantics(spark, tmp_path):
+    """ExactSubstr interval merge, pinned on a corpus with every edge the
+    rule has: cross-doc shared span (overlapping gram chain -> ONE span),
+    within-doc repetition (gap > W -> TWO spans), touching intervals
+    (gap == W -> merged), and a sub-W doc (excluded). Engine and DuckDB
+    oracle must agree row-for-row on the same parquet."""
+    from gmall_flink_spark.queries.llm_dedup import ORACLE, substr_dup_spans
+
+    sf, con = _substr_edge_corpus(spark, tmp_path)
     got = [tuple(r) for r in substr_dup_spans(spark, sf).collect()]
     assert got == [
         (0, 15, 3, 1, 10, 10 / 15),
@@ -232,10 +247,6 @@ def test_substr_span_merge_semantics(spark, tmp_path):
         (4, 16, 2, 1, 16, 1.0),
         (5, 18, 2, 2, 16, 16 / 18),
     ], got
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
-    )
     assert got == con.sql(ORACLE["substr_dup_spans"]).fetchall()
 
 
@@ -259,38 +270,15 @@ def test_substr_cut_plan_keeps_one_copy(spark, tmp_path):
     other occurrence is cut — so doc0 (the a-span keeper) and doc4 (both
     grams' keeper) lose nothing, while doc1/doc2/doc5 lose exactly the
     non-canonical copies. Engine == DuckDB oracle row-for-row."""
-    import duckdb
-
     from gmall_flink_spark.queries.llm_dedup import ORACLE, substr_cut_plan
 
-    a = " ".join(f"a{i}" for i in range(10))
-    b8 = " ".join(f"b{i}" for i in range(8))
-    d8 = " ".join(f"d{i}" for i in range(8))
-    e8 = " ".join(f"e{i}" for i in range(8))
-    rows = [
-        (0, a + " u1 u2 u3 u4 u5"),
-        (1, "v1 v2 " + a + " w1 w2 w3"),
-        (2, b8 + " z1 " + b8),
-        (3, "c1 c2 c3"),
-        (4, d8 + " " + e8),
-        (5, "x " + d8 + " y " + e8),
-    ]
-    docs = spark.createDataFrame(
-        [(i, t, "en", f"s{i % 2}", len(t)) for i, t in rows],
-        "doc_id bigint, text string, lang string, source string, n_chars bigint",
-    )
-    sf = str(tmp_path)
-    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    sf, con = _substr_edge_corpus(spark, tmp_path)
     got = [tuple(r) for r in substr_cut_plan(spark, sf).collect()]
     assert got == [
         (1, 15, 3, 1, 10, 5),
         (2, 17, 1, 1, 8, 9),
         (5, 18, 2, 2, 16, 2),
     ], got
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
-    )
     assert got == con.sql(ORACLE["substr_cut_plan"]).fetchall()
 
 

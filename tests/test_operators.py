@@ -669,8 +669,16 @@ def test_normalize_url_rules(spark):
         ("https://WWW.Ex.COM:443/p/1/?utm=9#frag", "https://www.ex.com/p/1"),
         ("http://A.B.ORG:80/Path/X", "http://a.b.org/Path/X"),
         ("https://ex.com:8443/p", "https://ex.com:8443/p"),
-        ("https://ex.com/p//", "https://ex.com/p/"),
-        ("https://EX.net/UPPER", "https://ex.net/UPPER"),
+        # a default port directly followed by the query must still strip
+        ("http://ex.com:80?q=1", "http://ex.com"),
+        # NON-default ports for the scheme are different resources
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        # root slash and empty trailing segments stay; one real segment's
+        # trailing slash drops
+        ("https://ex.com/", "https://ex.com/"),
+        ("https://ex.com/p//", "https://ex.com/p//"),
+        ("https://EX.net/UPPER/", "https://ex.net/UPPER"),
     ]
     df = spark.createDataFrame(cases, "url string, want string").select(
         "want", normalize_url("url").alias("got"), url_host("url").alias("host"),
@@ -680,5 +688,6 @@ def test_normalize_url_rules(spark):
     for r in rows_:
         assert r["got"] == r["want"], (r["want"], r["got"])
     assert [r["dom"] for r in rows_] == [
-        "ex.com", "b.org", "ex.com", "ex.com", "ex.net"
+        "ex.com", "b.org", "ex.com", "ex.com", "ex.com", "ex.com",
+        "ex.com", "ex.com", "ex.net",
     ]
