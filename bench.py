@@ -275,6 +275,7 @@ HEADLINE = [
     "substr_cut_plan",
     "web_domain_mix",
     "corpus_version_diff",
+    "web_domain_dup_rate",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -375,6 +375,59 @@ def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_domain_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain near-dup contamination — the which-domains-to-drop
+    refinement of dedup_components: for each registrable domain (derived
+    through the full URL synth → normalize → registered_domain path, so
+    this query also exercises the canonicalizer), how many docs sit in
+    any near-dup component, and how many of those duplicate content that
+    ALSO exists on a DIFFERENT domain (component spanning >= 2 domains —
+    imported duplication, the scraped-mirror signature).
+
+    Scale: rides the session-memoized LSH component mapping (shared with
+    dedup_components/dedup_rep_select); domains are scan-stage regexp;
+    the component-domain matrix is |components| rows, two small keyed
+    joins."""
+    from gmall_flink_spark.functions.web import normalize_url, registered_domain
+    from gmall_flink_spark.queries.llm_pipeline import _raw_url
+
+    dom = table(spark, sf_dir, "documents").select(
+        "doc_id", registered_domain(normalize_url(_raw_url())).alias("domain")
+    )
+    j = _components(spark, sf_dir).join(dom, "doc_id")
+    ndom = j.groupBy("component").agg(
+        F.countDistinct("domain").alias("ndom")
+    )
+    dup = (
+        j.join(ndom, "component")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("dup_doc_ct"),
+            F.sum((F.col("ndom") >= 2).cast("bigint")).alias(
+                "cross_domain_dup_ct"
+            ),
+        )
+    )
+    return (
+        dom.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("doc_ct"))
+        .join(dup, "domain", "left")
+        .select(
+            "domain",
+            "doc_ct",
+            F.coalesce("dup_doc_ct", F.lit(0)).alias("dup_doc_ct"),
+            F.coalesce("cross_domain_dup_ct", F.lit(0)).alias(
+                "cross_domain_dup_ct"
+            ),
+            (
+                F.coalesce("dup_doc_ct", F.lit(0)).cast("double")
+                / F.col("doc_ct")
+            ).alias("dup_frac"),
+        )
+        .orderBy("domain")
+    )
+
+
 def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr ACTION (keep-one-copy): per document, the merged
     intervals the cut rule removes — every occurrence of a duplicated
@@ -793,6 +846,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
+    "web_domain_dup_rate": web_domain_dup_rate,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1325,6 +1379,58 @@ ORACLE["substr_dedup_stats"] = f"""
            CAST(COALESCE(SUM(dup_token_ct), 0) AS DOUBLE) / SUM(n_toks)
                AS dup_token_frac
     FROM all_docs GROUP BY source ORDER BY source
+"""
+
+# per-domain near-dup contamination twin: the dedup_components recursive
+# closure + the CANONICAL domain straight from the URL synthesis formulas
+# (independent of the engine's normalize/registered_domain path)
+ORACLE["web_domain_dup_rate"] = f"""
+    WITH RECURSIVE
+    cands AS ({_CANDS}),
+    jac AS ({_jaccard(_UNITS)}),
+    edges AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+    ),
+    sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    dom AS (
+        SELECT doc_id,
+               source || '.' || (['com','org','net'])[(doc_id % 3) + 1]
+                   AS domain
+        FROM documents
+    ),
+    cj AS (
+        SELECT c.component, c.doc_id, d.domain
+        FROM comp c JOIN dom d USING (doc_id)
+    ),
+    nd AS (SELECT component, COUNT(DISTINCT domain) AS ndom
+           FROM cj GROUP BY component),
+    dup AS (
+        SELECT cj.domain,
+               CAST(COUNT(*) AS BIGINT) AS dup_doc_ct,
+               CAST(SUM(CASE WHEN nd.ndom >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cross_domain_dup_ct
+        FROM cj JOIN nd USING (component) GROUP BY cj.domain
+    ),
+    alls AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS doc_ct
+             FROM dom GROUP BY domain)
+    SELECT a.domain, a.doc_ct,
+           CAST(COALESCE(p.dup_doc_ct, 0) AS BIGINT) AS dup_doc_ct,
+           CAST(COALESCE(p.cross_domain_dup_ct, 0) AS BIGINT)
+               AS cross_domain_dup_ct,
+           CAST(COALESCE(p.dup_doc_ct, 0) AS DOUBLE) / a.doc_ct AS dup_frac
+    FROM alls a LEFT JOIN dup p USING (domain) ORDER BY domain
 """
 
 # keep-one-copy twin: a position is cut iff it is NOT the globally first
