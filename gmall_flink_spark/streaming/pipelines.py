@@ -17,6 +17,11 @@ per-operator twins.
   (sku, day)) → A5 daily unique counts — the D4 day-keyed state shape
   under a data-column event time.
 
+* ``payment_uu_window_stream`` = DwsTradePaymentWindow
+  (app/dws/DwsTradePaymentWindow.java:60-110): P7 exact 1002→1005
+  transition filter → D5 as a DUAL-DEDUP UNION ((user, day) for uu,
+  (user) for first-ever payer) → A5 pairwise counters in day windows.
+
 * ``traffic_grain_window_stream`` = DwsTrafficVcChArIsNewPageViewWindow
   (app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:130-154): raw
   topic_log JSON → P1 parse → M1 page split → EXACT uv via a
@@ -137,6 +142,75 @@ def cart_add_uu_window_stream(
     return tumble_agg(
         firsts, "rt", "1 day", [], [F.count(F.lit(1)).alias("cart_uu_ct")]
     ).select(F.substring("stt", 1, 10).alias("cur_date"), "cart_uu_ct")
+
+
+def payment_uu_window_stream(
+    oi_env: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTradePaymentWindow as one streaming query (P7→D5→A5/A6,
+    app/dws/DwsTradePaymentWindow.java:60-110): order_info envelope
+    stream → exact 1002→1005 pay-success transition filter → D5
+    per-day-unique + first-ever-payer counters in day windows.
+
+    The reference's D5 ValueState (lastPayDate per user, doubling as the
+    first-ever flag) is re-expressed as a DUAL-DEDUP UNION — the same
+    pairwise-counter trick as traffic_grain_window_stream: one branch
+    dedups on (user, day) and tags (uu=1, new=0); the other dedups on
+    (user) alone — its single survivor IS the user's first-ever payment
+    — and tags (0, 1); one window aggregation sums both counters.
+
+    Ordering caveat (test-harness contract, same as the reference's
+    processing-order state): the first-EVER branch attributes the new
+    payer to the day of the user's first ARRIVAL. Under the availableNow
+    replay harness (ts-sorted single-file slices, maxFilesPerTrigger=1,
+    one partition per batch) arrival order IS event-time order, so
+    stream == batch twin exactly; a production deployment feeding from
+    an unordered topic uses the event-time-sorting stateful twin
+    (streaming/stateful.py::daily_new_flags_stream) for that branch
+    instead."""
+    from gmall_flink_spark.operators.cdc import status_transition
+
+    pays = (
+        src_filter(drop_bootstrap(oi_env), "order_info")
+        .where(status_transition("order_status", to="1005", from_="1002"))
+        .select(
+            d("user_id").cast("bigint").alias("user_id"),
+            F.timestamp_seconds("ts").alias("rt"),
+        )
+    )
+    uu = (
+        pays.withColumn("cur_date", F.date_format("rt", "yyyy-MM-dd"))
+        .withWatermark("rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(["user_id", "cur_date"])
+        .select(
+            "rt",
+            F.lit(1).cast("long").alias("uu"),
+            F.lit(0).cast("long").alias("new_u"),
+        )
+    )
+    first_ever = (
+        pays.withWatermark("rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select(
+            "rt",
+            F.lit(0).cast("long").alias("uu"),
+            F.lit(1).cast("long").alias("new_u"),
+        )
+    )
+    return (
+        tumble_agg(
+            uu.unionByName(first_ever),
+            "rt",
+            "1 day",
+            [],
+            [
+                F.sum("uu").alias("payment_suc_uu_ct"),
+                F.sum("new_u").alias("payment_suc_new_user_ct"),
+            ],
+        )
+        .select("stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct")
+    )
 
 
 def traffic_grain_window_stream(
@@ -294,6 +368,8 @@ def sentinel_envelope_slices(
     data: dict[str, str],
     ts: int,
     n: int = 2,
+    type_: str = "insert",
+    old: dict[str, str] | None = None,
 ) -> None:
     """Append ``n`` single-row far-future slices to a ``split_into_files``
     directory. Each sentinel is a valid insert envelope for ``table`` whose
@@ -317,11 +393,16 @@ def sentinel_envelope_slices(
     real slice — callers must pair this with ``maxFilesPerTrigger=1`` (as
     ``envelope_stream`` does) so each sentinel lands in its own batch; a
     single batch containing sentinel + real rows would advance the
-    watermark before the real rows are stated."""
+    watermark before the real rows are stated.
+
+    ``type_``/``old`` shape the envelope for pipelines whose filters sit
+    upstream of the watermark node: a P6/P7 transition pipeline drops
+    plain inserts before they can advance the watermark, so its sentinel
+    must be an update carrying the matching ``old`` image."""
     from gmall_flink_spark.schemas import CDC_ENVELOPE
 
     def make_df(j: int):
-        row = ("gmall_flink", table, "insert", ts + (j - 1) * 3600, data, None)
+        row = ("gmall_flink", table, type_, ts + (j - 1) * 3600, data, old)
         return spark.createDataFrame([row], CDC_ENVELOPE)
 
     _append_sentinel_slices(slices_dir, make_df, n)

@@ -1463,3 +1463,36 @@ def test_streaming_substr_gram_index_equals_batch(spark):
     )
     batch = duplicated_keys(position_grams(doc_tokens(docs)))
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_payment_uu_window_pipeline_end_to_end(spark):
+    """DwsTradePaymentWindow as ONE availableNow query — order_info
+    envelope source → P7 1002→1005 transition filter → D5 via the
+    dual-dedup union ((user, day) for uu, (user) for first-ever) → day
+    windows — equals the batch twin dws_payment_uu_window exactly. The
+    sentinel must be an UPDATE envelope carrying old.order_status=1002:
+    the transition filter sits upstream of the watermark node, so a
+    plain insert sentinel would be dropped before advancing it."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+    from gmall_flink_spark.streaming.pipelines import (
+        payment_uu_window_stream,
+        sentinel_envelope_slices,
+    )
+
+    env = orders_envelope(spark, SF)
+    slices = os.path.join(TMP, "payment_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    far = int(env.agg(F.max("ts")).collect()[0][0]) + 864_000_000  # +10k days
+    sentinel_envelope_slices(
+        spark, slices, "order_info",
+        {"id": "-9", "user_id": "-9", "order_status": "1005"},
+        far,
+        type_="update",
+        old={"order_status": "1002"},
+    )
+    got = run_available_now(
+        payment_uu_window_stream(stream_from(spark, slices, env))
+    )
+    batch = all_queries()["dws_payment_uu_window"](spark, SF)
+    assert rows(got) == rows(batch)
