@@ -691,3 +691,47 @@ def test_normalize_url_rules(spark):
         "ex.com", "b.org", "ex.com", "ex.com", "ex.com", "ex.com",
         "ex.com", "ex.com", "ex.net",
     ]
+
+
+def test_normalize_url_idempotent_and_matches_reference(spark):
+    """Canonicalization over a generated URL grid (scheme x case x port x
+    path x slash x query x fragment) must (a) equal an independent plain-
+    Python reference of the documented rules and (b) be idempotent —
+    normalize(normalize(u)) == normalize(u), the property that lets a
+    store re-canonicalize already-clean keys safely."""
+    import itertools
+
+    from gmall_flink_spark.functions.web import normalize_url
+
+    def ref(u: str) -> str:
+        import re
+
+        m = re.match(r"^([^/?#]*//[^/?#]*)", u)
+        head = m.group(1) if m else ""
+        rest = u[len(head):]
+        head = head.lower()
+        head = re.sub(r"^(http://[^:]*):80$", r"\1", head)
+        head = re.sub(r"^(https://[^:]*):443$", r"\1", head)
+        rest = re.sub(r"[?#].*$", "", rest)
+        rest = re.sub(r"(/[^/]+)/$", r"\1", rest)
+        return head + rest
+
+    urls = [
+        f"{scheme}://{host}{port}{path}{slash}{q}{frag}"
+        for scheme, host, port, path, slash, q, frag in itertools.product(
+            ["http", "https"],
+            ["Ex.COM", "www.ex.com", "a.b.ex.net"],
+            ["", ":80", ":443", ":8080"],
+            ["", "/p", "/P/Q2"],
+            ["", "/"],
+            ["", "?utm=1&x=2"],
+            ["", "#frag"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", normalize_url("url").alias("once")
+    )
+    df = df.select("url", "once", normalize_url("once").alias("twice"))
+    for r in df.collect():
+        assert r["once"] == ref(r["url"]), (r["url"], r["once"], ref(r["url"]))
+        assert r["twice"] == r["once"], (r["url"], r["once"], r["twice"])
