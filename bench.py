@@ -276,6 +276,10 @@ HEADLINE = [
     "web_domain_mix",
     "corpus_version_diff",
     "web_domain_dup_rate",
+    # round-9 continuation: selection / epoch-construction / link-graph ops
+    "web_domain_pagerank",
+    "llm_dsir_weights",
+    "llm_shard_manifest",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

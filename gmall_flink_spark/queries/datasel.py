@@ -1,0 +1,308 @@
+"""Data-selection & epoch-construction queries (north-star training-data
+ops beyond cleaning/dedup): link-graph host reputation (PageRank), DSIR
+distribution-matching importance weights, and the deterministic
+global-shuffle shard manifest. All oracle-checked; all integer-exact so
+DuckDB parity is hash-for-hash under any execution order.
+
+The link graph and the URL forms reuse queries/llm_pipeline's synthesis
+formulas (the oracle re-derives canonical domains from the formulas, the
+engine goes through the real normalize_url/registered_domain path — so
+web parity keeps proving the normalizer, never mirroring it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gmall_flink_spark.functions.text import md5_long, tokenize
+from gmall_flink_spark.functions.web import normalize_url, registered_domain
+from gmall_flink_spark.llm.graph import PR_DAMP, PR_ITERS, PR_Q, pagerank
+from gmall_flink_spark.queries.llm_pipeline import (
+    _TOKS,
+    _raw_url,
+    BENCH_MOD,
+    URL_TLDS,
+)
+from gmall_flink_spark.sources.tables import table
+
+#: link-target synthesis: doc with id i links its own domain to
+#: 'src((i*7+3) % DST_MOD)' under tld index (i%5)%3 — a deterministic,
+#: formula-derivable web graph (DST_MOD = the corpus' 20 sources, so the
+#: target universe matches the source universe and rank mass circulates)
+DST_MOD = 20
+
+
+def _dst_domain() -> Column:
+    did = F.col("doc_id")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in URL_TLDS]), ((did % 5) % 3 + 1).cast("int")
+    )
+    return F.concat(
+        F.lit("src"), ((did * 7 + 3) % DST_MOD).cast("string"), F.lit("."), tld
+    )
+
+
+def web_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation ranking over the corpus link graph — the crawl
+    governance signal that prioritizes fetches and weighs domain quality
+    (Page et al. 1999; the CommonCrawl-style host-level rank). Each doc
+    contributes one edge: its own registrable domain (derived through the
+    REAL url path — synth noisy url -> normalize_url ->
+    registered_domain; the oracle re-derives the canonical domain from
+    the synthesis formulas, so parity again proves the normalizer) links
+    to a formula-derived target domain. Fixed PR_ITERS integer-exact
+    power iterations; output is every node with its Q-scaled rank.
+
+    Scale: the host graph is millions of nodes at 100 TB — tiny next to
+    the corpus — so the rank vector broadcasts and each iteration is ONE
+    groupBy(dst) shuffle with map-side partials (llm/graph.py)."""
+    docs = table(spark, sf_dir, "documents")
+    edges = docs.select(
+        registered_domain(normalize_url(_raw_url())).alias("src"),
+        _dst_domain().alias("dst"),
+    )
+    ranks = pagerank(edges, iters=PR_ITERS, damp=PR_DAMP, q=PR_Q)
+    return ranks.select(F.col("node").alias("domain"), "rank_q").orderBy(
+        F.desc("rank_q"), "domain"
+    )
+
+
+#: DSIR hashed-feature space (Xie et al. 2023, "Data Selection for
+#: Language Models via Importance Resampling"): token features hash into
+#: this many buckets, so the model is dictionary-bounded no matter the
+#: corpus vocabulary
+DSIR_BUCKETS = 64
+
+
+def _flog2(x) -> F.Column:
+    """floor(log2(n)) as an exact BIGINT class for integer n >= 1 (the
+    suite's standard integer-log trick: FP log2 of an int < 2^53 cannot
+    cross an integer boundary off exact powers)."""
+    return F.floor(F.log2(x.cast("double"))).cast("bigint")
+
+
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights, integer-exact: score each raw-corpus
+    doc by how much its hashed-unigram distribution looks like the target
+    (benchmark) slice vs the raw corpus itself. Per feature bucket b the
+    log-ratio class is
+
+        r(b) = (flog2(p_b + 1) - flog2(p_total))
+             - (flog2(q_b + 1) - flog2(q_total))
+
+    (add-1 smoothed target/raw counts, both normalized by their totals in
+    log2 units); a doc's score is the exact integer sum of r over its
+    token occurrences. Positive score = more target-like than the raw
+    average — the distribution-matching SELECTION signal that quality
+    filters (which score docs in isolation) cannot express. Output: the
+    per-source selection report (docs, target-like docs, score moments).
+
+    Scale: the lambda table is DSIR_BUCKETS rows — it broadcasts onto
+    the token scan; two vocab-free bucket aggs (map-side partials) + one
+    (source, doc) agg. Bucket hashing is scan-stage JVM md5."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(tokenize("text")).alias("t"),
+    ).withColumn("b", F.pmod(md5_long(F.col("t")), F.lit(DSIR_BUCKETS)))
+    bench_t = toks.where(F.col("doc_id") % BENCH_MOD == 0)
+    raw_t = toks.where(F.col("doc_id") % BENCH_MOD != 0)
+    p = bench_t.groupBy("b").agg(F.count(F.lit(1)).alias("p_ct"))
+    q = raw_t.groupBy("b").agg(F.count(F.lit(1)).alias("q_ct"))
+    totals = bench_t.agg(F.count(F.lit(1)).alias("p_total")).crossJoin(
+        F.broadcast(raw_t.agg(F.count(F.lit(1)).alias("q_total")))
+    )
+    lam = (
+        q.join(p, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                (_flog2(F.coalesce("p_ct", F.lit(0)) + 1) - _flog2(F.col("p_total")))
+                - (_flog2(F.col("q_ct") + 1) - _flog2(F.col("q_total")))
+            ).alias("r"),
+        )
+    )
+    per_doc = (
+        raw_t.join(F.broadcast(lam), "b")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("r").alias("score"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum((F.col("score") > 0).cast("bigint")).alias("targetlike_ct"),
+            F.sum("score").alias("score_sum"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+        .orderBy("source")
+    )
+
+
+#: epoch-construction geometry: shards per epoch and the small weight the
+#: order checksum folds each position through
+N_SHARDS = 16
+SHARD_CK_MOD = 997
+
+
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard manifest — the epoch
+    construction step of a training pipeline: every doc lands in shard
+    ``portable_hash(doc_id) % N_SHARDS`` at position ``row_number`` by
+    ``(hash, doc_id)`` within the shard, and the manifest records each
+    shard's doc/token mass, boundary docs, and an ORDER-sensitive
+    checksum (sum of position * (doc_id % SHARD_CK_MOD)) — parity on the
+    checksum proves both engines materialize the exact same epoch order,
+    which is what makes the shuffle reproducible and a data loader
+    resumable mid-epoch.
+
+    Scale: seed-free hash sharding is map-side; ONE shuffle on the shard
+    key, then a per-shard (distributed) sort — there is never a global
+    sort, and shard count scales freely because position is derived
+    within the shard."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_toks"),
+        md5_long(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHARDS)))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    s = h.withColumn("rn", F.row_number().over(w))
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("n_toks").alias("token_ct"),
+            F.min_by("doc_id", "rn").alias("first_doc"),
+            F.max_by("doc_id", "rn").alias("last_doc"),
+            F.sum(
+                F.col("rn").cast("bigint") * (F.col("doc_id") % SHARD_CK_MOD)
+            ).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+QUERIES = {
+    "web_domain_pagerank": web_domain_pagerank,
+    "llm_dsir_weights": llm_dsir_weights,
+    "llm_shard_manifest": llm_shard_manifest,
+}
+
+_MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
+
+_TLD = "(['com','org','net'])[(doc_id % 3) + 1]"
+_DST_TLD = "(['com','org','net'])[((doc_id % 5) % 3) + 1]"
+
+#: unrolled integer power iteration — the same arithmetic as
+#: llm/graph.pagerank, one CTE per round
+_PR_BASE = (100 - PR_DAMP) * PR_Q // 100
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(f"""
+    r{i} AS (
+        SELECT n.node,
+               CAST({_PR_BASE} + ({PR_DAMP} * COALESCE(c.c, 0)) // 100
+                    AS BIGINT) AS rank_q
+        FROM n LEFT JOIN (
+            SELECT dst AS node, SUM((r{i - 1}.rank_q * w) // out_w) AS c
+            FROM ewo JOIN r{i - 1} ON ewo.src = r{i - 1}.node
+            GROUP BY dst
+        ) c ON n.node = c.node
+    )""")
+    return f"""
+    WITH de AS (
+        SELECT source || '.' || {_TLD} AS src,
+               'src' || CAST((doc_id * 7 + 3) % {DST_MOD} AS VARCHAR)
+                     || '.' || {_DST_TLD} AS dst
+        FROM documents
+    ),
+    e AS (SELECT src, dst FROM de WHERE src != dst),
+    ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+           FROM e GROUP BY src, dst),
+    o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM ew GROUP BY src),
+    ewo AS (SELECT ew.src, ew.dst, w, out_w FROM ew JOIN o ON ew.src = o.src),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    r0 AS (SELECT node, CAST({PR_Q} AS BIGINT) AS rank_q FROM n),
+    {",".join(rounds)}
+    SELECT node AS domain, rank_q FROM r{PR_ITERS}
+    ORDER BY rank_q DESC, domain
+    """
+
+
+ORACLE = {
+    "web_domain_pagerank": _pagerank_oracle(),
+    "llm_dsir_weights": f"""
+    WITH toks AS (
+        SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    tb AS (
+        SELECT source, doc_id,
+               {_MD5H.format(key="t")} % {DSIR_BUCKETS} AS b
+        FROM toks
+    ),
+    p AS (SELECT b, COUNT(*) AS p_ct FROM tb
+          WHERE doc_id % {BENCH_MOD} = 0 GROUP BY b),
+    q AS (SELECT b, COUNT(*) AS q_ct FROM tb
+          WHERE doc_id % {BENCH_MOD} != 0 GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM tb WHERE doc_id % {BENCH_MOD} = 0)
+                   AS p_total,
+               (SELECT COUNT(*) FROM tb WHERE doc_id % {BENCH_MOD} != 0)
+                   AS q_total
+    ),
+    lam AS (
+        SELECT q.b,
+               (CAST(FLOOR(LOG2(COALESCE(p_ct, 0) + 1)) AS BIGINT)
+                - CAST(FLOOR(LOG2(p_total)) AS BIGINT))
+               - (CAST(FLOOR(LOG2(q_ct + 1)) AS BIGINT)
+                  - CAST(FLOOR(LOG2(q_total)) AS BIGINT)) AS r
+        FROM q LEFT JOIN p ON q.b = p.b CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT source, doc_id, SUM(r) AS score
+        FROM tb JOIN lam ON tb.b = lam.b
+        WHERE doc_id % {BENCH_MOD} != 0
+        GROUP BY source, doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS targetlike_ct,
+           CAST(SUM(score) AS BIGINT) AS score_sum,
+           CAST(MIN(score) AS BIGINT) AS score_min,
+           CAST(MAX(score) AS BIGINT) AS score_max
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    "llm_shard_manifest": f"""
+    WITH h AS (
+        SELECT doc_id, len({_TOKS}) AS n_toks,
+               {_MD5H.format(key="CAST(doc_id AS VARCHAR)")} AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT *, h % {N_SHARDS} AS shard,
+               ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                                  ORDER BY h, doc_id) AS rn
+        FROM h
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(n_toks) AS BIGINT) AS token_ct,
+           arg_min(doc_id, rn) AS first_doc,
+           arg_max(doc_id, rn) AS last_doc,
+           CAST(SUM(rn * (doc_id % {SHARD_CK_MOD})) AS BIGINT)
+               AS order_checksum
+    FROM s GROUP BY shard ORDER BY shard
+    """,
+}

@@ -30,6 +30,7 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.multimodal",
     "gmall_flink_spark.queries.scale",
     "gmall_flink_spark.queries.entity",
+    "gmall_flink_spark.queries.datasel",
 ]
 
 

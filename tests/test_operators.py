@@ -735,3 +735,37 @@ def test_normalize_url_idempotent_and_matches_reference(spark):
     for r in df.collect():
         assert r["once"] == ref(r["url"]), (r["url"], r["once"], ref(r["url"]))
         assert r["twice"] == r["once"], (r["url"], r["once"], r["twice"])
+
+
+def test_pagerank_matches_python_reference(spark):
+    """llm/graph.pagerank on a small hand graph (with a self-loop, a
+    dangling node, and a parallel edge) must equal a plain-Python
+    re-statement of the documented integer arithmetic, iteration by
+    iteration: self-loops dropped, parallel edges act as weights,
+    dangling mass dropped, floor division everywhere."""
+    from gmall_flink_spark.llm.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "b"), ("a", "c"),   # parallel edge a->b (w=2)
+        ("b", "a"),
+        ("c", "c"),                            # self-loop: dropped
+        ("b", "d"),                            # d is dangling (no out)
+    ]
+    q, damp, iters = 10**12, 85, 5
+    kept = [(s, d) for s, d in edges if s != d]
+    nodes = sorted({n for e in kept for n in e})
+    w: dict[tuple[str, str], int] = {}
+    for e in kept:
+        w[e] = w.get(e, 0) + 1
+    out = {n: sum(ww for (s, _), ww in w.items() if s == n) for n in nodes}
+    rank = {n: q for n in nodes}
+    base = (100 - damp) * q // 100
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for (s, d), ww in w.items():
+            contrib[d] += rank[s] * ww // out[s]
+        rank = {n: base + damp * contrib[n] // 100 for n in nodes}
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, iters=iters).collect()}
+    assert got == rank

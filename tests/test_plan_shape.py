@@ -387,3 +387,35 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    """Every power iteration must join the rank vector into the edge list
+    as a broadcast (the host graph is tiny next to the corpus; a shuffle
+    join per round would add an edge-sized exchange per iteration), and
+    the contribution join must never degrade to a cartesian."""
+    from gmall_flink_spark.llm.graph import PR_ITERS
+
+    p = plan(spark, "web_domain_pagerank")
+    assert p.count("BroadcastHashJoin") >= PR_ITERS, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_shard_manifest_sorts_within_shards_only(spark):
+    """The epoch shuffle must never globally sort the corpus: position is
+    derived per shard (window over hashpartitioning), so the only range
+    partitioning allowed is the terminal presentation ORDER BY on the
+    16-row manifest itself."""
+    p = plan(spark, "llm_shard_manifest")
+    assert p.count("rangepartitioning") <= 1, p
+    assert "hashpartitioning(shard" in p, p
+
+
+def test_dsir_lambda_table_broadcasts(spark):
+    """llm_dsir_weights' per-bucket log-ratio table is DSIR_BUCKETS rows —
+    it must broadcast onto the token scan, never shuffle the corpus side
+    (the 1-row totals ride in as scalar broadcast nested loops — the
+    accepted scalar pattern; a CartesianProduct is not)."""
+    p = plan(spark, "llm_dsir_weights")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p

@@ -1496,3 +1496,84 @@ def test_payment_uu_window_pipeline_end_to_end(spark):
     )
     batch = all_queries()["dws_payment_uu_window"](spark, SF)
     assert rows(got) == rows(batch)
+
+
+def test_streaming_link_graph_rollup_equals_batch_pagerank(spark):
+    """The corpus link graph as a continuous aggregate: per-batch
+    (src, dst) edge counts merged through the rollup sink, ranks
+    recomputed at read time from the maintained weights — PageRank over
+    the streamed graph must equal the batch operator exactly (integer
+    ranks make this bit-for-bit, not approximately). The 100 TB posture:
+    crawl batches stream in, the host graph accretes additively, the
+    rank report is a read-time query over the small maintained table."""
+    from gmall_flink_spark.llm.graph import pagerank, pagerank_from_weights
+    from gmall_flink_spark.queries.datasel import _dst_domain
+    from gmall_flink_spark.functions.web import normalize_url, registered_domain
+    from gmall_flink_spark.queries.llm_pipeline import _raw_url
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "linkgraph_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("doc_id", "text", "source")
+    src_dir = os.path.join(TMP, "linkgraph_slices")
+    split_into_files(docs, 3, "doc_id", src_dir)
+
+    def edges(df):
+        return df.select(
+            registered_domain(normalize_url(_raw_url())).alias("src"),
+            _dst_domain().alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+
+    def partial(df):
+        return edges(df).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w_ct"))
+
+    sdf = stream_from(spark, src_dir, docs)
+    run_available_now(
+        sdf, foreach_batch=rollup_writer(state, ["src", "dst"], partial)
+    )
+    streamed = pagerank_from_weights(
+        read_state(spark, state).withColumnRenamed("w_ct", "w")
+    )
+    batch = pagerank(edges(docs))
+    assert rows(streamed) == rows(batch) and streamed.count() > 0
+
+
+def test_streaming_dsir_bucket_counts_equal_batch(spark):
+    """DSIR's target/raw hashed-feature model is two bucket-count tables —
+    algebraic, so the selection model is maintainable per micro-batch
+    through the rollup sink as corpus and benchmark docs stream in; the
+    lambda table and per-doc scores are read-time derivations over the
+    DSIR_BUCKETS-row state."""
+    from gmall_flink_spark.functions.text import md5_long, tokenize
+    from gmall_flink_spark.queries.datasel import DSIR_BUCKETS
+    from gmall_flink_spark.queries.llm_pipeline import BENCH_MOD
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    state = os.path.join(TMP, "dsir_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    src_dir = os.path.join(TMP, "dsir_slices")
+    split_into_files(docs, 3, "doc_id", src_dir)
+
+    def sided_buckets(df):
+        return df.select(
+            F.when(F.col("doc_id") % BENCH_MOD == 0, "p").otherwise("q").alias("side"),
+            F.explode(tokenize("text")).alias("t"),
+        ).withColumn("b", F.pmod(md5_long(F.col("t")), F.lit(DSIR_BUCKETS)))
+
+    def partial(df):
+        return sided_buckets(df).groupBy("side", "b").agg(
+            F.count(F.lit(1)).alias("occ_ct")
+        )
+
+    sdf = stream_from(spark, src_dir, docs)
+    run_available_now(
+        sdf, foreach_batch=rollup_writer(state, ["side", "b"], partial)
+    )
+    got = read_state(spark, state)
+    batch = sided_buckets(docs).groupBy("side", "b").agg(
+        F.count(F.lit(1)).alias("occ_ct")
+    )
+    assert rows(got) == rows(batch) and got.count() > 0
