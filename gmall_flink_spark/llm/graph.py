@@ -80,7 +80,14 @@ def pagerank_from_weights(
     a STREAMED edge-weight table works too: per-batch (src, dst) counts
     are algebraic, so the link graph is maintainable through the rollup
     sink and the ranks recompute at read time from the maintained
-    weights (test_streaming_link_graph_rollup_equals_batch_pagerank)."""
+    weights (test_streaming_link_graph_rollup_equals_batch_pagerank).
+
+    The aggregated edge table is localCheckpointed before iterating:
+    ``ewo`` and ``nodes`` are referenced by every round, and without the
+    cut Catalyst re-derives the corpus-sized edge aggregation once per
+    reference (11 scans at 5 rounds). The checkpoint is host-graph-sized
+    — exactly the thing that's small by construction here."""
+    ew = ew.localCheckpoint(eager=False)
     out = ew.groupBy("src").agg(F.sum("w").alias("out_w"))
     ewo = ew.join(out, "src")
     nodes = (

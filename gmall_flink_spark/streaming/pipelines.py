@@ -29,6 +29,13 @@ per-operator twins.
   pairwise-counter day windows — the traffic family's log source, where
   the other compositions consume CDC envelopes.
 
+* ``user_login_window_stream`` = DwsUserUserLoginWindow
+  (app/dws/DwsUserUserLoginWindow.java:36-151): event stream → login
+  filter → D6 returning-user flags (custom applyInPandasWithState
+  last-active-day state) → daily uu + 7-day-returner counts in day
+  windows — the only composition chaining a CUSTOM stateful operator
+  into a downstream windowed aggregation.
+
 * ``order_detail_wide_stream`` = DwdTradeOrderDetail
   (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
   order_info (J1) LEFT JOIN detail_activity LEFT JOIN detail_coupon (J2×2)
@@ -276,6 +283,62 @@ def traffic_grain_window_stream(
             F.sum("dur").alias("dur_sum"),
         ],
     )
+
+
+def user_login_window_stream(
+    ev: DataFrame,
+    login_type: str = "click",
+    gap_days: int = 7,
+) -> DataFrame:
+    """DwsUserUserLoginWindow as one streaming query (P→D6→A5/A6,
+    app/dws/DwsUserUserLoginWindow.java:36-151): event stream → login
+    filter → D6 returning-user flags (the CUSTOM applyInPandasWithState
+    last-active-day state machine, not a built-in dedup) → daily unique
+    logins + 7-day returners in tumbling day windows.
+
+    This is the composition none of the other five pipelines exercise: a
+    custom stateful operator CHAINED INTO a downstream windowed
+    aggregation in the same query. The flags stream re-bases event time
+    on ``cur_date`` (each flag row's day floor) and re-watermarks there
+    — under the ordered-replay harness a day's flag row is always
+    emitted before any later-day event has advanced that node's
+    watermark (rt = day start <= every ts of that day), so nothing is
+    late even at a 0-second delay; far-future sentinel logins push the
+    watermark past the last real window to close it.
+
+    Sentinel contract (learned the hard way): the pipeline must NOT
+    filter sentinel rows out itself — Catalyst pushes any such filter
+    BELOW the EventTimeWatermark node, so the sentinel would be removed
+    before the watermark node ever saw it and the last window would
+    never close. Instead every sentinel slice carries the SAME
+    far-future timestamp: the sentinel's own window [T, T+1d) can then
+    never close (the watermark stops exactly at T), so it self-excludes
+    from the append output no matter how many sentinel slices replay.
+
+    Scale: D6 state is one date per user; the window agg adds one
+    counter pair per day — both keyed, both bounded; the union-free
+    single-branch shape (unlike payment's dual-dedup) is possible
+    because the D6 operator already emits exactly one row per (user,
+    active day) with the is_back flag decided by real state."""
+    from gmall_flink_spark.streaming.stateful import returning_flags_stream
+
+    login = ev.where(F.col("event_type") == login_type)
+    flags = returning_flags_stream(login, "user_id", ts="ts", gap_days=gap_days)
+    # no sentinel filter anywhere (see docstring: Catalyst would push it
+    # below the watermark node); same-timestamp sentinels self-exclude
+    w = flags.withColumn("rt", F.to_timestamp("cur_date")).withWatermark(
+        "rt", "0 seconds"
+    )
+    return tumble_agg(
+        w,
+        "rt",
+        "1 day",
+        [],
+        [
+            F.count(F.lit(1)).alias("uu_ct"),
+            F.sum("is_back").alias("back_ct"),
+        ],
+    ).select("stt", "edt", "uu_ct", "back_ct")
 
 
 def sentinel_value_slices(

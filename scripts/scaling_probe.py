@@ -91,6 +91,11 @@ PROBES = [
                                 #   ALL positions mark duplicated — cost
                                 #   signal only; id-distinct mode measures
                                 #   real growth)
+    # round 9 continuation
+    "web_domain_pagerank",      # link-graph build + 5 broadcast-rank rounds
+                                #   (node universe fixed: Kx edges, same graph)
+    "llm_dsir_weights",         # bucket aggs + broadcast lambda + doc agg
+    "llm_shard_manifest",       # shard shuffle + per-shard window sort
 ]
 
 

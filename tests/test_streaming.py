@@ -1577,3 +1577,60 @@ def test_streaming_dsir_bucket_counts_equal_batch(spark):
         F.count(F.lit(1)).alias("occ_ct")
     )
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_user_login_window_pipeline_end_to_end(spark):
+    """DwsUserUserLoginWindow as ONE availableNow query — login filter →
+    D6 returning-flags state machine → daily uu/returner day windows —
+    equals the batch twin (returning_flags → tumble_agg) exactly. The
+    distinctive composition: a custom applyInPandasWithState operator
+    feeding a downstream watermarked window aggregation in one query,
+    with event time re-based on the emitted cur_date; far-future
+    sentinel logins (all carrying the SAME timestamp, so their own
+    window can never close and they self-exclude from the append
+    output) close the last real window."""
+    from gmall_flink_spark.operators.dedup import returning_flags
+    from gmall_flink_spark.streaming.pipelines import (
+        _append_sentinel_slices,
+        user_login_window_stream,
+    )
+
+    ev = table(spark, SF, "events")
+    src_dir = os.path.join(TMP, "login_window_slices")
+    if os.path.exists(src_dir):
+        shutil.rmtree(src_dir)
+    split_into_files(ev, 4, "ts", src_dir)
+
+    def sentinel(j):
+        return ev.limit(1).select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.to_timestamp(F.lit("2199-01-01 00:00:00")).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+        )
+
+    _append_sentinel_slices(src_dir, sentinel, 2)
+
+    sdf = stream_from(spark, src_dir, ev)
+    got = run_available_now(user_login_window_stream(sdf))
+
+    login = ev.where(F.col("event_type") == "click")
+    batch = (
+        tumble_agg(
+            returning_flags(login, "user_id", "ts", gap_days=7).withColumn(
+                "rt", F.to_timestamp("cur_date")
+            ),
+            "rt",
+            "1 day",
+            [],
+            [
+                F.count(F.lit(1)).alias("uu_ct"),
+                F.sum("is_back").alias("back_ct"),
+            ],
+        )
+    ).select("stt", "edt", "uu_ct", "back_ct")
+    assert rows(got) == rows(batch) and got.count() > 0
+    # the composition must actually exercise the returner path
+    assert batch.agg(F.sum("back_ct")).collect()[0][0] > 0
