@@ -280,6 +280,7 @@ HEADLINE = [
     "web_domain_pagerank",
     "llm_dsir_weights",
     "llm_shard_manifest",
+    "llm_bpe_train",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

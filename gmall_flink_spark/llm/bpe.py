@@ -1,0 +1,126 @@
+"""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016) — the full
+K-round merge-learning loop, not just one round's statistic
+(queries/llm_pipeline's ``llm_bpe_pairs`` / ``llm_bpe_merge_round`` are
+the single-round pieces; this module iterates real sequence rewriting).
+No gmall-flink counterpart — extends the LLM training-data surface.
+
+The trick that keeps every round inside JVM built-ins (and makes the
+whole trainer SQL-twinnable): token sequences live as ONE delimited
+string per document,
+
+    SEP + tok1 + SEP SEP + tok2 + SEP SEP + ... + tokN + SEP
+
+— a single separator at both ends, a double separator between adjacent
+tokens. Greedy left-to-right non-overlapping BPE merge application of
+pair (a, b) is then EXACTLY the built-in ``replace``:
+
+    replace(s,  SEP+a+SEP+SEP+b+SEP,  SEP+a+JOIN+b+SEP)
+
+``replace`` scans left to right and never overlaps matches; adjacent
+matches (…``·a··b··a··b·``…) don't collide because each consumes only
+ONE of the two separators it shares with a neighbor, and the
+replacement re-emits single end separators, restoring the invariant.
+Repeated-token runs get textbook greedy behavior for free ("a a a" with
+pair (a,a) → "a·a a": the merged token no longer equals "a", so the
+overlap can't re-fire). SEP (0x1f) and JOIN (0x1e) are control chars
+that whitespace tokenization can never emit inside a token.
+
+Per round the plan is: split → zip_with bigrams → explode →
+groupBy(a, b) with map-side partials → a deterministic top-1
+(TakeOrdered, never a global sort) → 1-row broadcast crossJoin → the
+map-only ``replace`` rewrite. The rewritten corpus is localCheckpointed
+per round, so round i+1 reads materialized strings instead of replaying
+i rounds of lineage — at 100 TB each round is one bounded-key shuffle
+plus a map pass, the same cost class as the reference statistic, times
+the K you train.
+
+Tie-break contract (mirrored by the SQL twin): most frequent pair
+first, then lexicographically smallest (a, b) AS SEPARATE COLUMNS —
+ordering the joined "a b" string instead would disagree with the tuple
+order once merged tokens contain JOIN (0x1e sorts below space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: inter-token delimiter in the packed-sequence string form
+BPE_SEP = "\x1f"
+#: internal joiner of a merged token's two halves
+BPE_JOIN = "\x1e"
+#: merge rounds the flagship training query runs
+BPE_TRAIN_ROUNDS = 6
+
+
+def delimited(toks: Column) -> Column:
+    """Pack a token array into the delimited-string sequence form."""
+    return F.concat(
+        F.lit(BPE_SEP), F.concat_ws(BPE_SEP + BPE_SEP, toks), F.lit(BPE_SEP)
+    )
+
+
+def _seq_tokens(col_name: str) -> Column:
+    """Unpack the delimited string column back to a token array."""
+    return F.split(
+        F.expr(f"substring({col_name}, 2, length({col_name}) - 2)"),
+        BPE_SEP + BPE_SEP,
+    )
+
+
+def bpe_train(docs: DataFrame, text_arr: str, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """Learn ``rounds`` BPE merges over ``docs[text_arr]`` (an
+    array<string> token column). Returns the ordered merge table
+    ``(round, pair_a, pair_b, pair_ct)`` — the trained tokenizer's merge
+    list, which IS the artifact a BPE tokenizer ships.
+
+    Each round's winning pair is chosen deterministically (max count,
+    then smallest (a, b)); the corpus is rewritten with the delimited-
+    string ``replace`` form and checkpointed before the next round."""
+    seqs = docs.select(delimited(F.col(text_arr)).alias("s"))
+    merges: DataFrame | None = None
+    for i in range(1, rounds + 1):
+        toks = seqs.select(_seq_tokens("s").alias("l")).where(F.size("l") >= 2)
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("l"), F.lit(1), F.size("l") - 1),
+                    F.slice(F.col("l"), F.lit(2), F.size("l") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("pair_ct"))
+            .orderBy(F.desc("pair_ct"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        row = top.select(
+            F.lit(i).alias("round"),
+            F.col("a").alias("pair_a"),
+            F.col("b").alias("pair_b"),
+            "pair_ct",
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        if i < rounds:
+            seqs = (
+                seqs.crossJoin(F.broadcast(top))
+                .select(
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(BPE_SEP), F.col("a"),
+                            F.lit(BPE_SEP + BPE_SEP),
+                            F.col("b"), F.lit(BPE_SEP),
+                        ),
+                        F.concat(
+                            F.lit(BPE_SEP), F.col("a"),
+                            F.lit(BPE_JOIN),
+                            F.col("b"), F.lit(BPE_SEP),
+                        ),
+                    ).alias("s")
+                )
+                .localCheckpoint(eager=False)
+            )
+    return merges

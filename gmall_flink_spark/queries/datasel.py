@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from gmall_flink_spark.functions.text import md5_long, tokenize
 from gmall_flink_spark.functions.web import normalize_url, registered_domain
+from gmall_flink_spark.llm.bpe import BPE_TRAIN_ROUNDS
 from gmall_flink_spark.llm.graph import PR_DAMP, PR_ITERS, PR_Q, pagerank
 from gmall_flink_spark.queries.llm_pipeline import (
     _TOKS,
@@ -189,10 +190,30 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE tokenizer TRAINING: learn BPE_TRAIN_ROUNDS merges
+    over the corpus with real sequence rewriting between rounds (the
+    single-round statistics live in llm_bpe_pairs / llm_bpe_merge_round;
+    this is the full loop whose output — the ordered merge list — IS the
+    artifact a trained BPE tokenizer ships). Semantics, the delimited-
+    string replace trick, and the (count desc, a, b) tie-break are
+    documented in llm/bpe.py; the oracle unrolls the identical rounds.
+
+    Scale: per round ONE bounded-key (a, b) shuffle with map-side
+    partials + a TakeOrdered top-1 + a map-only replace over
+    checkpointed strings — K times the llm_bpe_pairs cost class."""
+    from gmall_flink_spark.llm.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(tokenize("text").alias("l"))
+    return bpe_train(toked, "l", rounds=BPE_TRAIN_ROUNDS).orderBy("round")
+
+
 QUERIES = {
     "web_domain_pagerank": web_domain_pagerank,
     "llm_dsir_weights": llm_dsir_weights,
     "llm_shard_manifest": llm_shard_manifest,
+    "llm_bpe_train": llm_bpe_train,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -240,8 +261,52 @@ def _pagerank_oracle() -> str:
     """
 
 
+#: SQL fragments of the delimited-string BPE form (llm/bpe.py: SEP=0x1f
+#: between/around tokens, JOIN=0x1e inside merged tokens)
+_BPE_S = "chr(31)"
+_BPE_J = "chr(30)"
+
+
+def _bpe_train_oracle() -> str:
+    """Unrolled K-round BPE training twin: per round, bigram counts from
+    the split sequence strings, the deterministic top-1, and the same
+    invariant-preserving replace rewrite."""
+    parts = [f"""
+    WITH d1 AS (
+        SELECT {_BPE_S} || array_to_string({_TOKS}, {_BPE_S}||{_BPE_S})
+                   || {_BPE_S} AS s
+        FROM documents
+    )"""]
+    for i in range(1, BPE_TRAIN_ROUNDS + 1):
+        parts.append(f"""
+    p{i} AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_ct
+        FROM (
+            SELECT u.p['a'] AS a, u.p['b'] AS b
+            FROM (SELECT string_split(substr(s, 2, length(s) - 2),
+                                      {_BPE_S}||{_BPE_S}) AS l FROM d{i}) t,
+                 LATERAL unnest([{{'a': l[j], 'b': l[j + 1]}}
+                                 for j in range(1, len(l))]) AS u(p)
+        ) GROUP BY a, b ORDER BY pair_ct DESC, a, b LIMIT 1
+    )""")
+        if i < BPE_TRAIN_ROUNDS:
+            parts.append(f"""
+    d{i + 1} AS (
+        SELECT replace(s,
+                       {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
+                       {_BPE_S} || a || {_BPE_J} || b || {_BPE_S}) AS s
+        FROM d{i} CROSS JOIN p{i}
+    )""")
+    rounds_sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, a AS pair_a, b AS pair_b, pair_ct FROM p{i}"
+        for i in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return ",".join(parts) + f"\n    {rounds_sel}\n    ORDER BY round"
+
+
 ORACLE = {
     "web_domain_pagerank": _pagerank_oracle(),
+    "llm_bpe_train": _bpe_train_oracle(),
     "llm_dsir_weights": f"""
     WITH toks AS (
         SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents

@@ -769,3 +769,61 @@ def test_pagerank_matches_python_reference(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r["node"]: r["rank_q"] for r in pagerank(df, iters=iters).collect()}
     assert got == rank
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """llm/bpe.bpe_train on a hand corpus engineered so merges NEST
+    (later rounds must pick pairs whose halves are earlier merged
+    tokens) and repeated-token runs occur ("a a a") — against a plain-
+    Python greedy BPE with the identical (count desc, a, b) tie-break.
+    This is the semantics the big-corpus oracle parity can't exercise:
+    the synthetic word soup rarely nests within 6 rounds."""
+    from gmall_flink_spark.llm.bpe import BPE_JOIN, bpe_train
+
+    corpus = [
+        ["the", "cat", "sat"],
+        ["the", "cat", "sat", "down"],
+        ["the", "cat", "ran"],
+        ["a", "a", "a", "a"],
+        ["a", "a", "b"],
+        ["lone"],
+        [],
+    ]
+
+    def py_bpe(seqs, rounds):
+        seqs = [list(s) for s in seqs]
+        merges = []
+        for _ in range(rounds):
+            counts = {}
+            for s in seqs:
+                for x, y in zip(s, s[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            (a, b), ct = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, ct))
+            m = a + BPE_JOIN + b
+            out = []
+            for s in seqs:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(m)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(ns)
+            seqs = out
+        return merges
+
+    rounds = 5
+    expected = [
+        (i + 1, a, b, ct) for i, (a, b, ct) in enumerate(py_bpe(corpus, rounds))
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], "l array<string>")
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["pair_ct"])
+        for r in bpe_train(df, "l", rounds=rounds).orderBy("round").collect()
+    ]
+    assert got == expected
+    # the fixture must actually nest: some later pair contains a merged half
+    assert any(BPE_JOIN in a or BPE_JOIN in b for _, a, b, _ in expected)
