@@ -281,6 +281,7 @@ HEADLINE = [
     "llm_dsir_weights",
     "llm_shard_manifest",
     "llm_bpe_train",
+    "llm_bpe_encode",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

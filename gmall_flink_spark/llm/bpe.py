@@ -67,16 +67,41 @@ def _seq_tokens(col_name: str) -> Column:
     )
 
 
+def seq_token_count(col_name: str) -> Column:
+    """Token count of a delimited sequence string (0 for the empty
+    sequence, whose packed form is the bare two-separator string — split
+    would otherwise report one phantom empty token)."""
+    return (
+        F.when(F.length(col_name) <= 2, F.lit(0))
+        .otherwise(F.size(_seq_tokens(col_name)))
+        .cast("bigint")
+    )
+
+
 def bpe_train(docs: DataFrame, text_arr: str, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
     """Learn ``rounds`` BPE merges over ``docs[text_arr]`` (an
     array<string> token column). Returns the ordered merge table
     ``(round, pair_a, pair_b, pair_ct)`` — the trained tokenizer's merge
-    list, which IS the artifact a BPE tokenizer ships.
+    list, which IS the artifact a BPE tokenizer ships."""
+    return bpe_train_state(docs, text_arr, rounds=rounds)[0]
+
+
+def bpe_train_state(
+    docs: DataFrame,
+    text_arr: str,
+    rounds: int = BPE_TRAIN_ROUNDS,
+    carry: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """The full trainer state: ``(merges, encoded)`` where ``merges`` is
+    the ordered merge table and ``encoded`` is the corpus with ALL
+    ``rounds`` merges applied (columns ``carry`` + the delimited string
+    ``s``) — i.e. the corpus ENCODED by the tokenizer it just trained,
+    which is what the train→apply loop ships to packing/budget stages.
 
     Each round's winning pair is chosen deterministically (max count,
     then smallest (a, b)); the corpus is rewritten with the delimited-
     string ``replace`` form and checkpointed before the next round."""
-    seqs = docs.select(delimited(F.col(text_arr)).alias("s"))
+    seqs = docs.select(*carry, delimited(F.col(text_arr)).alias("s"))
     merges: DataFrame | None = None
     for i in range(1, rounds + 1):
         toks = seqs.select(_seq_tokens("s").alias("l")).where(F.size("l") >= 2)
@@ -103,24 +128,24 @@ def bpe_train(docs: DataFrame, text_arr: str, rounds: int = BPE_TRAIN_ROUNDS) ->
             "pair_ct",
         )
         merges = row if merges is None else merges.unionByName(row)
-        if i < rounds:
-            seqs = (
-                seqs.crossJoin(F.broadcast(top))
-                .select(
-                    F.replace(
-                        F.col("s"),
-                        F.concat(
-                            F.lit(BPE_SEP), F.col("a"),
-                            F.lit(BPE_SEP + BPE_SEP),
-                            F.col("b"), F.lit(BPE_SEP),
-                        ),
-                        F.concat(
-                            F.lit(BPE_SEP), F.col("a"),
-                            F.lit(BPE_JOIN),
-                            F.col("b"), F.lit(BPE_SEP),
-                        ),
-                    ).alias("s")
-                )
-                .localCheckpoint(eager=False)
+        seqs = (
+            seqs.crossJoin(F.broadcast(top))
+            .select(
+                *carry,
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(BPE_SEP), F.col("a"),
+                        F.lit(BPE_SEP + BPE_SEP),
+                        F.col("b"), F.lit(BPE_SEP),
+                    ),
+                    F.concat(
+                        F.lit(BPE_SEP), F.col("a"),
+                        F.lit(BPE_JOIN),
+                        F.col("b"), F.lit(BPE_SEP),
+                    ),
+                ).alias("s"),
             )
-    return merges
+            .localCheckpoint(eager=False)
+        )
+    return merges, seqs

@@ -190,6 +190,29 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session memo of the trained BPE state — (merge table, encoded corpus)
+#: share the per-round checkpoints across llm_bpe_train / llm_bpe_encode
+_BPE_STATE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _bpe_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    from gmall_flink_spark.llm.bpe import bpe_train_state
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _BPE_STATE)
+    if key not in _BPE_STATE:
+        docs = table(spark, sf_dir, "documents")
+        toked = docs.select(
+            "source",
+            F.size(tokenize("text")).cast("bigint").alias("n0"),
+            tokenize("text").alias("l"),
+        )
+        _BPE_STATE[key] = bpe_train_state(
+            toked, "l", rounds=BPE_TRAIN_ROUNDS, carry=("source", "n0")
+        )
+    return _BPE_STATE[key]
+
+
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPE tokenizer TRAINING: learn BPE_TRAIN_ROUNDS merges
     over the corpus with real sequence rewriting between rounds (the
@@ -202,11 +225,38 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per round ONE bounded-key (a, b) shuffle with map-side
     partials + a TakeOrdered top-1 + a map-only replace over
     checkpointed strings — K times the llm_bpe_pairs cost class."""
-    from gmall_flink_spark.llm.bpe import bpe_train
+    return _bpe_state(spark, sf_dir)[0].orderBy("round")
 
-    docs = table(spark, sf_dir, "documents")
-    toked = docs.select(tokenize("text").alias("l"))
-    return bpe_train(toked, "l", rounds=BPE_TRAIN_ROUNDS).orderBy("round")
+
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the tokenizer loop: encode the corpus with the
+    merges just trained (sharing the per-round checkpoints with
+    llm_bpe_train through the session memo) and report per-source
+    compression — docs, tokens before/after, merges applied, and the
+    compression ratio in basis points. The fertility/compression report
+    is how a tokenizer's fit to a corpus is judged before committing to
+    it for a training run.
+
+    Scale: the encoded corpus is the trainer's terminal checkpoint; this
+    query adds one map-side token count and one source-key aggregate."""
+    _, enc = _bpe_state(spark, sf_dir)
+    from gmall_flink_spark.llm.bpe import seq_token_count
+
+    agg = enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum("n0").alias("tok_before"),
+        F.sum(seq_token_count("s")).alias("tok_after"),
+    )
+    return agg.select(
+        "source",
+        "doc_ct",
+        "tok_before",
+        "tok_after",
+        (F.col("tok_before") - F.col("tok_after")).alias("merged_ct"),
+        F.when(F.col("tok_before") == 0, F.lit(10000).cast("bigint"))
+        .otherwise(F.expr("(10000 * tok_after) DIV tok_before"))
+        .alias("ratio_bp"),
+    ).orderBy("source")
 
 
 QUERIES = {
@@ -214,6 +264,7 @@ QUERIES = {
     "llm_dsir_weights": llm_dsir_weights,
     "llm_shard_manifest": llm_shard_manifest,
     "llm_bpe_train": llm_bpe_train,
+    "llm_bpe_encode": llm_bpe_encode,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -267,13 +318,16 @@ _BPE_S = "chr(31)"
 _BPE_J = "chr(30)"
 
 
-def _bpe_train_oracle() -> str:
-    """Unrolled K-round BPE training twin: per round, bigram counts from
-    the split sequence strings, the deterministic top-1, and the same
-    invariant-preserving replace rewrite."""
+def _bpe_rounds_cte() -> str:
+    """Shared unrolled K-round BPE CTE chain (mirrors llm/bpe.py): per
+    round, bigram counts from the split sequence strings, the
+    deterministic top-1, and the invariant-preserving replace rewrite —
+    carrying (source, n0) like the engine so the encode twin can
+    aggregate the terminal state d{K+1}."""
     parts = [f"""
     WITH d1 AS (
-        SELECT {_BPE_S} || array_to_string({_TOKS}, {_BPE_S}||{_BPE_S})
+        SELECT source, len({_TOKS}) AS n0,
+               {_BPE_S} || array_to_string({_TOKS}, {_BPE_S}||{_BPE_S})
                    || {_BPE_S} AS s
         FROM documents
     )"""]
@@ -289,24 +343,52 @@ def _bpe_train_oracle() -> str:
                                  for j in range(1, len(l))]) AS u(p)
         ) GROUP BY a, b ORDER BY pair_ct DESC, a, b LIMIT 1
     )""")
-        if i < BPE_TRAIN_ROUNDS:
-            parts.append(f"""
+        parts.append(f"""
     d{i + 1} AS (
-        SELECT replace(s,
+        SELECT source, n0,
+               replace(s,
                        {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
                        {_BPE_S} || a || {_BPE_J} || b || {_BPE_S}) AS s
         FROM d{i} CROSS JOIN p{i}
     )""")
+    return ",".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     rounds_sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS round, a AS pair_a, b AS pair_b, pair_ct FROM p{i}"
         for i in range(1, BPE_TRAIN_ROUNDS + 1)
     )
-    return ",".join(parts) + f"\n    {rounds_sel}\n    ORDER BY round"
+    return _bpe_rounds_cte() + f"\n    {rounds_sel}\n    ORDER BY round"
+
+
+def _bpe_encode_oracle() -> str:
+    k1 = BPE_TRAIN_ROUNDS + 1
+    return _bpe_rounds_cte() + f""",
+    enc AS (
+        SELECT source, CAST(n0 AS BIGINT) AS n0,
+               CASE WHEN length(s) <= 2 THEN 0
+                    ELSE len(string_split(substr(s, 2, length(s) - 2),
+                                          {_BPE_S}||{_BPE_S})) END AS n1
+        FROM d{k1}
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(n0) AS BIGINT) AS tok_before,
+               CAST(SUM(n1) AS BIGINT) AS tok_after
+        FROM enc GROUP BY source
+    )
+    SELECT source, doc_ct, tok_before, tok_after,
+           tok_before - tok_after AS merged_ct,
+           CASE WHEN tok_before = 0 THEN 10000
+                ELSE (10000 * tok_after) // tok_before END AS ratio_bp
+    FROM agg ORDER BY source"""
 
 
 ORACLE = {
     "web_domain_pagerank": _pagerank_oracle(),
     "llm_bpe_train": _bpe_train_oracle(),
+    "llm_bpe_encode": _bpe_encode_oracle(),
     "llm_dsir_weights": f"""
     WITH toks AS (
         SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents

@@ -158,6 +158,7 @@ def clear_session_memos() -> None:
         _SUBSTR_IDX,
         _VERIFIED,
     )
+    from gmall_flink_spark.queries.datasel import _BPE_STATE
     from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
     from gmall_flink_spark.queries.similarity import (
         _ASSIGNED_MEMO,
@@ -167,6 +168,7 @@ def clear_session_memos() -> None:
     from gmall_flink_spark.queries.text import _WINNOW_DOCS
 
     for memo in (
+        _BPE_STATE,
         _WINNOW_DOCS,
         _COMPONENTS,
         _DOC_TOKS,
