@@ -29,6 +29,11 @@ per-operator twins.
   pairwise-counter day windows — the traffic family's log source, where
   the other compositions consume CDC envelopes.
 
+* ``home_detail_uv_window_stream`` = DwsTrafficHomeDetailPageViewWindow
+  (app/dws/DwsTrafficHomeDetailPageViewWindow.java:70-133): raw log →
+  parse → home/good_detail filter → (mid, page_id, day) dedup → two
+  pairwise UV counters per day window.
+
 * ``user_login_window_stream`` = DwsUserUserLoginWindow
   (app/dws/DwsUserUserLoginWindow.java:36-151): event stream → login
   filter → D6 returning-user flags (custom applyInPandasWithState
@@ -283,6 +288,54 @@ def traffic_grain_window_stream(
             F.sum("dur").alias("dur_sum"),
         ],
     )
+
+
+def home_detail_uv_window_stream(
+    raw: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTrafficHomeDetailPageViewWindow as one streaming query
+    (P1→P9→D4→A5/A6, app/dws/DwsTrafficHomeDetailPageViewWindow.java:
+    70-133): raw topic_log JSON → parse → home/good_detail page filter →
+    first-per-day dedup on (mid, page_id, day) → two pairwise UV
+    counters per day window. The reference keeps one ValueState flag per
+    (mid, page type); the dedup key carries page_id, so a single
+    dropDuplicatesWithinWatermark covers both page types and the
+    conditional counters split them at aggregation time.
+
+    Scale: dedup state = one entry per (mid, page type, day) — the
+    reference's exact flag cardinality; one window agg with map-side
+    partials."""
+    from gmall_flink_spark.operators.log_split import parse_page_log
+
+    parsed = parse_page_log(raw)
+    page = parsed.where(
+        F.col("start").isNull()
+        & F.col("page").isNotNull()
+        & F.col("page.page_id").isin("home", "good_detail")
+    )
+    x = page.select(
+        F.col("common.mid").alias("mid"),
+        F.col("page.page_id").alias("page_id"),
+        F.timestamp_millis("ts").alias("rt"),
+    )
+    dedup = (
+        x.withColumn("cur_date", F.date_format("rt", "yyyy-MM-dd"))
+        .withWatermark("rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(["mid", "page_id", "cur_date"])
+    )
+    return tumble_agg(
+        dedup,
+        "rt",
+        "1 day",
+        [],
+        [
+            F.sum((F.col("page_id") == "home").cast("bigint")).alias("home_uv_ct"),
+            F.sum((F.col("page_id") == "good_detail").cast("bigint")).alias(
+                "detail_uv_ct"
+            ),
+        ],
+    ).select("stt", "edt", "home_uv_ct", "detail_uv_ct")
 
 
 def user_login_window_stream(

@@ -1634,3 +1634,45 @@ def test_user_login_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
     # the composition must actually exercise the returner path
     assert batch.agg(F.sum("back_ct")).collect()[0][0] > 0
+
+
+def test_home_detail_uv_window_pipeline_end_to_end(spark):
+    """DwsTrafficHomeDetailPageViewWindow as ONE availableNow query — raw
+    JSON log source → parse → home/good_detail filter → (mid, page_id,
+    day) dedup → pairwise UV day windows — equals the REGISTERED batch
+    twin dws_home_detail_uv exactly (stream stt mapped to its cur_date).
+    Sentinel: a parseable far-future home page line whose own window
+    never closes."""
+    import json
+
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.log_synth import page_log_json
+    from gmall_flink_spark.streaming.pipelines import (
+        home_detail_uv_window_stream,
+        sentinel_value_slices,
+    )
+
+    raw = page_log_json(spark, SF)
+    slices = os.path.join(TMP, "home_detail_log_slices")
+    if os.path.exists(slices):
+        shutil.rmtree(slices)
+    split_into_files(raw.withColumn("ts", F.get_json_object("value", "$.ts")),
+                     4, "ts", slices)
+    far_ms = (int(raw.agg(
+        F.max(F.get_json_object("value", "$.ts").cast("long"))
+    ).collect()[0][0]) + 864_000_000_000)
+    sentinel = json.dumps({
+        "common": {"mid": "sentinel", "vc": "v0", "ch": "web", "ar": "0",
+                   "is_new": "0"},
+        "page": {"page_id": "home", "during_time": 0},
+        "ts": far_ms,
+    })
+    sentinel_value_slices(spark, slices, sentinel)
+    stream = stream_from(spark, slices, raw).select("value")
+    got = run_available_now(home_detail_uv_window_stream(stream)).select(
+        F.date_format("stt", "yyyy-MM-dd").alias("cur_date"),
+        "home_uv_ct",
+        "detail_uv_ct",
+    )
+    batch = all_queries()["dws_home_detail_uv"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
