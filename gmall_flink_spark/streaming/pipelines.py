@@ -34,6 +34,11 @@ per-operator twins.
   parse → home/good_detail filter → (mid, page_id, day) dedup → two
   pairwise UV counters per day window.
 
+* ``display_item_window_stream`` = the DwsTrafficSourceKeywordPageViewWindow
+  shape (app/dws/DwsTrafficSourceKeywordPageViewWindow.java:40-76): raw
+  log → parse → lateral explode (UDTF join) → per-value window counts;
+  display items stand in for search keywords (the synth has none).
+
 * ``user_login_window_stream`` = DwsUserUserLoginWindow
   (app/dws/DwsUserUserLoginWindow.java:36-151): event stream → login
   filter → D6 returning-user flags (custom applyInPandasWithState
@@ -336,6 +341,43 @@ def home_detail_uv_window_stream(
             ),
         ],
     ).select("stt", "edt", "home_uv_ct", "detail_uv_ct")
+
+
+def display_item_window_stream(
+    raw: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """The DwsTrafficSourceKeywordPageViewWindow SHAPE as one streaming
+    query (P1→J10→A2/A6, app/dws/DwsTrafficSourceKeywordPageViewWindow
+    .java:40-76): raw log JSON → parse → lateral explode (the UDTF join)
+    → per-exploded-value counts in tumbling windows. The reference
+    splits `page.item` of search pages into keywords; this synth has no
+    search-keyword pages (documented in queries/text.keyword_split), so
+    the exploded DISPLAY items stand in — the plan shape (stateless
+    UDTF fan-out feeding a watermarked window aggregate in one query)
+    is identical, which is what the composition proves.
+
+    Scale: explode is map-side fan-out; the window agg shuffles once on
+    (item, window) with map-side partials."""
+    from gmall_flink_spark.operators.log_split import parse_page_log
+
+    parsed = parse_page_log(raw)
+    d = (
+        parsed.where(F.col("displays").isNotNull())
+        .select(
+            F.timestamp_millis("ts").alias("rt"),
+            F.explode("displays").alias("d"),
+        )
+        .select("rt", F.col("d.item").alias("item"))
+        .withWatermark("rt", dedup_delay)
+    )
+    return tumble_agg(
+        d,
+        "rt",
+        "1 day",
+        ["item"],
+        [F.count(F.lit(1)).alias("item_ct")],
+    ).select("stt", "edt", "item", "item_ct")
 
 
 def user_login_window_stream(

@@ -108,6 +108,8 @@ DISTINCT_PROBES = [
     "dedup_cross_source",
     "minhash_band_buckets",
     "substr_dup_spans",
+    "llm_bpe_train",             # salted tokens grow the pair vocabulary Kx
+    "llm_dsir_weights",          # salted tokens: same 64-bucket model, Kx scan
 ]
 
 

@@ -1676,3 +1676,47 @@ def test_home_detail_uv_window_pipeline_end_to_end(spark):
     )
     batch = all_queries()["dws_home_detail_uv"](spark, SF)
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_display_item_window_pipeline_end_to_end(spark):
+    """The keyword-window SHAPE (lateral explode → windowed per-value
+    counts) as ONE availableNow query over display items — equals the
+    batch twin (display explode → tumble_agg) exactly. Sentinel: a
+    parseable far-future line carrying one display entry."""
+    import json
+
+    from gmall_flink_spark.operators.log_split import parse_page_log, split_log
+    from gmall_flink_spark.sources.log_synth import page_log_json
+    from gmall_flink_spark.streaming.pipelines import (
+        display_item_window_stream,
+        sentinel_value_slices,
+    )
+
+    raw = page_log_json(spark, SF)
+    slices = os.path.join(TMP, "display_item_log_slices")
+    if os.path.exists(slices):
+        shutil.rmtree(slices)
+    split_into_files(raw.withColumn("ts", F.get_json_object("value", "$.ts")),
+                     4, "ts", slices)
+    far_ms = (int(raw.agg(
+        F.max(F.get_json_object("value", "$.ts").cast("long"))
+    ).collect()[0][0]) + 864_000_000_000)
+    sentinel = json.dumps({
+        "common": {"mid": "sentinel", "vc": "v0", "ch": "web", "ar": "0",
+                   "is_new": "0"},
+        "page": {"page_id": "home", "during_time": 0},
+        "displays": [{"display_type": "promotion", "item": "-1",
+                      "item_type": "sku_id", "order": 1, "pos_id": "0"}],
+        "ts": far_ms,
+    })
+    sentinel_value_slices(spark, slices, sentinel)
+    stream = stream_from(spark, slices, raw).select("value")
+    got = run_available_now(display_item_window_stream(stream))
+
+    disp = split_log(parse_page_log(raw))["display"].withColumn(
+        "rt", F.timestamp_millis("ts")
+    )
+    batch = tumble_agg(
+        disp, "rt", "1 day", ["item"], [F.count(F.lit(1)).alias("item_ct")]
+    ).select("stt", "edt", "item", "item_ct")
+    assert rows(got) == rows(batch) and got.count() > 0
