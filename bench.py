@@ -282,6 +282,7 @@ HEADLINE = [
     "llm_shard_manifest",
     "llm_bpe_train",
     "llm_bpe_encode",
+    "dws_order_uu_window",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

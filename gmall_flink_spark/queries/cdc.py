@@ -355,6 +355,58 @@ def dws_payment_uu_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dws_order_uu_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwsTradeOrderWindow pipeline
+    (app/dws/DwsTradeOrderWindow.java:36-126): consume the DWD
+    order-detail wide stream (detail inserts × order_info user
+    attribution, K3-compacted per detail id), key by user, D5 per-day
+    dedup + first-ever flag, then the A5 pairwise counters
+    (order_unique_user_ct, order_new_user_ct) in day windows with A6
+    stt/edt — the order-grain sibling of dws_payment_uu_window, fed from
+    the wide-join layer instead of a status transition.
+
+    Scale: one detail→order equi-join (both shuffle on order_id; AQE
+    broadcasts at small SF), one user-key D5 window, one day-window agg."""
+    from gmall_flink_spark.operators.dedup import daily_new_flags
+    from gmall_flink_spark.operators.windows import tumble_agg
+
+    od = src_filter(
+        drop_bootstrap(detail_envelope(spark, sf_dir)),
+        "order_detail", ["insert"],
+    ).select(
+        d("id").cast("bigint").alias("id"),
+        d("order_id").cast("bigint").alias("order_id"),
+        F.col("ts"),
+    )
+    oi = src_filter(
+        drop_bootstrap(orders_envelope(spark, sf_dir)),
+        "order_info", ["insert"],
+    ).select(
+        d("id").cast("bigint").alias("order_id"),
+        d("user_id").cast("bigint").alias("user_id"),
+    )
+    wide = keep_first(od.join(oi, "order_id"), ["id"], ["ts"])
+    flags = daily_new_flags(
+        wide.select("user_id", F.timestamp_seconds("ts").alias("rt")),
+        "user_id",
+        "rt",
+    )
+    return (
+        tumble_agg(
+            flags.withColumn("day_ts", F.to_timestamp("cur_date")),
+            "day_ts",
+            "1 day",
+            [],
+            [
+                F.count(F.lit(1)).alias("order_uu_ct"),
+                F.sum("is_first_ever").alias("order_new_user_ct"),
+            ],
+        )
+        .select("stt", "edt", "order_uu_ct", "order_new_user_ct")
+        .orderBy("stt")
+    )
+
+
 #: SCD2 audit slice: full history is corpus-sized, so the checked surface is
 #: a deterministic 2% of dimension keys (the window logic runs identically).
 SCD2_MOD = 50
@@ -404,6 +456,7 @@ QUERIES = {
     "cdc_cancel_enrich": cdc_cancel_enrich,
     "cdc_pay_suc": cdc_pay_suc,
     "dws_payment_uu_window": dws_payment_uu_window,
+    "dws_order_uu_window": dws_order_uu_window,
     "cdc_config_route": cdc_config_route,
     "cdc_sku_last_state": cdc_sku_last_state,
 }
@@ -530,6 +583,35 @@ ORACLE = {
                strftime(cur_date::DATE + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
                COUNT(*) AS payment_suc_uu_ct,
                CAST(SUM(is_first_ever) AS BIGINT) AS payment_suc_new_user_ct
+        FROM flagged GROUP BY cur_date ORDER BY stt
+    """,
+    "dws_order_uu_window": """
+        WITH od AS (
+            SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey)
+                       * 1000 + l_suppkey AS id,
+                   l_orderkey AS order_id,
+                   MIN(epoch(l_shipdate)) AS ts
+            FROM lineitem
+            WHERE (l_orderkey * 7 + l_linenumber) % 89 != 0
+              AND l_linenumber % 11 != 0
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT DISTINCT o_custkey AS user_id,
+                   strftime(to_timestamp(ts), '%Y-%m-%d') AS cur_date
+            FROM od JOIN orders ON order_id = o_orderkey
+            WHERE o_orderkey % 97 != 0 AND o_orderkey % 10 <= 5
+        ),
+        flagged AS (
+            SELECT cur_date,
+                   CASE WHEN cur_date = MIN(cur_date) OVER (PARTITION BY user_id)
+                        THEN 1 ELSE 0 END AS is_first_ever
+            FROM u
+        )
+        SELECT cur_date || ' 00:00:00' AS stt,
+               strftime(cur_date::DATE + 1, '%Y-%m-%d') || ' 00:00:00' AS edt,
+               COUNT(*) AS order_uu_ct,
+               CAST(SUM(is_first_ever) AS BIGINT) AS order_new_user_ct
         FROM flagged GROUP BY cur_date ORDER BY stt
     """,
     "cdc_pay_suc": """

@@ -46,6 +46,11 @@ per-operator twins.
   windows — the only composition chaining a CUSTOM stateful operator
   into a downstream windowed aggregation.
 
+* ``order_uu_window_stream`` = DwsTradeOrderWindow fed by the DWD wide
+  join in the same query (the deepest chain: detail dedup → three
+  stream-stream joins → retraction-style D5 → window agg; five stateful
+  operators under one trigger).
+
 * ``order_detail_wide_stream`` = DwdTradeOrderDetail
   (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
   order_info (J1) LEFT JOIN detail_activity LEFT JOIN detail_coupon (J2×2)
@@ -183,9 +188,10 @@ def payment_uu_window_stream(
     replay harness (ts-sorted single-file slices, maxFilesPerTrigger=1,
     one partition per batch) arrival order IS event-time order, so
     stream == batch twin exactly; a production deployment feeding from
-    an unordered topic uses the event-time-sorting stateful twin
-    (streaming/stateful.py::daily_new_flags_stream) for that branch
-    instead."""
+    an unordered topic swaps that branch for the retraction-style
+    event-time-correct twin (streaming/stateful.py::
+    daily_new_flags_stream, the one order_uu_window_stream uses) with
+    the summed-delta aggregation it requires."""
     from gmall_flink_spark.operators.cdc import status_transition
 
     pays = (
@@ -434,6 +440,67 @@ def user_login_window_stream(
             F.sum("is_back").alias("back_ct"),
         ],
     ).select("stt", "edt", "uu_ct", "back_ct")
+
+
+def order_uu_window_stream(
+    od_env: DataFrame,
+    oi_env: DataFrame,
+    oa_env: DataFrame,
+    oc_env: DataFrame,
+    bound: str = "2600 days",
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTradeOrderWindow as one streaming query, fed by the DWD layer
+    IN THE SAME QUERY (app/dws/DwsTradeOrderWindow.java:36-126 consuming
+    app/dwd/DwdTradeOrderDetail.java's topic): the four envelope streams
+    → D keep-first → J1/J2 stream-stream joins (order_detail_wide_stream,
+    unchanged) → D5 per-user day/first-ever DELTAS (the retraction-style
+    ``daily_new_flags_stream``, event-time-correct under the joins'
+    arrival disorder) → A5 pairwise SUMS in day windows. This is the
+    deepest composition in the suite — five stateful operators chained
+    under one availableNow trigger (detail dedup, three joins, D5,
+    window agg), reproducing the reference's layered DWD→DWS topology
+    without an intermediate topic.
+
+    Event time re-bases twice: the joins run on the envelope seconds;
+    the D5 output re-bases on its emitted cur_date, with the day-grain
+    watermark delay set ONE DAY LONGER than the join-side delay — the
+    margin that makes first-ever corrections provably never late and
+    their target windows provably still open (daily_new_flags_stream
+    docstring has the inequality).
+
+    Sentinel contract, one operator deeper than the login pipeline's:
+    the downstream watermark only advances through rows that actually
+    REACH the D5 node, so the sentinel must traverse the joins — and it
+    must be a FULL four-way match (od+oi+oa+oc sharing the sentinel
+    detail/order ids). A partial match is held captive: a left-outer
+    null-pad emits only when the watermark passes od_ts + bound, which
+    for the far-future row itself can never happen (the watermark tops
+    out 3650 days BEHIND it). Matched rows emit immediately; null-pads
+    wait — the sentinel must take the immediate path."""
+    from gmall_flink_spark.streaming.stateful import daily_new_flags_stream
+
+    wide = order_detail_wide_stream(
+        od_env, oi_env, oa_env, oc_env, bound=bound, dedup_delay=dedup_delay
+    )
+    x = wide.select("user_id", F.timestamp_seconds("ts").alias("rt"))
+    flags = daily_new_flags_stream(x, "user_id", ts="rt")
+    # day-grain delay = join-side delay + 1 day (the correction-safety
+    # margin; see daily_new_flags_stream). Delays here are always "N days".
+    n_days = int(dedup_delay.split()[0]) + 1
+    w = flags.withColumn("day_ts", F.to_timestamp("cur_date")).withWatermark(
+        "day_ts", f"{n_days} days"
+    )
+    return tumble_agg(
+        w,
+        "day_ts",
+        "1 day",
+        [],
+        [
+            F.sum("uu").cast("long").alias("order_uu_ct"),
+            F.sum("new_delta").cast("long").alias("order_new_user_ct"),
+        ],
+    ).select("stt", "edt", "order_uu_ct", "order_new_user_ct")
 
 
 def sentinel_value_slices(

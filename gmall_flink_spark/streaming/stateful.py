@@ -113,6 +113,72 @@ def first_per_day_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
     )
 
 
+def daily_new_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
+    """D5 twin that stays EVENT-TIME-CORRECT under cross-batch arrival
+    disorder (the form ``new_user_flags_stream`` cannot give — it pins
+    ``is_first_ever`` to the first ARRIVAL). Needed downstream of
+    stream-stream joins, whose emission order is max(arrival of both
+    sides), not event order.
+
+    Emits ADDITIVE DELTAS instead of a final flag: one row per (key,
+    day) first sight carrying ``(uu=1, new_delta∈{0,1})``, plus — when a
+    chronologically EARLIER day surfaces later — a correction pair that
+    moves the first-ever credit: ``(earlier_day, 0, +1)`` rides the
+    normal first-sight row and ``(old_min_day, 0, -1)`` retracts. A
+    downstream windowed SUM then lands exactly the batch semantics
+    (first-ever on the MIN day), because every correction provably
+    arrives before its target window can close: the carrier row passed
+    the upstream watermark filter (rt >= wm - delay), so at emission
+    wm < end(old_min) + delay, while the window closes only at
+    wm > edt(old_min) + delay2 — give the downstream day-grain watermark
+    delay2 >= delay + 1 day and the correction is never late and never
+    misses its window. Buffering until the watermark instead would
+    deadlock: the last stateful layer's own watermark node (min policy)
+    can only advance through rows the buffer has not yet released.
+
+    State: the key's sorted seen-day list (the reference's per-user
+    order-date state, app/dws/DwsTradeOrderWindow.java:66-101)."""
+    out_schema = (
+        StructType()
+        .add(sdf.schema[key].name, sdf.schema[key].dataType)
+        .add("cur_date", "string")
+        .add("uu", "integer")
+        .add("new_delta", "integer")
+    )
+    state_schema = "seen_days array<string>"
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = list(state.get[0]) if state.exists else []
+        pdf = _batch_sorted(pdfs, [ts])
+        if pdf is not None:
+            out: list[tuple] = []
+            for dstr in pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates():
+                if dstr in seen:
+                    continue
+                if not seen:
+                    out.append((key_tuple[0], dstr, 1, 1))
+                elif dstr > seen[0]:
+                    out.append((key_tuple[0], dstr, 1, 0))
+                else:
+                    # a chronologically earlier day surfaced late: it takes
+                    # the first-ever credit and the old minimum gives it up
+                    out.append((key_tuple[0], dstr, 1, 1))
+                    out.append((key_tuple[0], seen[0], 0, -1))
+                seen.append(dstr)
+                seen.sort()
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[key, "cur_date", "uu", "new_delta"]
+                )
+        state.update((seen,))
+
+    return sdf.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def new_user_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFrame:
     """D5 streaming twin: one row per key per day with ``is_first_ever`` = 1
     the first time the key is ever seen (order/payment new-user counters)."""

@@ -1720,3 +1720,96 @@ def test_display_item_window_pipeline_end_to_end(spark):
         disp, "rt", "1 day", ["item"], [F.count(F.lit(1)).alias("item_ct")]
     ).select("stt", "edt", "item", "item_ct")
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_order_uu_window_pipeline_end_to_end(spark):
+    """DwsTradeOrderWindow fed by the DWD wide join IN THE SAME QUERY —
+    five chained stateful operators (detail dedup, three stream-stream
+    joins, the D5 seen-days state machine, the window aggregate) under
+    one availableNow trigger — equals the registered batch twin
+    dws_order_uu_window exactly. The sentinels form a FULL four-way
+    match (od id -1 / order -9; oi -9; oa/oc referencing detail -1) so
+    the far-future row takes the joins' immediate-match path and reaches
+    the D5 node — a partial match would be held captive waiting for a
+    null-pad the watermark can never trigger (see the pipeline
+    docstring)."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import (
+        activity_envelope,
+        coupon_envelope,
+        detail_envelope,
+        orders_envelope,
+    )
+    from gmall_flink_spark.streaming.pipelines import (
+        order_uu_window_stream,
+        sentinel_envelope_slices,
+    )
+
+    specs = {
+        "od": (detail_envelope(spark, SF), "order_detail",
+               {"id": "-1", "order_id": "-9", "sku_id": "-1", "sku_num": "1",
+                "split_total_amount": "0"}),
+        "oi": (orders_envelope(spark, SF), "order_info",
+               {"id": "-9", "user_id": "-9"}),
+        "oa": (activity_envelope(spark, SF), "order_detail_activity",
+               {"order_detail_id": "-1", "activity_id": "-3"}),
+        "oc": (coupon_envelope(spark, SF), "order_detail_coupon",
+               {"order_detail_id": "-1", "coupon_id": "-4"}),
+    }
+    streams = {}
+    for name, (env, tbl, data) in specs.items():
+        slices = os.path.join(TMP, f"ouw_{name}_slices")
+        if os.path.exists(slices):
+            shutil.rmtree(slices)
+        split_into_files(env, 4, "ts", slices)
+        far = int(env.agg(F.max("ts")).collect()[0][0]) + 2_160_000_000
+        sentinel_envelope_slices(spark, slices, tbl, data, far, n=4)
+        streams[name] = stream_from(spark, slices, env)
+
+    got = run_available_now(order_uu_window_stream(
+        streams["od"], streams["oi"], streams["oa"], streams["oc"]
+    ))
+    batch = all_queries()["dws_order_uu_window"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_daily_new_flags_stream_corrects_under_disorder(spark):
+    """The retraction-style D5: when a chronologically EARLIER day
+    arrives in a LATER batch (the stream-stream-join emission pattern),
+    the first-ever credit must move via a correction pair, so the summed
+    deltas per (user, day) equal the batch daily_new_flags exactly —
+    precisely what the arrival-pinned new_user_flags_stream gets wrong."""
+    import datetime as dt
+
+    from gmall_flink_spark.operators.dedup import daily_new_flags
+    from gmall_flink_spark.streaming.stateful import daily_new_flags_stream
+
+    rows = [
+        # u1: day 5 arrives first (batch 0), then day 2 (batch 1) -> correct
+        (1, dt.datetime(2024, 1, 5, 10), 0),
+        (1, dt.datetime(2024, 1, 2, 9), 1),
+        # u2: in-order days across batches
+        (2, dt.datetime(2024, 1, 1, 8), 0),
+        (2, dt.datetime(2024, 1, 3, 8), 1),
+        # u3: three days arriving 4, 1, 2 -> chained correction
+        (3, dt.datetime(2024, 1, 4, 7), 0),
+        (3, dt.datetime(2024, 1, 1, 7), 1),
+        (3, dt.datetime(2024, 1, 2, 7), 2),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, arrival int")
+    src = os.path.join(TMP, "d5_disorder_slices")
+    if os.path.exists(src):
+        shutil.rmtree(src)
+    split_into_files(ev, 3, "arrival", src)
+    sdf = stream_from(spark, src, ev)
+    got = (
+        run_available_now(daily_new_flags_stream(sdf, "user_id", ts="ts"))
+        .groupBy("user_id", "cur_date")
+        .agg(F.sum("uu").alias("uu"), F.sum("new_delta").alias("is_first_ever"))
+    )
+    batch = daily_new_flags(ev, "user_id", "ts").select(
+        "user_id", "cur_date", F.lit(1).alias("uu"), "is_first_ever"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
