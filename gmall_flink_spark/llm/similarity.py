@@ -89,6 +89,57 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: per anchor
+    (query vector), the top-``k`` highest-cosine vectors with a DIFFERENT
+    label (the hard negatives) plus the margin against the anchor's nearest
+    SAME-label positive — ``margin = pos_cos − neg_cos``, the triplet-loss
+    quantity (small or negative margin = the valuable training pair).
+    Anchors with no other same-label vector have no positive and drop out.
+
+    One broadcast join scores both branches; ranking reuses the suite's
+    tie-break contract (round(cos, 6) DESC, id ASC). Scale: anchors are a
+    sampled subset (broadcast); the candidate side streams — and at corpus
+    scale the scan side swaps to the IVF-probed candidate set
+    (ivf_topk_multiprobe) with this same scoring, since a hard negative is
+    by construction in the anchor's near clusters."""
+    v = with_norm(vectors).select(
+        F.col("label").alias("n_label"),
+        F.col("vec_id").alias("n_id"), F.col("vec").alias("n_vec"), F.col("norm").alias("n_norm"),
+    )
+    q = with_norm(queries).select(
+        F.col("label").alias("q_label"),
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), F.col("norm").alias("q_norm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("n_vec"), F.col("n_norm")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    pos = (
+        scored.where(F.col("n_label") == F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("q_id", F.col("cos").alias("pos_cos"))
+    )
+    negs = (
+        scored.where(F.col("n_label") != F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    return negs.join(pos, "q_id").select(
+        "q_id",
+        "q_label",
+        F.col("n_id").alias("neighbor_id"),
+        F.col("n_label").alias("neighbor_label"),
+        "rk",
+        "cos",
+        F.round(F.col("pos_cos") - F.col("cos"), 6).alias("margin"),
+    )
+
+
 def near_dup_pairs(
     vectors: DataFrame, threshold: float = 0.3, block_col: str = "label"
 ) -> DataFrame:

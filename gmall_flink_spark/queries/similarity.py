@@ -279,8 +279,32 @@ def embed_semdedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HN_K = 5
+
+
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training data: per
+    sampled anchor (vec_id % KNN_QUERY_MOD == 0), the top-HN_K
+    highest-cosine DIFFERENT-label vectors plus the triplet margin against
+    the anchor's nearest same-label positive (margin <= 0 rows are the
+    anchor's actively-confusing negatives). The mining pass that builds
+    training pairs for embedding models — the inverse consumer of
+    sim_knn_label_vote's evaluation view.
+
+    Scale: anchors broadcast, candidates stream (one scan scores positive
+    and negative branches); at corpus scale the candidate side becomes the
+    IVF-probed cluster union under the same scoring contract (see
+    llm/similarity.py::hard_negatives)."""
+    from gmall_flink_spark.llm.similarity import hard_negatives
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    queries = emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)
+    return hard_negatives(emb, queries, k=HN_K).orderBy("q_id", "rk")
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
+    "sim_hard_negatives": sim_hard_negatives,
     "sim_filtered_topk": sim_filtered_topk,
     "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
@@ -315,6 +339,32 @@ _NORMED_L = """
 """
 
 ORACLE = {
+    "sim_hard_negatives": f"""
+        WITH n AS ({_NORMED_L}),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec, norm AS q_norm
+              FROM n WHERE vec_id % {KNN_QUERY_MOD} = 0),
+        scored AS (
+            SELECT q_id, q_label, n.vec_id AS n_id, n.label AS n_label,
+                   round(list_dot_product(q_vec, n.v) / (q_norm * n.norm), 6) AS cos
+            FROM q JOIN n ON n.vec_id != q.q_id
+        ),
+        pos AS (
+            SELECT q_id, cos AS pos_cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+            FROM scored WHERE n_label = q_label
+            QUALIFY rk = 1
+        ),
+        negs AS (
+            SELECT q_id, q_label, n_id AS neighbor_id, n_label AS neighbor_label, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+            FROM scored WHERE n_label != q_label
+            QUALIFY rk <= {HN_K}
+        )
+        SELECT negs.q_id, q_label, neighbor_id, neighbor_label, negs.rk AS rk,
+               cos, round(pos_cos - cos, 6) AS margin
+        FROM negs JOIN pos ON negs.q_id = pos.q_id
+        ORDER BY negs.q_id, negs.rk
+    """,
     "sim_filtered_topk": f"""
         WITH n AS ({_NORMED_L}),
         q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec, norm AS q_norm

@@ -4,7 +4,7 @@ fingerprinting)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gmall_flink_spark.functions.text import (
@@ -549,24 +549,12 @@ def text_surprisal_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram-LM quality scoring — the CCNet-style perplexity filter one
-    conditional order up from text_surprisal_hist's unigram model, built
-    with the same integer-exactness trick: each bigram's conditional
-    surprisal class is floor(log2(ctx_ct div big_ct)) where ctx_ct counts
-    bigrams starting with the prefix token (so big_ct <= ctx_ct and the
-    class is a non-negative INTEGER; log2 of an int can't cross an integer
-    boundary off exact powers). Per-doc score = exact int sum over the
-    doc's bigrams; output is the per-source histogram of mean conditional
-    surprisal (x10 fixed point). High mean = improbable token sequences
-    (noise/garbled text); low = templated text — both tails are what an
-    LM-perplexity filter cuts.
-
-    Scale: one bigram-key shuffle for the conditional table (map-side
-    partials), one prefix-token shuffle for contexts (both vocab²- and
-    vocab-bounded, << corpus), the class join back on the bigram key (AQE
-    broadcasts when it fits), one (source, doc) agg. Docs with < 2 tokens
-    have no bigrams and are excluded by construction."""
+def _bigram_doc_mean10x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM mean conditional surprisal (x10 fixed point) —
+    the shared scoring stage under text_bigram_lm_score (histogram view)
+    and ccnet_ppl_buckets (per-source tercile view). Integer-exact: each
+    bigram's class is floor(log2(ctx_ct div big_ct)), per-doc score is an
+    int sum, so both consumers and both oracles agree bit-for-bit."""
     docs = table(spark, sf_dir, "documents")
     toked = docs.select("source", "doc_id", tokenize("text").alias("l")).where(
         F.size("l") >= 2
@@ -591,11 +579,76 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "doc_id")
         .agg(F.sum("r").alias("s"), F.count(F.lit(1)).alias("n"))
     )
+    return per_doc.select(
+        "source", "doc_id", F.expr("(10 * s) div n").alias("mean10x")
+    )
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the CCNet-style perplexity filter one
+    conditional order up from text_surprisal_hist's unigram model, built
+    with the same integer-exactness trick: each bigram's conditional
+    surprisal class is floor(log2(ctx_ct div big_ct)) where ctx_ct counts
+    bigrams starting with the prefix token (so big_ct <= ctx_ct and the
+    class is a non-negative INTEGER; log2 of an int can't cross an integer
+    boundary off exact powers). Per-doc score = exact int sum over the
+    doc's bigrams; output is the per-source histogram of mean conditional
+    surprisal (x10 fixed point). High mean = improbable token sequences
+    (noise/garbled text); low = templated text — both tails are what an
+    LM-perplexity filter cuts.
+
+    Scale: one bigram-key shuffle for the conditional table (map-side
+    partials), one prefix-token shuffle for contexts (both vocab²- and
+    vocab-bounded, << corpus), the class join back on the bigram key (AQE
+    broadcasts when it fits), one (source, doc) agg. Docs with < 2 tokens
+    have no bigrams and are excluded by construction."""
     return (
-        per_doc.select("source", F.expr("(10 * s) div n").alias("mean10x"))
+        _bigram_doc_mean10x(spark, sf_dir)
         .groupBy("source", "mean10x")
         .agg(F.count(F.lit(1)).alias("doc_ct"))
         .orderBy("source", "mean10x")
+    )
+
+
+#: CCNet's perplexity-tercile labels, best (lowest mean surprisal) first.
+PPL_BUCKETS = ["head", "middle", "tail"]
+
+
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): within each source, rank documents by LM surprisal
+    (the bigram mean10x from _bigram_doc_mean10x) and cut the ranking into
+    perplexity terciles — ``head`` (most fluent third, kept for training),
+    ``middle`` (kept or sampled), ``tail`` (usually dropped). The bucket
+    boundary is ntile(3) over (mean10x, doc_id), so ties break on doc_id
+    and the assignment is exactly reproducible. Output is the per-source
+    bucket ledger: doc count, score range, and a doc_id checksum so the
+    oracle verifies MEMBERSHIP, not just counts.
+
+    Scale: the scoring stage is the shared vocab-bounded bigram plan; the
+    tercile is one window sort partitioned BY SOURCE — at 100 TB sources
+    are the natural parallel unit (CCNet buckets per language/snapshot the
+    same way), so no global sort ever happens. A skewed mega-source would
+    switch to approx-quantile boundaries + a broadcast range join; at the
+    gate SFs the exact window IS the contract."""
+    per_doc = _bigram_doc_mean10x(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("mean10x", "doc_id")
+    tiles = per_doc.withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, F.lit(PPL_BUCKETS[0]))
+        .when(F.col("tile") == 2, F.lit(PPL_BUCKETS[1]))
+        .otherwise(F.lit(PPL_BUCKETS[2]))
+    )
+    return (
+        tiles.select("source", bucket.alias("bucket"), "mean10x", "doc_id")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.min("mean10x").alias("min_mean10x"),
+            F.max("mean10x").alias("max_mean10x"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("source", "bucket")
     )
 
 
@@ -750,6 +803,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_surprisal_hist": text_surprisal_hist,
     "text_bigram_lm_score": text_bigram_lm_score,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1100,6 +1154,42 @@ ORACLE["text_bigram_lm_score"] = f"""
     FROM per_doc
     GROUP BY source, mean10x
     ORDER BY source, mean10x
+"""
+
+ORACLE["ccnet_ppl_buckets"] = f"""
+    WITH t AS (
+        SELECT source, doc_id, {_TOKS} AS l FROM documents
+    ),
+    bg AS (
+        SELECT source, doc_id, l[i] AS a, l[i + 1] AS b
+        FROM (SELECT source, doc_id, l, unnest(range(1, len(l))) AS i
+              FROM t WHERE len(l) >= 2)
+    ),
+    ctx AS (SELECT a, COUNT(*) AS cn FROM bg GROUP BY a),
+    bc AS (SELECT a, b, COUNT(*) AS bn FROM bg GROUP BY a, b),
+    cls AS (
+        SELECT a, b, CAST(floor(log2(CAST(cn // bn AS DOUBLE))) AS BIGINT) AS r
+        FROM bc JOIN ctx USING (a)
+    ),
+    per_doc AS (
+        SELECT source, doc_id, CAST((10 * SUM(r)) // COUNT(*) AS BIGINT) AS mean10x
+        FROM bg JOIN cls USING (a, b)
+        GROUP BY source, doc_id
+    ),
+    tiles AS (
+        SELECT source, doc_id, mean10x,
+               ntile(3) OVER (PARTITION BY source ORDER BY mean10x, doc_id) AS tile
+        FROM per_doc
+    )
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(MIN(mean10x) AS BIGINT) AS min_mean10x,
+           CAST(MAX(mean10x) AS BIGINT) AS max_mean10x,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM tiles
+    GROUP BY source, bucket
+    ORDER BY source, bucket
 """
 
 ORACLE["text_boilerplate"] = f"""

@@ -31,6 +31,7 @@ _QUERY_MODULES = [
     "gmall_flink_spark.queries.scale",
     "gmall_flink_spark.queries.entity",
     "gmall_flink_spark.queries.datasel",
+    "gmall_flink_spark.queries.classify",
 ]
 
 

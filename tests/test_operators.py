@@ -827,3 +827,112 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == expected
     # the fixture must actually nest: some later pair contains a merged half
     assert any(BPE_JOIN in a or BPE_JOIN in b for _, a, b, _ in expected)
+
+
+def test_nb_classifier_separable_vocab(spark, tmp_path):
+    """The quantized NB head must recover a class split when the training
+    vocabularies are disjoint, and must honor both declared drop rules:
+    held-out docs with only out-of-vocabulary tokens vanish, and tokens
+    unseen in training don't perturb a prediction. Engine and DuckDB
+    oracle run on the same synthetic table."""
+    import duckdb
+
+    from gmall_flink_spark.queries.classify import ORACLE, nb_lang_confusion
+
+    rows = []
+    # train split (doc_id % 5 != 0): disjoint vocab per lang
+    for i in (1, 2, 3, 6, 7):
+        rows.append((i, "aa bb cc aa", "en", "s0", 10))
+    for i in (4, 8, 9, 11, 12):
+        rows.append((i, "xx yy zz xx", "fr", "s0", 10))
+    # held out (doc_id % 5 == 0): 5 -> en words, 10 -> fr words + one OOV,
+    # 15 -> ONLY out-of-vocab tokens (must be excluded from the matrix)
+    rows += [
+        (5, "aa cc", "en", "s0", 5),
+        (10, "yy zz unseen", "fr", "s0", 12),
+        (15, "qq rr", "en", "s0", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in nb_lang_confusion(spark, sf).collect()]
+    # perfect diagonal: one en->en and one fr->fr prediction, doc 15 gone
+    assert [(t, p, c) for t, p, c, _ in got] == [("en", "en", 1), ("fr", "fr", 1)], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["nb_lang_confusion"]).fetchall()
+
+
+def test_ccnet_buckets_small_source_tiles(spark, tmp_path):
+    """ntile(3) over 1-, 2- and 4-doc sources: the remainder rows go to the
+    FIRST tiles (SQL standard), so a 2-doc source has head+middle and no
+    tail, a 1-doc source is all head — the edge DuckDB must agree on for
+    the bucket ledger to be driver-checkable."""
+    import duckdb
+
+    from gmall_flink_spark.queries.text import ORACLE, ccnet_ppl_buckets
+
+    # every doc needs >= 2 tokens to have bigrams; vary repetition so
+    # per-doc surprisal differs deterministically
+    rows = [
+        (1, "a a a a", "en", "s1", 7),
+        (2, "a b c d", "en", "s2", 7),
+        (3, "a a b b", "en", "s2", 7),
+        (4, "p p p p", "en", "s4", 7),
+        (5, "p q p q", "en", "s4", 7),
+        (6, "p p q q", "en", "s4", 7),
+        (7, "q r s t", "en", "s4", 7),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in ccnet_ppl_buckets(spark, sf).collect()]
+    by_src = {}
+    for src, bucket, ct, *_ in got:
+        by_src.setdefault(src, {})[bucket] = ct
+    assert by_src["s1"] == {"head": 1}
+    assert by_src["s2"] == {"head": 1, "middle": 1}
+    assert by_src["s4"] == {"head": 2, "middle": 1, "tail": 1}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["ccnet_ppl_buckets"]).fetchall()
+
+
+def test_hard_negatives_triplet_semantics(spark):
+    """hard_negatives on a hand-built 2-D set: the positive is the nearest
+    SAME-label vector, negatives rank by cosine among OTHER labels, margin
+    is pos_cos - neg_cos, and an anchor whose label has no second member
+    (no positive) drops out entirely."""
+    from gmall_flink_spark.llm.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),     # anchor A
+            (1, [0.9, 0.1], 0),     # its positive
+            (2, [1.0, 0.05], 1),    # hardest negative (closest to anchor)
+            (3, [0.0, 1.0], 1),     # easy negative
+            (4, [0.5, 0.5], 2),     # singleton label -> anchor 4 has no positive
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    vecs = emb.selectExpr("vec_id", "embedding as vec", "label")
+    queries = vecs.where("vec_id in (0, 4)")
+    got = {
+        (r["q_id"], r["rk"]): (r["neighbor_id"], r["neighbor_label"], r["margin"])
+        for r in hard_negatives(vecs, queries, k=2).collect()
+    }
+    # anchor 4's label is a singleton: no positive, no rows
+    assert all(q == 0 for q, _ in got), got
+    # negatives for anchor 0: vec 2 (cos~0.9988) then vec 4 (cos~0.7071)
+    assert got[(0, 1)][0] == 2 and got[(0, 2)][0] == 4
+    # margin = pos_cos - neg_cos; positive is vec 1 (same label, cos 0.993884)
+    assert got[(0, 1)][2] < got[(0, 2)][2]
+    assert abs(got[(0, 2)][2] - (0.993884 - 0.707107)) < 1e-9
