@@ -106,9 +106,69 @@ def nb_margin_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the pinned "curated reference" sources for the binary quality head —
+#: the GPT-3 recipe's WebText stand-in (positive class); everything else
+#: plays the crawl. Both oracles mirror the set.
+NB_REF_SOURCES = ("src0", "src1", "src2")
+
+#: the quality head's own holdout modulus: it must be COPRIME with the
+#: testdata's source period (source = src(doc_id % 20)) or the held-out
+#: split collapses onto 4 of the 20 sources and the reference sources are
+#: never scored (mod 5 does exactly that; 7 touches every source).
+NB_QUALITY_HOLDOUT_MOD = 7
+
+
+def nb_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GPT-3-style learned quality filter (Brown et al. 2020 §A,
+    arXiv:2005.14165: classify docs as reference-corpus-like vs crawl,
+    keep high scorers): train the SAME quantized NB binary head on
+    ``ref``/``crawl`` labels derived from NB_REF_SOURCES, score the
+    held-out split (doc_id % NB_QUALITY_HOLDOUT_MOD == 0), and report the
+    governance view a corpus build reads — per true source, how many
+    held-out docs the classifier would keep (predicted ``ref``) vs route
+    to the crawl pile. On this synthetic corpus the per-source vocabulary
+    signal is weak and the 17:3 crawl prior dominates, so keep rates sit
+    near zero — the query's contract is the exactly-reproducible
+    train/score/decide PLUMBING (oracle-verified per doc); the separable
+    case is pinned by tests/test_operators.py::
+    test_nb_classifier_separable_vocab.
+
+    Scale: identical plan shape to nb_lang_confusion — two train
+    groupBys, vocab-bounded grid, one score join + per-doc agg; the
+    output is |sources|-bounded."""
+    docs = table(spark, sf_dir, "documents")
+    ref = F.col("source").isin(*NB_REF_SOURCES)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.when(ref, F.lit("ref")).otherwise(F.lit("crawl")).alias("quality"),
+        F.explode(tokenize("text")).alias("t"),
+    )
+    train = toks.where(F.pmod("doc_id", F.lit(NB_QUALITY_HOLDOUT_MOD)) != 0)
+    holdout = toks.where(F.pmod("doc_id", F.lit(NB_QUALITY_HOLDOUT_MOD)) == 0)
+    model = nb_train(train.select("doc_id", "quality", "t"), label_col="quality")
+    priors = nb_priors(
+        train.select("doc_id", "quality").distinct(), label_col="quality"
+    )
+    scored = nb_score(
+        holdout.select("doc_id", "source", "t"), model, priors, keep_cols=("source",)
+    )
+    return (
+        scored.where(F.col("rk") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("scored_ct"),
+            F.sum(F.when(F.col("cls") == "ref", 1).otherwise(0)).alias("keep_ct"),
+            F.sum("total").alias("score_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "nb_margin_hist": nb_margin_hist,
+    "nb_source_quality": nb_source_quality,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -160,6 +220,52 @@ ORACLE = {
         FROM sc WHERE rk = 1
         GROUP BY true_lang, pred_lang
         ORDER BY true_lang, pred_lang
+    """,
+    "nb_source_quality": f"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CASE WHEN source IN {NB_REF_SOURCES!r} THEN 'ref'
+                        ELSE 'crawl' END AS quality,
+                   unnest({_TOKS}) AS t
+            FROM documents
+        ),
+        tr AS (SELECT * FROM toks WHERE doc_id % {NB_QUALITY_HOLDOUT_MOD} != 0),
+        ho AS (SELECT * FROM toks WHERE doc_id % {NB_QUALITY_HOLDOUT_MOD} = 0),
+        cls_ct AS (SELECT quality AS cls, t, COUNT(*) AS ct FROM tr GROUP BY 1, 2),
+        cls_tot AS (SELECT quality AS cls, COUNT(*) AS tot FROM tr GROUP BY 1),
+        vocab AS (SELECT DISTINCT t FROM tr),
+        vs AS (SELECT COUNT(*) AS v FROM vocab),
+        grid AS (
+            SELECT vocab.t, cls_tot.cls,
+                   CAST(floor(log2(CAST((tot + v) // (COALESCE(ct, 0) + 1)
+                                        AS DOUBLE))) AS BIGINT) AS r
+            FROM vocab CROSS JOIN cls_tot CROSS JOIN vs
+            LEFT JOIN cls_ct ON cls_ct.t = vocab.t AND cls_ct.cls = cls_tot.cls
+        ),
+        tr_docs AS (SELECT DISTINCT doc_id, quality FROM tr),
+        pri AS (
+            SELECT quality AS cls,
+                   CAST(floor(log2(CAST((SELECT COUNT(*) FROM tr_docs) // COUNT(*)
+                                        AS DOUBLE))) AS BIGINT) AS pr
+            FROM tr_docs GROUP BY 1
+        ),
+        per AS (
+            SELECT ho.doc_id, ho.source, g.cls, SUM(g.r) AS s
+            FROM ho JOIN grid g USING (t) GROUP BY 1, 2, 3
+        ),
+        sc AS (
+            SELECT per.doc_id, per.source, per.cls, s + pr AS total,
+                   row_number() OVER (PARTITION BY per.doc_id
+                                      ORDER BY s + pr, per.cls) AS rk
+            FROM per JOIN pri USING (cls)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS scored_ct,
+               CAST(SUM(CASE WHEN cls = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS keep_ct,
+               CAST(SUM(total) AS BIGINT) AS score_sum
+        FROM sc WHERE rk = 1
+        GROUP BY source ORDER BY source
     """,
     "nb_margin_hist": f"""
         WITH {_NB_SCORED},

@@ -428,6 +428,75 @@ def web_domain_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: domain-blocklist rule: block when near-dup docs reach half the domain
+#: (dup_doc_ct * BLOCK_DUP_DEN >= doc_ct * BLOCK_DUP_NUM … NUM/DEN = the
+#: dup_frac threshold 1/2) OR the mean heuristic quality score (basis-point
+#: units, doc_quality_scores) falls below BLOCK_QUALITY_MIN. Integer-only
+#: comparisons; both oracles mirror the constants.
+BLOCK_DUP_NUM = 1
+BLOCK_DUP_DEN = 2
+BLOCK_QUALITY_MIN = 5000
+
+
+def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level governance DECISION (the RefinedWeb/CCNet blocklist step,
+    Penedo et al. 2023 arXiv:2306.01116 §3.1): combine the two per-domain
+    evidence streams this engine already produces — near-dup contamination
+    (the component ledger under web_domain_dup_rate) and mean heuristic
+    quality (doc_quality_scores) — into a per-domain keep/block verdict a
+    crawler config consumes. Blocked = majority-duplicated OR
+    below-quality-floor; ``blocked_doc_ct`` is the cost column (docs the
+    block removes), the number a governance review reads first.
+
+    Scale: rides the session-memoized LSH component mapping; the quality
+    scan is token-explode + per-doc agg (map-side partials); everything
+    after is |domains|-bounded."""
+    from gmall_flink_spark.functions.web import normalize_url, registered_domain
+    from gmall_flink_spark.queries.llm_pipeline import _raw_url
+    from gmall_flink_spark.queries.text import doc_quality_scores
+
+    docs = table(spark, sf_dir, "documents")
+    dom = docs.select(
+        "doc_id", registered_domain(normalize_url(_raw_url())).alias("domain")
+    )
+    scored = doc_quality_scores(docs).select("doc_id", "score")
+    dup = (
+        _components(spark, sf_dir)
+        .join(dom, "doc_id")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("dup_doc_ct"))
+    )
+    per = (
+        dom.join(scored, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("score").alias("score_sum"),
+        )
+    )
+    j = per.join(dup, "domain", "left").select(
+        "domain",
+        "doc_ct",
+        F.coalesce("dup_doc_ct", F.lit(0)).alias("dup_doc_ct"),
+        "score_sum",
+    )
+    blocked = (
+        (F.col("dup_doc_ct") * BLOCK_DUP_DEN >= F.col("doc_ct") * BLOCK_DUP_NUM)
+        | (F.col("score_sum") < F.col("doc_ct") * BLOCK_QUALITY_MIN)
+    ).cast("bigint")
+    return (
+        j.select(
+            "domain",
+            "doc_ct",
+            "dup_doc_ct",
+            "score_sum",
+            blocked.alias("blocked"),
+            (blocked * F.col("doc_ct")).alias("blocked_doc_ct"),
+        )
+        .orderBy("domain")
+    )
+
+
 def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr ACTION (keep-one-copy): per document, the merged
     intervals the cut rule removes — every occurrence of a duplicated
@@ -847,6 +916,7 @@ QUERIES = {
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
     "web_domain_dup_rate": web_domain_dup_rate,
+    "domain_blocklist": domain_blocklist,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1431,6 +1501,61 @@ ORACLE["web_domain_dup_rate"] = f"""
                AS cross_domain_dup_ct,
            CAST(COALESCE(p.dup_doc_ct, 0) AS DOUBLE) / a.doc_ct AS dup_frac
     FROM alls a LEFT JOIN dup p USING (domain) ORDER BY domain
+"""
+
+# blocklist twin: the same recursive component closure + synthesis-formula
+# domain as web_domain_dup_rate, joined against the shared quality-score
+# relation; the block rule repeats the integer constants verbatim
+ORACLE["domain_blocklist"] = f"""
+    WITH RECURSIVE
+    cands AS ({_CANDS}),
+    jac AS ({_jaccard(_UNITS)}),
+    edges AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+    ),
+    sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    dom AS (
+        SELECT doc_id,
+               source || '.' || (['com','org','net'])[(doc_id % 3) + 1]
+                   AS domain
+        FROM documents
+    ),
+    scored AS ({SCORED_DOCS_SQL}),
+    dup AS (
+        SELECT domain, COUNT(*) AS dup_doc_ct
+        FROM comp JOIN dom USING (doc_id) GROUP BY domain
+    ),
+    per AS (
+        SELECT domain, COUNT(*) AS doc_ct, SUM(score) AS score_sum
+        FROM dom JOIN scored USING (doc_id) GROUP BY domain
+    ),
+    j AS (
+        SELECT per.domain, doc_ct, COALESCE(dup_doc_ct, 0) AS dup_doc_ct,
+               score_sum,
+               CASE WHEN COALESCE(dup_doc_ct, 0) * {BLOCK_DUP_DEN}
+                         >= doc_ct * {BLOCK_DUP_NUM}
+                         OR score_sum < doc_ct * {BLOCK_QUALITY_MIN}
+                    THEN 1 ELSE 0 END AS blocked
+        FROM per LEFT JOIN dup ON per.domain = dup.domain
+    )
+    SELECT domain, CAST(doc_ct AS BIGINT) AS doc_ct,
+           CAST(dup_doc_ct AS BIGINT) AS dup_doc_ct,
+           CAST(score_sum AS BIGINT) AS score_sum,
+           CAST(blocked AS BIGINT) AS blocked,
+           CAST(blocked * doc_ct AS BIGINT) AS blocked_doc_ct
+    FROM j ORDER BY domain
 """
 
 # keep-one-copy twin: a position is cut iff it is NOT the globally first
