@@ -32,34 +32,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def nb_train(train_toks: DataFrame, label_col: str = "label") -> DataFrame:
-    """Train the quantized multinomial NB: ``train_toks`` is the exploded
-    (doc_id, <label_col>, t) token relation; returns the model grid
-    (t, cls, r) with one row for EVERY (train-vocab token, train class)
-    pair — absent pairs materialize through the add-1 smoothing path, so
-    score-time joins never miss a trained class.
+def nb_token_counts(train_toks: DataFrame, label_col: str = "label") -> DataFrame:
+    """The model's SUFFICIENT STATISTIC: class-conditional token counts
+    (cls, t, ct) from the exploded (doc_id, <label_col>, t) relation. One
+    map-side-combinable groupBy — and, being a pure count rollup, exactly
+    the thing ``sinks/rollup.py`` maintains incrementally for the
+    streaming form (see nb_count_partial)."""
+    return train_toks.groupBy(
+        F.col(label_col).alias("cls"), "t"
+    ).agg(F.count(F.lit(1)).alias("ct"))
 
-    Scale: two token-keyed groupBys with map-side partials (class counts,
-    vocab); the grid is |vocab| × |classes| — vocab-bounded, << corpus —
-    built by cross-joining the vocab against the (tiny, broadcast) class
-    totals; the scalar vocab size rides a 1-row broadcast."""
-    cls_ct = train_toks.groupBy(label_col, "t").agg(
-        F.count(F.lit(1)).alias("ct")
-    ).select(F.col("t").alias("_t"), F.col(label_col).alias("_c"), "ct")
-    cls_tot = train_toks.groupBy(label_col).agg(F.count(F.lit(1)).alias("tot"))
-    vocab = train_toks.select("t").distinct()
+
+def nb_grid(cls_counts: DataFrame) -> DataFrame:
+    """Derive the quantized weight grid (t, cls, r) from the count
+    statistic: one row for EVERY (vocab token, class) pair — absent pairs
+    materialize through the add-1 smoothing path, so score-time joins
+    never miss a trained class.
+
+    Scale: class totals and vocab are aggregates OF THE COUNTS (vocab-
+    bounded, << corpus); the grid is |vocab| × |classes|, built by
+    cross-joining the vocab against the (tiny, broadcast) class totals;
+    the scalar vocab size rides a 1-row broadcast."""
+    counts = cls_counts.select(
+        F.col("t").alias("_t"), F.col("cls").alias("_c"), "ct"
+    )
+    cls_tot = cls_counts.groupBy("cls").agg(F.sum("ct").alias("tot"))
+    vocab = cls_counts.select("t").distinct()
     vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
     return (
         vocab.crossJoin(F.broadcast(cls_tot))
         .join(
-            cls_ct,
-            (F.col("t") == F.col("_t")) & (F.col(label_col) == F.col("_c")),
+            counts,
+            (F.col("t") == F.col("_t")) & (F.col("cls") == F.col("_c")),
             "left",
         )
         .crossJoin(F.broadcast(vsize))
         .select(
             "t",
-            F.col(label_col).alias("cls"),
+            "cls",
             F.floor(
                 F.log2(
                     F.expr("(tot + v) div (coalesce(ct, 0) + 1)").cast("double")
@@ -71,19 +81,90 @@ def nb_train(train_toks: DataFrame, label_col: str = "label") -> DataFrame:
     )
 
 
-def nb_priors(train_docs: DataFrame, label_col: str = "label") -> DataFrame:
-    """Quantized class priors from the train DOCUMENT counts:
+def nb_train(train_toks: DataFrame, label_col: str = "label") -> DataFrame:
+    """Train the quantized multinomial NB: ``train_toks`` is the exploded
+    (doc_id, <label_col>, t) token relation; returns the model grid
+    (t, cls, r) — the count statistic piped through the grid derivation
+    (the streaming form maintains the counts in a rollup sink and runs
+    the SAME nb_grid over the accumulated state)."""
+    return nb_grid(nb_token_counts(train_toks, label_col))
+
+
+def nb_priors_from_counts(doc_counts: DataFrame) -> DataFrame:
+    """Quantized class priors from a (cls, dn) document-count frame:
     ``pr(c) = floor(log2(total_docs div docs_c))`` — the same integer
     surprisal units as the token weights, added once per (doc, class) at
     score time. A tiny |classes|-row frame, always broadcast."""
-    per = train_docs.groupBy(label_col).agg(F.count(F.lit(1)).alias("dn"))
-    tot = per.agg(F.sum("dn").alias("dt"))
-    return per.crossJoin(F.broadcast(tot)).select(
-        F.col(label_col).alias("cls"),
+    tot = doc_counts.agg(F.sum("dn").alias("dt"))
+    return doc_counts.crossJoin(F.broadcast(tot)).select(
+        "cls",
         F.floor(F.log2(F.expr("dt div dn").cast("double")))
         .cast("bigint")
         .alias("pr"),
     )
+
+
+def nb_priors(train_docs: DataFrame, label_col: str = "label") -> DataFrame:
+    """Priors from the (doc_id, <label_col>) train-document relation."""
+    return nb_priors_from_counts(
+        train_docs.groupBy(F.col(label_col).alias("cls")).agg(
+            F.count(F.lit(1)).alias("dn")
+        )
+    )
+
+
+#: the two statistic kinds multiplexed into ONE rollup state table (single
+#: merge + single replay marker per batch — two tables would double-count
+#: one of them if a crash landed between their merges).
+NB_KIND_TOK = "tok"
+NB_KIND_DOC = "doc"
+
+
+def nb_count_partial(label_col: str = "label", text_col: str = "text"):
+    """Per-micro-batch partial for the INCREMENTAL NB trainer: the model's
+    sufficient statistic is pure counts, so streaming training is a rollup
+    merge (sinks/rollup.py) — no gradients, no replays of old data. Rows
+    are (kind, cls, t, nb_ct): kind='tok' carries class-conditional token
+    counts, kind='doc' (t='') class document counts; a whitespace token
+    can never be '' (tokenize drops empties), so the kinds can't collide.
+
+    Use with ``rollup_writer(state, keys=["kind", "cls", "t"],
+    agg_fn=nb_count_partial(...))``; derive the model from the
+    accumulated state with ``nb_state_model``. Exactness: counts merge
+    associatively, so state-after-replay == batch counts, and the grid
+    arithmetic downstream is the quantized-integer form — stream model
+    == batch model bit-for-bit."""
+    from gmall_flink_spark.functions.text import tokenize
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        toks = batch_df.select(
+            F.col(label_col).alias("cls"), F.explode(tokenize(text_col)).alias("t")
+        )
+        tok = toks.groupBy("cls", "t").agg(F.count(F.lit(1)).alias("nb_ct")).select(
+            F.lit(NB_KIND_TOK).alias("kind"), "cls", "t", "nb_ct"
+        )
+        doc = batch_df.groupBy(F.col(label_col).alias("cls")).agg(
+            F.count(F.lit(1)).alias("nb_ct")
+        ).select(F.lit(NB_KIND_DOC).alias("kind"), "cls", F.lit("").alias("t"), "nb_ct")
+        return tok.unionAll(doc)
+
+    return partial
+
+
+def nb_state_model(spark, state_path: str) -> tuple[DataFrame, DataFrame]:
+    """(grid, priors) derived from the accumulated rollup state — the SAME
+    nb_grid / nb_priors_from_counts arithmetic as the batch trainer, so a
+    stream-trained model scores identically to its batch twin."""
+    from gmall_flink_spark.sinks._bucketed import read_state
+
+    st = read_state(spark, state_path)
+    cls_ct = st.where(F.col("kind") == NB_KIND_TOK).select(
+        "cls", "t", F.col("nb_ct").alias("ct")
+    )
+    doc_ct = st.where(F.col("kind") == NB_KIND_DOC).select(
+        "cls", F.col("nb_ct").alias("dn")
+    )
+    return nb_grid(cls_ct), nb_priors_from_counts(doc_ct)
 
 
 def nb_score(

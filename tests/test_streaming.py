@@ -1813,3 +1813,51 @@ def test_daily_new_flags_stream_corrects_under_disorder(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_nb_model_equals_batch_confusion(spark):
+    """INCREMENTAL CLASSIFIER TRAINING: multinomial NB's sufficient
+    statistic is pure counts, so the model trains as a rollup merge while
+    labeled docs stream in (no gradient passes, no replay of old data).
+    The grid/priors derived from the accumulated state must score the
+    held-out split into EXACTLY the batch twin's confusion matrix — the
+    quantized-integer arithmetic makes stream-trained == batch-trained
+    bit-for-bit, not approximately."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.llm.classify import (
+        nb_count_partial,
+        nb_score,
+        nb_state_model,
+    )
+    from gmall_flink_spark.queries.classify import NB_HOLDOUT_MOD, nb_lang_confusion
+    from gmall_flink_spark.sinks.rollup import rollup_writer
+
+    state = os.path.join(TMP, "nb_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents").select("doc_id", "lang", "text")
+    train_docs = docs.where(F.pmod("doc_id", F.lit(NB_HOLDOUT_MOD)) != 0)
+    src_dir = os.path.join(TMP, "nb_train_slices")
+    split_into_files(train_docs, 3, "doc_id", src_dir)
+
+    sdf = stream_from(spark, src_dir, train_docs)
+    run_available_now(
+        sdf,
+        foreach_batch=rollup_writer(
+            state, ["kind", "cls", "t"], nb_count_partial(label_col="lang")
+        ),
+    )
+    grid, priors = nb_state_model(spark, state)
+    holdout = docs.where(F.pmod("doc_id", F.lit(NB_HOLDOUT_MOD)) == 0).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(tokenize("text")).alias("t"),
+    )
+    got = (
+        nb_score(holdout, grid, priors, keep_cols=("true_lang",))
+        .where(F.col("rk") == 1)
+        .groupBy("true_lang", F.col("cls").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("doc_ct"), F.sum("total").alias("score_sum"))
+    )
+    batch = nb_lang_confusion(spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
