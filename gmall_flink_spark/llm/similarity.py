@@ -117,6 +117,14 @@ def hard_negatives(
         v.join(F.broadcast(q), F.col("n_id") != F.col("q_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("n_vec"), F.col("n_norm")))
     )
+    return _triplet_rank(scored, k)
+
+
+def _triplet_rank(scored: DataFrame, k: int) -> DataFrame:
+    """Shared anchor/positive/negative ranking over a scored candidate
+    frame (q_id, q_label, n_id, n_label, cos): positive = rank-1
+    same-label, negatives = top-k different-label, margin = pos − neg.
+    One contract for the brute-force and IVF-probed miners."""
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     pos = (
         scored.where(F.col("n_label") == F.col("q_label"))
@@ -138,6 +146,44 @@ def hard_negatives(
         "cos",
         F.round(F.col("pos_cos") - F.col("cos"), 6).alias("margin"),
     )
+
+
+def hard_negatives_probed(
+    assigned_l: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    k: int = 5,
+) -> DataFrame:
+    """The SCALE PATH of hard-negative mining: restrict both the positive
+    and the negatives to the anchor's ``nprobe`` nearest IVF clusters —
+    hard negatives are by construction near the anchor, so the probed
+    union recovers them without the full scan. ``assigned_l`` is the
+    ivf_assign output with the label joined back (vec_id, vec, norm,
+    cluster, label). At corpus scale the cluster id is the table's
+    partition key and each probe is a partition-pruned scan; an anchor
+    whose probed set has no same-label vector yields no rows (its
+    positive is out of probe reach — raise nprobe)."""
+    probes = ivf_probes(queries, centroids, nprobe).join(
+        queries.select(F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")),
+        "q_id",
+    )
+    scored = (
+        assigned_l.join(
+            F.broadcast(probes), F.col("cluster") == F.col("probe_cluster")
+        )
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "cos", cosine(F.col("q_vec"), F.col("q_norm"), F.col("vec"), F.col("norm"))
+        )
+        .select(
+            "q_id", "q_label",
+            F.col("vec_id").alias("n_id"), F.col("label").alias("n_label"), "cos",
+        )
+        # a vector probed via two clusters can't happen (ivf_assign puts
+        # each vector in exactly one cluster), so no dedup is needed
+    )
+    return _triplet_rank(scored, k)
 
 
 def near_dup_pairs(

@@ -793,7 +793,56 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: temperature-mix parameters: the sampling temperature alpha = 1/2 is
+#: realized as an INTEGER sqrt (floor(sqrt(tok_ct)) — exact in both
+#: engines: IEEE sqrt is correctly rounded and the half-ulp boundary needs
+#: tok_ct > 2^51), so the mixture weights carry no FP at all.
+#: MIX_TOKEN_TARGET is the training budget being allocated.
+MIX_TOKEN_TARGET = 1_000_000
+
+
+def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing — the multilingual/multi-source
+    upsampling rule (mBERT/XLM-R style, alpha = 1/2: sample source s with
+    probability ∝ tok_ct(s)^alpha): small sources are upsampled, dominant
+    sources downsampled, flattening the mixture without equalizing it.
+    Emits per source the exact integer allocation out of MIX_TOKEN_TARGET
+    and the implied repetition factor (epochs x100; > 100 means the
+    source repeats — the upsampling a data-loader materializes).
+
+    Scale: one token-count aggregate with map-side partials, a 1-row
+    weight-total broadcast, pure integer arithmetic after the quantized
+    sqrt — |sources| rows end to end."""
+    from gmall_flink_spark.functions.text import token_count
+
+    per = (
+        table(spark, sf_dir, "documents")
+        .select("source", token_count("text").cast("bigint").alias("tok"))
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tok_ct"), F.count(F.lit(1)).alias("doc_ct"))
+        .withColumn(
+            "weight_q", F.floor(F.sqrt(F.col("tok_ct").cast("double"))).cast("bigint")
+        )
+    )
+    tot = per.agg(F.sum("weight_q").alias("wt"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "doc_ct",
+            "tok_ct",
+            "weight_q",
+            F.expr(f"({MIX_TOKEN_TARGET} * weight_q) div wt").alias("alloc_tokens"),
+            F.expr(f"(100 * (({MIX_TOKEN_TARGET} * weight_q) div wt)) div tok_ct").alias(
+                "epochs_x100"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "llm_temperature_mix": llm_temperature_mix,
     "llm_decontaminate": llm_decontaminate,
     "llm_token_budget": llm_token_budget,
     "llm_source_mix": llm_source_mix,
@@ -1007,6 +1056,23 @@ ORACLE = {
         FROM t GROUP BY 1, 2 ORDER BY 1, 2
     """,
 }
+
+ORACLE["llm_temperature_mix"] = f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS tok_ct,
+               CAST(floor(sqrt(CAST(SUM(len({_TOKS})) AS DOUBLE))) AS BIGINT)
+                   AS weight_q
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(weight_q) AS wt FROM per)
+    SELECT source, doc_ct, tok_ct, weight_q,
+           CAST(({MIX_TOKEN_TARGET} * weight_q) // wt AS BIGINT) AS alloc_tokens,
+           CAST((100 * (({MIX_TOKEN_TARGET} * weight_q) // wt)) // tok_ct AS BIGINT)
+               AS epochs_x100
+    FROM per CROSS JOIN tot ORDER BY source
+"""
 
 ORACLE["llm_mix_rebalance"] = f"""
     WITH docs AS (

@@ -302,9 +302,31 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(emb, queries, k=HN_K).orderBy("q_id", "rk")
 
 
+def sim_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining, IVF-probed (the 100 TB form of
+    sim_hard_negatives): positives and negatives come from the anchor's
+    NPROBE nearest clusters instead of a full scan — the partition-pruned
+    plan a billion-vector corpus runs, oracle-checked against the same
+    triplet contract restricted to the probed set. Anchors whose probed
+    union misses their label produce no rows (the recall cost of probing;
+    compare row counts with sim_hard_negatives to read it)."""
+    from gmall_flink_spark.llm.similarity import hard_negatives_probed, ivf_assign
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS)
+    assigned_l = ivf_assign(emb, cents).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    queries = emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)
+    return hard_negatives_probed(assigned_l, queries, cents, nprobe=NPROBE, k=HN_K).orderBy(
+        "q_id", "rk"
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_hard_negatives": sim_hard_negatives,
+    "sim_hard_negatives_ivf": sim_hard_negatives_ivf,
     "sim_filtered_topk": sim_filtered_topk,
     "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
@@ -347,6 +369,48 @@ ORACLE = {
             SELECT q_id, q_label, n.vec_id AS n_id, n.label AS n_label,
                    round(list_dot_product(q_vec, n.v) / (q_norm * n.norm), 6) AS cos
             FROM q JOIN n ON n.vec_id != q.q_id
+        ),
+        pos AS (
+            SELECT q_id, cos AS pos_cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+            FROM scored WHERE n_label = q_label
+            QUALIFY rk = 1
+        ),
+        negs AS (
+            SELECT q_id, q_label, n_id AS neighbor_id, n_label AS neighbor_label, cos,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rk
+            FROM scored WHERE n_label != q_label
+            QUALIFY rk <= {HN_K}
+        )
+        SELECT negs.q_id, q_label, neighbor_id, neighbor_label, negs.rk AS rk,
+               cos, round(pos_cos - cos, 6) AS margin
+        FROM negs JOIN pos ON negs.q_id = pos.q_id
+        ORDER BY negs.q_id, negs.rk
+    """,
+    "sim_hard_negatives_ivf": f"""
+        WITH a AS ({_ASSIGNED}),
+        al AS (SELECT a.vec_id, a.v, a.norm, a.cluster, e.label
+               FROM a JOIN embeddings e USING (vec_id)),
+        q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec, norm AS q_norm
+              FROM ({_NORMED_L}) WHERE vec_id % {KNN_QUERY_MOD} = 0),
+        probes AS (
+            SELECT q_id, q_label, q_vec, q_norm, c_id AS probe_cluster FROM (
+                SELECT q.q_id, q.q_label, q.q_vec, q.q_norm, c.vec_id AS c_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_dot_product(q.q_vec, c.v)
+                                          / (q.q_norm * c.norm), 6) DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM q CROSS JOIN (SELECT * FROM ({_NORMED})
+                                   WHERE vec_id < {N_CENTROIDS}) c
+            ) WHERE rk <= {NPROBE}
+        ),
+        scored AS (
+            SELECT q_id, q_label, al.vec_id AS n_id, al.label AS n_label,
+                   round(list_dot_product(q_vec, al.v) / (q_norm * al.norm), 6) AS cos
+            FROM probes JOIN al ON al.cluster = probes.probe_cluster
+                              AND al.vec_id != probes.q_id
         ),
         pos AS (
             SELECT q_id, cos AS pos_cos,
