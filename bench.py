@@ -283,6 +283,15 @@ HEADLINE = [
     "llm_bpe_train",
     "llm_bpe_encode",
     "dws_order_uu_window",
+    # round-9 continuation 2: learned classifier, perplexity terciles,
+    # triplet mining (brute + IVF-probed), governance + mixture ops
+    "nb_lang_confusion",
+    "nb_source_quality",
+    "ccnet_ppl_buckets",
+    "sim_hard_negatives",
+    "sim_hard_negatives_ivf",
+    "domain_blocklist",
+    "llm_temperature_mix",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

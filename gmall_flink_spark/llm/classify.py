@@ -43,36 +43,45 @@ def nb_token_counts(train_toks: DataFrame, label_col: str = "label") -> DataFram
     ).agg(F.count(F.lit(1)).alias("ct"))
 
 
-def nb_grid(cls_counts: DataFrame) -> DataFrame:
+def nb_grid(cls_counts: DataFrame, materialize: bool = True) -> DataFrame:
     """Derive the quantized weight grid (t, cls, r) from the count
     statistic: one row for EVERY (vocab token, class) pair — absent pairs
     materialize through the add-1 smoothing path, so score-time joins
     never miss a trained class.
 
-    Scale: class totals and vocab are aggregates OF THE COUNTS (vocab-
-    bounded, << corpus); the grid is |vocab| × |classes|, built by
-    cross-joining the vocab against the (tiny, broadcast) class totals;
-    the scalar vocab size rides a 1-row broadcast."""
-    counts = cls_counts.select(
-        F.col("t").alias("_t"), F.col("cls").alias("_c"), "ct"
+    Plan shape: the per-token class counts collapse to ONE map-valued row
+    per token (a single token-keyed groupBy — also the vocab, so no
+    separate distinct), then fan out |classes| ways against the broadcast
+    class totals — the grid never runs a (t, cls)-keyed join. The scalar
+    vocab size rides a 1-row broadcast. try_element_at (not element_at /
+    [] access) keeps the absent-pair lookup NULL-returning under ANSI
+    mode instead of throwing MAP_KEY_DOES_NOT_EXIST.
+
+    ``materialize`` eagerly localCheckpoints the statistic before the
+    fan-out: its three consumers (map collapse, class totals, vocab size)
+    are unshared subtrees to Catalyst, so an unmaterialized plan re-runs
+    the corpus token scan per consumer — the checkpoint pins the
+    vocab × classes-bounded frame and the corpus is scanned ONCE per
+    train. Pass False when the input is already materialized (the
+    streaming state table)."""
+    if materialize:
+        cls_counts = cls_counts.localCheckpoint(eager=True)
+    per_t = cls_counts.groupBy("t").agg(
+        F.map_from_entries(F.collect_list(F.struct("cls", "ct"))).alias("cts")
     )
     cls_tot = cls_counts.groupBy("cls").agg(F.sum("ct").alias("tot"))
-    vocab = cls_counts.select("t").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    vsize = per_t.agg(F.count(F.lit(1)).alias("v"))
     return (
-        vocab.crossJoin(F.broadcast(cls_tot))
-        .join(
-            counts,
-            (F.col("t") == F.col("_t")) & (F.col("cls") == F.col("_c")),
-            "left",
-        )
+        per_t.crossJoin(F.broadcast(cls_tot))
         .crossJoin(F.broadcast(vsize))
         .select(
             "t",
             "cls",
             F.floor(
                 F.log2(
-                    F.expr("(tot + v) div (coalesce(ct, 0) + 1)").cast("double")
+                    F.expr(
+                        "(tot + v) div (coalesce(try_element_at(cts, cls), 0) + 1)"
+                    ).cast("double")
                 )
             )
             .cast("bigint")
@@ -164,7 +173,7 @@ def nb_state_model(spark, state_path: str) -> tuple[DataFrame, DataFrame]:
     doc_ct = st.where(F.col("kind") == NB_KIND_DOC).select(
         "cls", F.col("nb_ct").alias("dn")
     )
-    return nb_grid(cls_ct), nb_priors_from_counts(doc_ct)
+    return nb_grid(cls_ct, materialize=False), nb_priors_from_counts(doc_ct)
 
 
 def nb_score(

@@ -124,20 +124,28 @@ def _triplet_rank(scored: DataFrame, k: int) -> DataFrame:
     """Shared anchor/positive/negative ranking over a scored candidate
     frame (q_id, q_label, n_id, n_label, cos): positive = rank-1
     same-label, negatives = top-k different-label, margin = pos − neg.
-    One contract for the brute-force and IVF-probed miners."""
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    pos = (
-        scored.where(F.col("n_label") == F.col("q_label"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("q_id", F.col("cos").alias("pos_cos"))
+    One contract for the brute-force and IVF-probed miners.
+
+    ONE linear plan, deliberately: ranking within (q_id, is_pos) groups
+    plus a windowed max for the positive's cos — never a pos/neg
+    self-join, which would make Catalyst duplicate the whole upstream
+    scoring subtree (for the probed miner that re-runs the full IVF
+    assignment). Anchors with no same-label candidate have a NULL
+    pos_cos and drop, matching the join form's inner-join semantics."""
+    scored = scored.withColumn(
+        "is_pos", F.col("n_label") == F.col("q_label")
     )
-    negs = (
-        scored.where(F.col("n_label") != F.col("q_label"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+    w_rk = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.desc("cos"), F.asc("n_id")
     )
-    return negs.join(pos, "q_id").select(
+    w_q = Window.partitionBy("q_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "pos_cos",
+        F.max(F.when(F.col("is_pos") & (F.col("rk") == 1), F.col("cos"))).over(w_q),
+    )
+    return ranked.where(
+        (~F.col("is_pos")) & (F.col("rk") <= k) & F.col("pos_cos").isNotNull()
+    ).select(
         "q_id",
         "q_label",
         F.col("n_id").alias("neighbor_id"),
