@@ -301,6 +301,84 @@ def traffic_grain_window_stream(
     )
 
 
+#: 30-day tumbling windows in seconds — the nation/geo order window's
+#: grain; the uv-dedup bucket below must floor to the SAME alignment
+#: Spark's window() uses (epoch 1970-01-01, UTC session).
+NATION_WIN_SECS = 30 * 86400
+
+
+def nation_order_window_stream(
+    oi_env: DataFrame,
+    cust: DataFrame,
+    nation: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsTradeProvinceOrderWindow as one streaming query (P2/P4→J8→
+    A4/A6, app/dws/DwsTradeProvinceOrderWindow.java:36-140): order_info
+    insert envelopes → broadcast geo enrichment (customer → nation, the
+    stream-static form of the reference's async dim lookup) → per-nation
+    30-day windows with order count, EXACT distinct user count, and
+    decimal amount sums.
+
+    Exact user_ct is not a streaming aggregate, so it rides the traffic
+    pipeline's SELF-UNION trick one window size up: the plain branch tags
+    every order (ord=1, uu=0, amount), the uu branch dedups on
+    (user_id, 30-day bucket) under the watermark — the bucket floors
+    unix seconds by NATION_WIN_SECS, Spark's own epoch-aligned tumble
+    boundary, so dedup survivors land in exactly their window. A user's
+    nation is a function of user_id, so the dedup key needs no geo
+    column. Both branches read the SAME enriched instance; one window
+    aggregation sums the pairwise counters.
+
+    Scale: dims broadcast; dedup state is one entry per (user, window);
+    the union doubles window-agg input but both branches partial-
+    aggregate map-side per nation key."""
+    oi = src_filter(drop_bootstrap(oi_env), "order_info", ["insert"]).select(
+        d("id").cast("bigint").alias("order_id"),
+        d("user_id").cast("bigint").alias("user_id"),
+        d("total_amount").cast("decimal(18,2)").alias("amount"),
+        F.timestamp_seconds("ts").alias("rt"),
+    )
+    # watermark ABOVE the join: the far-future sentinel's user_id can never
+    # join `cust`, so it must advance the watermark before the join drops it
+    oi = oi.withWatermark("rt", dedup_delay)
+    enriched = (
+        oi.join(F.broadcast(cust), oi.user_id == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("order_id", "user_id", "amount", "rt", F.col("n_name").alias("nation_name"))
+    )
+    plain = enriched.select(
+        "nation_name", "rt",
+        F.lit(1).cast("long").alias("ord"),
+        F.lit(0).cast("long").alias("uu"),
+        F.col("amount"),
+    )
+    uu = (
+        enriched.withColumn(
+            "win_bucket",
+            (F.unix_timestamp("rt") / F.lit(NATION_WIN_SECS)).cast("bigint"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "win_bucket"])
+        .select(
+            "nation_name", "rt",
+            F.lit(0).cast("long").alias("ord"),
+            F.lit(1).cast("long").alias("uu"),
+            F.lit(0).cast("decimal(18,2)").alias("amount"),
+        )
+    )
+    return tumble_agg(
+        plain.unionByName(uu),
+        "rt",
+        "30 days",
+        [F.col("nation_name")],
+        [
+            F.sum("ord").alias("order_ct"),
+            F.sum("uu").alias("user_ct"),
+            F.sum("amount").cast("double").alias("order_amount"),
+        ],
+    )
+
+
 def home_detail_uv_window_stream(
     raw: DataFrame,
     dedup_delay: str = "3650 days",

@@ -1861,3 +1861,37 @@ def test_streaming_nb_model_equals_batch_confusion(spark):
     )
     batch = nb_lang_confusion(spark, SF)
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_nation_order_window_pipeline_end_to_end(spark):
+    """DwsTradeProvinceOrderWindow as ONE availableNow query — order_info
+    insert envelopes → broadcast geo enrichment → self-union EXACT
+    distinct-user branch (dedup on (user, 30-day epoch bucket)) → A4/A6
+    window agg — equals the batch twin dws_nation_order_window exactly,
+    including the countDistinct column. The sentinel's user_id can never
+    join customer, so the watermark sits above the join."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+    from gmall_flink_spark.streaming.pipelines import (
+        nation_order_window_stream,
+        sentinel_envelope_slices,
+    )
+
+    env = orders_envelope(spark, SF)
+    slices = os.path.join(TMP, "nation_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    far = int(env.agg(F.max("ts")).collect()[0][0]) + 864_000_000  # +10k days
+    sentinel_envelope_slices(
+        spark, slices, "order_info",
+        {"id": "-9", "user_id": "-9", "total_amount": "0"},
+        far,
+    )
+    got = run_available_now(
+        nation_order_window_stream(
+            stream_from(spark, slices, env),
+            table(spark, SF, "customer"),
+            table(spark, SF, "nation"),
+        )
+    )
+    batch = all_queries()["dws_nation_order_window"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
