@@ -96,6 +96,11 @@ PROBES = [
                                 #   (node universe fixed: Kx edges, same graph)
     "llm_dsir_weights",         # bucket aggs + broadcast lambda + doc agg
     "llm_shard_manifest",       # shard shuffle + per-shard window sort
+    # round 9 continuation 2
+    "nb_lang_confusion",        # NB train (ckpt'd counts) + token-join score
+    "ccnet_ppl_buckets",        # bigram scores + per-source ntile window
+    "sim_hard_negatives_ivf",   # IVF assignment + probed triplet ranking
+    "llm_temperature_mix",      # source agg + integer-sqrt mixture
 ]
 
 

@@ -229,3 +229,71 @@ def test_srp_auto_band_bits_contract(spark, n):
         smaller = max(d for d in range(1, bits) if 96 % d == 0) if bits > 1 else None
         if smaller is not None:
             assert 2 ** smaller < 2 * n
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),           # doc_id
+            st.sampled_from(["en", "fr", "zh"]),               # label
+            st.lists(st.sampled_from(list("abcdefg")), min_size=1, max_size=6),
+        ),
+        min_size=2,
+        max_size=18,
+        unique_by=lambda d: d[0],
+    )
+)
+@_SETTINGS
+def test_nb_quantized_scores_match_python(spark, docs):
+    """The quantized-NB train/score loop vs an FP-FREE Python reference:
+    floor(log2(n)) is computed as n.bit_length()-1 (pure integer), so any
+    engine/reference disagreement would expose the one FP step the design
+    claims is safe (log2 of an exact int off power boundaries). Verifies
+    the full per-(doc, class) score table, not just the argmin."""
+    from gmall_flink_spark.llm.classify import nb_priors, nb_score, nb_train
+
+    train = [d for d in docs if d[0] % 2 == 1]
+    score = [d for d in docs if d[0] % 2 == 0]
+    if not train or not score:
+        return
+
+    # pure-integer reference
+    cls_ct, cls_tot, doc_ct, vocab = {}, {}, {}, set()
+    for _, lang, toks in train:
+        doc_ct[lang] = doc_ct.get(lang, 0) + 1
+        for t in toks:
+            cls_ct[(lang, t)] = cls_ct.get((lang, t), 0) + 1
+            cls_tot[lang] = cls_tot.get(lang, 0) + 1
+            vocab.add(t)
+    v = len(vocab)
+    flog2 = lambda n: n.bit_length() - 1
+    pr = {
+        c: flog2(sum(doc_ct.values()) // doc_ct[c]) for c in doc_ct
+    }
+    expect = {}
+    for doc_id, _, toks in score:
+        for c in cls_tot:
+            s, seen = 0, 0
+            for t in toks:
+                if t in vocab:
+                    seen += 1
+                    s += flog2((cls_tot[c] + v) // (cls_ct.get((c, t), 0) + 1))
+            if seen:
+                expect[(doc_id, c)] = s + pr[c]
+
+    rows_ = [(i, lang, t) for i, lang, toks in docs for t in toks]
+    toks_df = spark.createDataFrame(rows_, "doc_id long, label string, t string")
+    tr = toks_df.where("doc_id % 2 = 1")
+    ho = toks_df.where("doc_id % 2 = 0").drop("label")
+    model = nb_train(tr, label_col="label")
+    priors = nb_priors(
+        spark.createDataFrame(
+            [(i, l) for i, l, _ in train], "doc_id long, label string"
+        ),
+        label_col="label",
+    )
+    got = {
+        (r["doc_id"], r["cls"]): r["total"]
+        for r in nb_score(ho, model, priors).collect()
+    }
+    assert got == expect
