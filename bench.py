@@ -292,6 +292,8 @@ HEADLINE = [
     "sim_hard_negatives_ivf",
     "domain_blocklist",
     "llm_temperature_mix",
+    "simhash_recall_audit",
+    "sim_ivf_recall_audit",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -323,10 +323,48 @@ def sim_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality audit — recall@5 of the multi-probe IVF search
+    vs exact brute force, per query, as integers (the registry-visible
+    form of the recall the test suite pins): for each query's true top-5
+    neighbours, how many does the NPROBE-cluster probe recover? The
+    number an operator reads before trusting the partition-pruned path
+    at corpus scale, and the lever check for raising nprobe. Same
+    detect→verify shape as lsh_recall_audit / simhash_recall_audit,
+    pointed at the vector index.
+
+    Scale: truth is brute force over the SAMPLED query set only (queries
+    broadcast, one scan — the standard sampled-ground-truth recall
+    methodology); the probed side is the production partition-pruned
+    plan."""
+    from gmall_flink_spark.llm.similarity import ivf_topk_multiprobe
+
+    emb = prep(table(spark, sf_dir, "embeddings"))
+    cents = emb.where(F.col("vec_id") < N_CENTROIDS)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    probed = ivf_topk_multiprobe(assigned, queries, cents, nprobe=NPROBE, k=5).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    truth = brute_force_topk(emb, queries, k=5).select("q_id", "neighbor_id")
+    flagged = truth.join(probed, ["q_id", "neighbor_id"], "left")
+    return (
+        flagged.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("true_ct"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hit_ct"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("miss_ct"),
+            F.sum("neighbor_id").alias("neighbor_id_sum"),
+        )
+        .orderBy("q_id")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_hard_negatives": sim_hard_negatives,
     "sim_hard_negatives_ivf": sim_hard_negatives_ivf,
+    "sim_ivf_recall_audit": sim_ivf_recall_audit,
     "sim_filtered_topk": sim_filtered_topk,
     "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
@@ -386,6 +424,56 @@ ORACLE = {
                cos, round(pos_cos - cos, 6) AS margin
         FROM negs JOIN pos ON negs.q_id = pos.q_id
         ORDER BY negs.q_id, negs.rk
+    """,
+    "sim_ivf_recall_audit": f"""
+        WITH a AS ({_ASSIGNED}),
+        q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm
+              FROM ({_NORMED}) WHERE vec_id < {N_QUERIES}),
+        probes AS (
+            SELECT q_id, q_vec, q_norm, c_id AS probe_cluster FROM (
+                SELECT q.q_id, q.q_vec, q.q_norm, c.vec_id AS c_id,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY round(list_dot_product(q.q_vec, c.v)
+                                          / (q.q_norm * c.norm), 6) DESC,
+                                    c.vec_id
+                       ) AS rk
+                FROM q CROSS JOIN (SELECT * FROM ({_NORMED})
+                                   WHERE vec_id < {N_CENTROIDS}) c
+            ) WHERE rk <= {NPROBE}
+        ),
+        probed AS (
+            SELECT q_id, neighbor_id, 1 AS hit FROM (
+                SELECT q_id, a.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY round(list_dot_product(q_vec, a.v)
+                                          / (q_norm * a.norm), 6) DESC, a.vec_id
+                       ) AS rk
+                FROM probes JOIN a ON a.cluster = probes.probe_cluster
+                                 AND a.vec_id != probes.q_id
+            ) WHERE rk <= 5
+        ),
+        truth AS (
+            SELECT q_id, neighbor_id FROM (
+                SELECT q_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY round(list_dot_product(q_vec, n.v)
+                                          / (q_norm * n.norm), 6) DESC, n.vec_id
+                       ) AS rk
+                FROM q JOIN ({_NORMED}) n ON n.vec_id != q.q_id
+            ) WHERE rk <= 5
+        )
+        SELECT t.q_id,
+               CAST(COUNT(*) AS BIGINT) AS true_ct,
+               CAST(SUM(COALESCE(p.hit, 0)) AS BIGINT) AS hit_ct,
+               CAST(SUM(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS miss_ct,
+               CAST(SUM(t.neighbor_id) AS BIGINT) AS neighbor_id_sum
+        FROM truth t LEFT JOIN probed p
+          ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+        GROUP BY t.q_id ORDER BY t.q_id
     """,
     "sim_hard_negatives_ivf": f"""
         WITH a AS ({_ASSIGNED}),
