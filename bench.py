@@ -294,6 +294,7 @@ HEADLINE = [
     "llm_temperature_mix",
     "simhash_recall_audit",
     "sim_ivf_recall_audit",
+    "sim_cluster_balanced_sample",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -323,6 +323,48 @@ def sim_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-cluster quota for the cluster-balanced sample
+CB_SAMPLE_K = 20
+
+
+def sim_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced (diversity-flattening) sampling — the topic-balance
+    stage run after clustering a corpus's embeddings (the sampling move in
+    SemDeDup-style pipelines and cluster-stratified data selection): every
+    IVF cluster contributes at most CB_SAMPLE_K members, chosen as the
+    bottom-K by deterministic hash (reproducible without RNG state), so
+    dominant topics are downsampled and rare topics survive whole. The
+    ledger reports per cluster the population, the quota taken, a sampled
+    id checksum (membership-verified), and the sampled label spread.
+
+    Scale: rides the session-memoized assignment; the quota cut is one
+    rank window partitioned by cluster — cluster count grows with the
+    corpus, so partitions stay bounded; no global sort."""
+    from gmall_flink_spark.functions.text import md5_long
+
+    assigned = _ivf_assigned(spark, sf_dir)
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    keyed = assigned.select(
+        "cluster", "vec_id", md5_long(F.col("vec_id").cast("string")).alias("h")
+    ).join(F.broadcast(labels), "vec_id")
+    w = Window.partitionBy("cluster").orderBy("h", "vec_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("member_ct"),
+            F.sum((F.col("rn") <= CB_SAMPLE_K).cast("bigint")).alias("sampled_ct"),
+            F.sum(
+                F.when(F.col("rn") <= CB_SAMPLE_K, F.col("vec_id")).otherwise(0)
+            ).alias("sampled_id_sum"),
+            F.countDistinct(
+                F.when(F.col("rn") <= CB_SAMPLE_K, F.col("label"))
+            ).alias("sampled_label_ct"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality audit — recall@5 of the multi-probe IVF search
     vs exact brute force, per query, as integers (the registry-visible
@@ -365,6 +407,7 @@ QUERIES = {
     "sim_hard_negatives": sim_hard_negatives,
     "sim_hard_negatives_ivf": sim_hard_negatives_ivf,
     "sim_ivf_recall_audit": sim_ivf_recall_audit,
+    "sim_cluster_balanced_sample": sim_cluster_balanced_sample,
     "sim_filtered_topk": sim_filtered_topk,
     "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
@@ -424,6 +467,30 @@ ORACLE = {
                cos, round(pos_cos - cos, 6) AS margin
         FROM negs JOIN pos ON negs.q_id = pos.q_id
         ORDER BY negs.q_id, negs.rk
+    """,
+    "sim_cluster_balanced_sample": f"""
+        WITH a AS ({_ASSIGNED}),
+        keyed AS (
+            SELECT a.cluster, a.vec_id, e.label,
+                   ('0x' || substr(md5('0|' || a.vec_id::VARCHAR), 1, 15))::BIGINT
+                       AS h
+            FROM a JOIN embeddings e USING (vec_id)
+        ),
+        ranked AS (
+            SELECT cluster, vec_id, label,
+                   row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id)
+                       AS rn
+            FROM keyed
+        )
+        SELECT cluster,
+               CAST(COUNT(*) AS BIGINT) AS member_ct,
+               CAST(SUM(CASE WHEN rn <= {CB_SAMPLE_K} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS sampled_ct,
+               CAST(SUM(CASE WHEN rn <= {CB_SAMPLE_K} THEN vec_id ELSE 0 END)
+                    AS BIGINT) AS sampled_id_sum,
+               CAST(COUNT(DISTINCT CASE WHEN rn <= {CB_SAMPLE_K} THEN label END)
+                    AS BIGINT) AS sampled_label_ct
+        FROM ranked GROUP BY cluster ORDER BY cluster
     """,
     "sim_ivf_recall_audit": f"""
         WITH a AS ({_ASSIGNED}),
