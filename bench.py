@@ -295,6 +295,7 @@ HEADLINE = [
     "simhash_recall_audit",
     "sim_ivf_recall_audit",
     "sim_cluster_balanced_sample",
+    "corpus_datasheet",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

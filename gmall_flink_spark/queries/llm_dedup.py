@@ -497,6 +497,64 @@ def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET CARD (after Gebru et al. 2021, "Datasheets
+    for Datasets", arXiv:1803.09010 — the one-frame summary a corpus
+    release publishes): volume (docs, tokens), language spread, mean
+    heuristic quality and LM-surprisal mass (exact integer sums — divide
+    by doc_ct for means), and near-dup contamination, one row per source.
+    The single artifact a data consumer reads before mixing a source in —
+    every column is a checksum over a stage this engine also exposes as a
+    full query (text_quality_deciles, text_bigram_lm_score,
+    dedup_components), so the card is cross-checkable against its
+    detailed views.
+
+    Scale: one doc-grain scan for volume/langs, the two shared scoring
+    stages (token- and bigram-keyed aggs with map-side partials), the
+    memoized component mapping; four |sources|-row joins stitch the
+    card."""
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.queries.text import _bigram_doc_mean10x, doc_quality_scores
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum(token_count("text").cast("bigint")).alias("token_ct"),
+        F.countDistinct("lang").alias("lang_ct"),
+    )
+    q = (
+        doc_quality_scores(docs)
+        .groupBy("source")
+        .agg(F.sum("score").alias("score_sum"))
+    )
+    ppl = (
+        _bigram_doc_mean10x(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("mean10x").alias("ppl10x_sum"))
+    )
+    dup = (
+        _components(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("dup_doc_ct"))
+    )
+    return (
+        base.join(q, "source", "left")
+        .join(ppl, "source", "left")
+        .join(dup, "source", "left")
+        .select(
+            "source",
+            "doc_ct",
+            "token_ct",
+            "lang_ct",
+            F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+            F.coalesce("ppl10x_sum", F.lit(0)).alias("ppl10x_sum"),
+            F.coalesce("dup_doc_ct", F.lit(0)).alias("dup_doc_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr ACTION (keep-one-copy): per document, the merged
     intervals the cut rule removes — every occurrence of a duplicated
@@ -982,6 +1040,7 @@ QUERIES = {
     "dedup_rep_select": dedup_rep_select,
     "web_domain_dup_rate": web_domain_dup_rate,
     "domain_blocklist": domain_blocklist,
+    "corpus_datasheet": corpus_datasheet,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1651,6 +1710,79 @@ ORACLE["domain_blocklist"] = f"""
            CAST(blocked AS BIGINT) AS blocked,
            CAST(blocked * doc_ct AS BIGINT) AS blocked_doc_ct
     FROM j ORDER BY domain
+"""
+
+
+# datasheet twin: volume/lang scan + the shared quality relation + the
+# bigram surprisal chain + the recursive component closure, stitched per
+# source with the same left-join/coalesce rules
+ORACLE["corpus_datasheet"] = f"""
+    WITH RECURSIVE
+    cands AS ({_CANDS}),
+    jac AS ({_jaccard(_UNITS)}),
+    edges AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+    ),
+    sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    scored AS ({SCORED_DOCS_SQL}),
+    base AS (
+        SELECT source, COUNT(*) AS doc_ct,
+               SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+                   AS token_ct,
+               COUNT(DISTINCT lang) AS lang_ct
+        FROM documents GROUP BY source
+    ),
+    q AS (SELECT source, SUM(score) AS score_sum FROM scored GROUP BY source),
+    t AS (
+        SELECT source, doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS l
+        FROM documents
+    ),
+    bg AS (
+        SELECT source, doc_id, l[i] AS a, l[i + 1] AS b
+        FROM (SELECT source, doc_id, l, unnest(range(1, len(l))) AS i
+              FROM t WHERE len(l) >= 2)
+    ),
+    ctx AS (SELECT a, COUNT(*) AS cn FROM bg GROUP BY a),
+    bc AS (SELECT a, b, COUNT(*) AS bn FROM bg GROUP BY a, b),
+    cls AS (
+        SELECT a, b, CAST(floor(log2(CAST(cn // bn AS DOUBLE))) AS BIGINT) AS r
+        FROM bc JOIN ctx USING (a)
+    ),
+    ppl_doc AS (
+        SELECT source, doc_id, CAST((10 * SUM(r)) // COUNT(*) AS BIGINT) AS mean10x
+        FROM bg JOIN cls USING (a, b)
+        GROUP BY source, doc_id
+    ),
+    ppl AS (SELECT source, SUM(mean10x) AS ppl10x_sum FROM ppl_doc GROUP BY source),
+    dup AS (
+        SELECT d.source, COUNT(*) AS dup_doc_ct
+        FROM comp JOIN documents d USING (doc_id) GROUP BY d.source
+    )
+    SELECT base.source,
+           CAST(doc_ct AS BIGINT) AS doc_ct,
+           CAST(token_ct AS BIGINT) AS token_ct,
+           CAST(lang_ct AS BIGINT) AS lang_ct,
+           CAST(COALESCE(q.score_sum, 0) AS BIGINT) AS score_sum,
+           CAST(COALESCE(ppl.ppl10x_sum, 0) AS BIGINT) AS ppl10x_sum,
+           CAST(COALESCE(dup.dup_doc_ct, 0) AS BIGINT) AS dup_doc_ct
+    FROM base
+    LEFT JOIN q ON base.source = q.source
+    LEFT JOIN ppl ON base.source = ppl.source
+    LEFT JOIN dup ON base.source = dup.source
+    ORDER BY base.source
 """
 
 # keep-one-copy twin: a position is cut iff it is NOT the globally first
