@@ -936,3 +936,95 @@ def test_hard_negatives_triplet_semantics(spark):
     # margin = pos_cos - neg_cos; positive is vec 1 (same label, cos 0.993884)
     assert got[(0, 1)][2] < got[(0, 2)][2]
     assert abs(got[(0, 2)][2] - (0.993884 - 0.707107)) < 1e-9
+
+
+def test_temperature_mix_single_source_gets_full_budget(spark, tmp_path):
+    """Degenerate mixture: one source must absorb the ENTIRE token target
+    (alloc = MIX_TOKEN_TARGET exactly, epochs = target/tok_ct) — the
+    boundary where a weight-normalization bug (div by the wrong total,
+    off-by-one smoothing) shows up first. Engine vs DuckDB oracle."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_pipeline import (
+        MIX_TOKEN_TARGET,
+        ORACLE,
+        llm_temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 10, "en", "only", 40) for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in llm_temperature_mix(spark, sf).collect()]
+    tok_ct = 40
+    assert got == [
+        ("only", 4, tok_ct, 6, MIX_TOKEN_TARGET, (100 * MIX_TOKEN_TARGET) // tok_ct)
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["llm_temperature_mix"]).fetchall()
+
+
+def test_domain_blocklist_quality_floor_boundary(spark, tmp_path):
+    """The quality arm of the block rule on a corpus with NO near-dups:
+    a one-token-vocabulary doc scores 1000 bp (< the 5000 floor) and its
+    domain blocks; an all-distinct doc scores 10000 and passes. Engine
+    vs oracle on the synthetic table (the dup arm is exercised at the
+    gate SFs where components exist)."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_dedup import ORACLE, domain_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x x x x x x x x x x", "en", "srca", 19),   # dist=1 -> 1000bp
+            (3, "q w e r t y u i o p", "en", "srcb", 19),   # dist=10 -> 10000bp
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {r["domain"]: (r["blocked"], r["blocked_doc_ct"], r["score_sum"])
+           for r in domain_blocklist(spark, sf).collect()}
+    assert got["srca.com"] == (1, 1, 1000), got
+    assert got["srcb.com"] == (0, 0, 10000), got
+    rows_ = sorted(map(tuple, domain_blocklist(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert rows_ == sorted(con.sql(ORACLE["domain_blocklist"]).fetchall())
+
+
+def test_hard_negatives_probed_positive_out_of_probe_reach(spark):
+    """The probed miner's documented recall cost: an anchor whose only
+    same-label vector lives outside its nprobe nearest clusters yields NO
+    rows at nprobe=1 (positive unreachable) and reappears at nprobe=2 —
+    the 'raise nprobe' lever the docstring promises."""
+    from gmall_flink_spark.llm.similarity import hard_negatives_probed, ivf_assign
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),      # centroid 0
+            (1, [0.0, 1.0], 1),      # centroid 1
+            (20, [1.0, 0.05], 7),    # anchor -> cluster 0
+            (21, [0.05, 1.0], 7),    # its only label-mate -> cluster 1
+            (22, [0.9, 0.1], 8),     # negative in cluster 0
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    vecs = emb.selectExpr("vec_id", "embedding as vec", "label")
+    cents = vecs.where("vec_id < 2")
+    assigned_l = ivf_assign(vecs.drop("label"), cents).join(
+        vecs.select("vec_id", "label"), "vec_id"
+    )
+    anchors = vecs.where("vec_id = 20")
+    near1 = hard_negatives_probed(assigned_l, anchors, cents, nprobe=1, k=2).collect()
+    assert near1 == [], near1
+    near2 = hard_negatives_probed(assigned_l, anchors, cents, nprobe=2, k=2).collect()
+    # centroid vectors are corpus members too: vec 0 (label 0) outranks 22
+    assert [(r["neighbor_id"], r["rk"]) for r in near2] == [(0, 1), (22, 2)], near2
