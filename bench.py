@@ -296,6 +296,7 @@ HEADLINE = [
     "sim_ivf_recall_audit",
     "sim_cluster_balanced_sample",
     "corpus_datasheet",
+    "dedup_loss_weights",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

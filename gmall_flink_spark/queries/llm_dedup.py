@@ -497,6 +497,45 @@ def domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — the loss-weighting alternative to dropping duplicates
+    (keep every copy, downweight each by its duplicate-family size, so a
+    family contributes ~one document of gradient mass; the counting
+    argument behind dedup-aware training-loss reweighting): per document
+    family f, weight = 10000 div |f| basis points; singletons keep 10000.
+    Reported per source: docs, near-dup members, the exact effective mass
+    after reweighting (weight_bp_sum — divide by 10000 for "effective
+    docs"), and the harshest downweight applied. The table a loader joins
+    to scale per-example loss instead of filtering.
+
+    Scale: rides the memoized component mapping; the size table is
+    |components| rows; everything else is doc-grain map work + one
+    source aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = _components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("fam_sz"))
+    weighted = (
+        docs.join(comp, "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "source",
+            "doc_id",
+            F.expr("10000 div coalesce(fam_sz, 1)").alias("weight_bp"),
+            F.col("component").isNotNull().cast("bigint").alias("is_member"),
+        )
+    )
+    return (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum("is_member").alias("dup_member_ct"),
+            F.sum("weight_bp").alias("weight_bp_sum"),
+            F.min("weight_bp").alias("min_weight_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source DATASET CARD (after Gebru et al. 2021, "Datasheets
     for Datasets", arXiv:1803.09010 — the one-frame summary a corpus
@@ -1041,6 +1080,7 @@ QUERIES = {
     "web_domain_dup_rate": web_domain_dup_rate,
     "domain_blocklist": domain_blocklist,
     "corpus_datasheet": corpus_datasheet,
+    "dedup_loss_weights": dedup_loss_weights,
 }
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -1783,6 +1823,45 @@ ORACLE["corpus_datasheet"] = f"""
     LEFT JOIN ppl ON base.source = ppl.source
     LEFT JOIN dup ON base.source = dup.source
     ORDER BY base.source
+"""
+
+
+# soft-dedup twin: the recursive closure + 10000 div family-size weights
+ORACLE["dedup_loss_weights"] = f"""
+    WITH RECURSIVE
+    cands AS ({_CANDS}),
+    jac AS ({_jaccard(_UNITS)}),
+    edges AS (
+        SELECT j.doc_a, j.doc_b
+        FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+        WHERE 10 * j.inter >= 9 * j.uni
+    ),
+    sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+    ),
+    comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
+    sizes AS (SELECT component, COUNT(*) AS fam_sz FROM comp GROUP BY component),
+    weighted AS (
+        SELECT d.source,
+               10000 // COALESCE(s.fam_sz, 1) AS weight_bp,
+               CASE WHEN c.component IS NULL THEN 0 ELSE 1 END AS is_member
+        FROM documents d
+        LEFT JOIN comp c ON d.doc_id = c.doc_id
+        LEFT JOIN sizes s ON c.component = s.component
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(is_member) AS BIGINT) AS dup_member_ct,
+           CAST(SUM(weight_bp) AS BIGINT) AS weight_bp_sum,
+           CAST(MIN(weight_bp) AS BIGINT) AS min_weight_bp
+    FROM weighted GROUP BY source ORDER BY source
 """
 
 # keep-one-copy twin: a position is cut iff it is NOT the globally first
