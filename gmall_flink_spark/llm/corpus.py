@@ -191,3 +191,92 @@ def exp_jump_key(key: Column, weight: Column) -> Column:
     u = (md5_long(key.cast("string")) + F.lit(0.5)) / F.lit(_HASH_RANGE)
     return F.round(-F.log(u) / F.greatest(weight.cast("double"), F.lit(1.0)), 9)
 
+
+
+#: datasheet-rollup statistic kinds, multiplexed into one state table
+#: (single merge + single replay marker per batch, like the NB trainer)
+DS_KIND_VOL = "vol"
+DS_KIND_LANG = "lang"
+
+
+def datasheet_partial():
+    """Per-micro-batch partial for INCREMENTAL dataset-card maintenance:
+    the card's algebraic columns (doc/token volume, quality-score mass,
+    language spread) are pure counts and sums, so a streaming corpus
+    intake keeps them current through the rollup sink — the card is
+    always fresh without rescanning history. Rows are
+    (kind, source, lang, doc_ct, token_ct, score_sum): kind='vol'
+    carries the per-source volume/quality sums (lang=''), kind='lang'
+    one row per (source, lang) whose presence count feeds the distinct-
+    language column at read time.
+
+    The NON-algebraic card columns (LM-surprisal mass — classes move
+    with global counts — and near-dup membership) stay read-time
+    derivations over their own stages; this partial maintains exactly
+    the columns that merge associatively, and
+    ``datasheet_state_card`` labels the split.
+
+    Use with ``rollup_writer(state, keys=["kind", "source", "lang"],
+    agg_fn=datasheet_partial())``."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.functions.text import token_count
+    from gmall_flink_spark.queries.text import doc_quality_scores
+
+    def partial(batch_df: DataFrame) -> DataFrame:
+        q = doc_quality_scores(batch_df).groupBy("source").agg(
+            F.sum("score").alias("score_sum")
+        )
+        vol = (
+            batch_df.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("doc_ct"),
+                F.sum(token_count("text").cast("bigint")).alias("token_ct"),
+            )
+            .join(q, "source", "left")
+            .select(
+                F.lit(DS_KIND_VOL).alias("kind"),
+                "source",
+                F.lit("").alias("lang"),
+                "doc_ct",
+                "token_ct",
+                F.coalesce("score_sum", F.lit(0)).alias("score_sum"),
+            )
+        )
+        lang = batch_df.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("doc_ct")
+        ).select(
+            F.lit(DS_KIND_LANG).alias("kind"),
+            "source",
+            "lang",
+            "doc_ct",
+            F.lit(0).cast("bigint").alias("token_ct"),
+            F.lit(0).cast("bigint").alias("score_sum"),
+        )
+        return vol.unionByName(lang)
+
+    return partial
+
+
+def datasheet_state_card(spark, state_path: str) -> DataFrame:
+    """The card's algebraic columns from accumulated rollup state:
+    (source, doc_ct, token_ct, lang_ct, score_sum) — bit-equal to the
+    corresponding columns of the batch ``corpus_datasheet`` after any
+    replay (counts merge associatively; the rollup sink's replay marker
+    makes at-least-once delivery exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sinks._bucketed import read_state
+
+    st = read_state(spark, state_path)
+    vol = st.where(F.col("kind") == DS_KIND_VOL).select(
+        "source", "doc_ct", "token_ct", "score_sum"
+    )
+    lang_ct = (
+        st.where(F.col("kind") == DS_KIND_LANG)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("lang_ct"))
+    )
+    return vol.join(lang_ct, "source").select(
+        "source", "doc_ct", "token_ct", "lang_ct", "score_sum"
+    )

@@ -1895,3 +1895,31 @@ def test_nation_order_window_pipeline_end_to_end(spark):
     )
     batch = all_queries()["dws_nation_order_window"](spark, SF)
     assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_streaming_datasheet_card_equals_batch(spark):
+    """INCREMENTAL DATASET-CARD maintenance: the card's algebraic columns
+    (volume, quality mass, language spread) accumulate through the rollup
+    sink as the corpus streams in; the state-derived card must equal the
+    batch corpus_datasheet's corresponding columns exactly — governance
+    that stays fresh per micro-batch without rescanning history."""
+    from gmall_flink_spark.llm.corpus import datasheet_partial, datasheet_state_card
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sinks.rollup import rollup_writer
+
+    state = os.path.join(TMP, "datasheet_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    docs = table(spark, SF, "documents")
+    src_dir = os.path.join(TMP, "datasheet_slices")
+    split_into_files(docs, 3, "doc_id", src_dir)
+    run_available_now(
+        stream_from(spark, src_dir, docs),
+        foreach_batch=rollup_writer(
+            state, ["kind", "source", "lang"], datasheet_partial()
+        ),
+    )
+    got = datasheet_state_card(spark, state)
+    cols = ["source", "doc_ct", "token_ct", "lang_ct", "score_sum"]
+    batch = all_queries()["corpus_datasheet"](spark, SF).select(*cols)
+    assert rows(got, cols) == rows(batch, cols) and got.count() > 0
