@@ -208,18 +208,19 @@ def cdc_order_detail_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_refund_region(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DwdTradeRefundOrderDetail shape
-    (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): exact transition
-    to '1006' (P7) with two chained broadcast dim lookups (J3×2,
-    customer→nation→region) aggregated at region grain."""
-    env = drop_bootstrap(orders_envelope(spark, sf_dir))
-    refunds = src_filter(env, "order_info").where(
+def refund_region_frame(
+    env: DataFrame, cust: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """The DwdTradeRefundOrderDetail transform, batch/stream agnostic:
+    exact transition to '1006' (P7) + two chained broadcast dim lookups
+    (customer→nation→region) + the region-grain aggregate. The streaming
+    pipeline (streaming/pipelines.py::refund_region_stream) runs THIS
+    function on an envelope stream in complete output mode — batch and
+    stream share the code, so their equality test pins the semantics of
+    one transform, not two implementations."""
+    refunds = src_filter(drop_bootstrap(env), "order_info").where(
         status_transition("order_status", to="1006", from_="1001")
     )
-    cust = table(spark, sf_dir, "customer")
-    nation = table(spark, sf_dir, "nation")
-    region = table(spark, sf_dir, "region")
     return (
         refunds.select(
             d("user_id").cast("bigint").alias("user_id"),
@@ -239,8 +240,21 @@ def cdc_refund_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("amount").cast("double").alias("refund_amount"),
             F.sum("amount_change").cast("double").alias("amount_change_sum"),
         )
-        .orderBy("region_name")
     )
+
+
+def cdc_refund_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdTradeRefundOrderDetail shape
+    (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): exact transition
+    to '1006' (P7) with two chained broadcast dim lookups (J3×2,
+    customer→nation→region) aggregated at region grain — the shared
+    transform (refund_region_frame) over the batch envelope."""
+    return refund_region_frame(
+        orders_envelope(spark, sf_dir),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"),
+    ).orderBy("region_name")
 
 
 #: base_dic lookup table (S6: the HBase dict table declared at

@@ -379,6 +379,30 @@ def nation_order_window_stream(
     )
 
 
+def refund_region_stream(
+    oi_env: DataFrame,
+    cust: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """DwdTradeRefundOrderDetail as one streaming query
+    (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106), in COMPLETE
+    output mode — the suite's one non-windowed continuous aggregate
+    (every other pipeline is an append-mode windowed stream): transition
+    filter → three broadcast dim lookups → region-grain running totals,
+    re-emitted per micro-batch. The transform is LITERALLY the batch
+    twin's function (queries/cdc.py::refund_region_frame), so the
+    equality test pins one implementation, not two.
+
+    Scale: complete mode holds |regions| aggregate rows as state — the
+    mode is only viable because the output grain is dimension-bounded;
+    a high-cardinality grain would switch to update mode + an upsert
+    sink (K3), same transform."""
+    from gmall_flink_spark.queries.cdc import refund_region_frame
+
+    return refund_region_frame(oi_env, cust, nation, region)
+
+
 def home_detail_uv_window_stream(
     raw: DataFrame,
     dedup_delay: str = "3650 days",

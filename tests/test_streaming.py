@@ -1923,3 +1923,29 @@ def test_streaming_datasheet_card_equals_batch(spark):
     cols = ["source", "doc_ct", "token_ct", "lang_ct", "score_sum"]
     batch = all_queries()["corpus_datasheet"](spark, SF).select(*cols)
     assert rows(got, cols) == rows(batch, cols) and got.count() > 0
+
+
+def test_refund_region_pipeline_end_to_end(spark):
+    """DwdTradeRefundOrderDetail as ONE availableNow query in COMPLETE
+    mode — the suite's one non-windowed continuous aggregate: transition
+    filter → 3 broadcast dims → region running totals. The transform IS
+    the batch twin's function, so equality pins a single implementation;
+    no sentinels needed (complete mode has no watermark to drain)."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+    from gmall_flink_spark.streaming.pipelines import refund_region_stream
+
+    env = orders_envelope(spark, SF)
+    slices = os.path.join(TMP, "refund_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    got = run_available_now(
+        refund_region_stream(
+            stream_from(spark, slices, env),
+            table(spark, SF, "customer"),
+            table(spark, SF, "nation"),
+            table(spark, SF, "region"),
+        ),
+        output_mode="complete",
+    )
+    batch = all_queries()["cdc_refund_region"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
