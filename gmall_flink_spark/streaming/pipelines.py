@@ -51,6 +51,16 @@ per-operator twins.
   stream-stream joins → retraction-style D5 → window agg; five stateful
   operators under one trigger).
 
+* ``nation_order_window_stream`` = DwsTradeProvinceOrderWindow
+  (app/dws/DwsTradeProvinceOrderWindow.java:36-140): order_info inserts →
+  broadcast geo enrichment → 30-day windows with EXACT distinct users via
+  the self-union dedup on (user, epoch-aligned window bucket).
+
+* ``refund_region_stream`` = DwdTradeRefundOrderDetail
+  (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): the one
+  COMPLETE-mode (non-windowed) continuous aggregate; the transform is
+  the batch twin's function verbatim (queries/cdc.py::refund_region_frame).
+
 * ``order_detail_wide_stream`` = DwdTradeOrderDetail
   (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
   order_info (J1) LEFT JOIN detail_activity LEFT JOIN detail_coupon (J2×2)
