@@ -297,6 +297,7 @@ HEADLINE = [
     "sim_cluster_balanced_sample",
     "corpus_datasheet",
     "dedup_loss_weights",
+    "llm_bpe_fertility_lang",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

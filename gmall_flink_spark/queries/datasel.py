@@ -204,11 +204,12 @@ def _bpe_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         docs = table(spark, sf_dir, "documents")
         toked = docs.select(
             "source",
+            "lang",
             F.size(tokenize("text")).cast("bigint").alias("n0"),
             tokenize("text").alias("l"),
         )
         _BPE_STATE[key] = bpe_train_state(
-            toked, "l", rounds=BPE_TRAIN_ROUNDS, carry=("source", "n0")
+            toked, "l", rounds=BPE_TRAIN_ROUNDS, carry=("source", "lang", "n0")
         )
     return _BPE_STATE[key]
 
@@ -259,12 +260,46 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def llm_bpe_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY BY LANGUAGE — the multilingual-equity check run
+    on a freshly trained tokenizer (a BPE trained on a skewed mix
+    compresses the dominant language far better; fertility = tokens per
+    original whitespace token is the standard measure, e.g. XLM-R's
+    tokenizer analyses): the corpus encoded with the merges just trained
+    (terminal state of the SAME per-round rewrite chain, shared through
+    the _BPE_STATE session memo), aggregated per LANG instead of per
+    source. A lang whose ratio_bp stays near 10000 gets no compression —
+    the signal to retrain with a rebalanced mix or a bigger vocab.
+
+    Scale: marginal over the trainer's checkpoints — one map-side token
+    count + one lang-key aggregate."""
+    from gmall_flink_spark.llm.bpe import seq_token_count
+
+    _, enc = _bpe_state(spark, sf_dir)
+    agg = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum("n0").alias("tok_before"),
+        F.sum(seq_token_count("s")).alias("tok_after"),
+    )
+    return agg.select(
+        "lang",
+        "doc_ct",
+        "tok_before",
+        "tok_after",
+        (F.col("tok_before") - F.col("tok_after")).alias("merged_ct"),
+        F.when(F.col("tok_before") == 0, F.lit(10000).cast("bigint"))
+        .otherwise(F.expr("(10000 * tok_after) DIV tok_before"))
+        .alias("ratio_bp"),
+    ).orderBy("lang")
+
+
 QUERIES = {
     "web_domain_pagerank": web_domain_pagerank,
     "llm_dsir_weights": llm_dsir_weights,
     "llm_shard_manifest": llm_shard_manifest,
     "llm_bpe_train": llm_bpe_train,
     "llm_bpe_encode": llm_bpe_encode,
+    "llm_bpe_fertility_lang": llm_bpe_fertility_lang,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -326,7 +361,7 @@ def _bpe_rounds_cte() -> str:
     aggregate the terminal state d{K+1}."""
     parts = [f"""
     WITH d1 AS (
-        SELECT source, len({_TOKS}) AS n0,
+        SELECT source, lang, len({_TOKS}) AS n0,
                {_BPE_S} || array_to_string({_TOKS}, {_BPE_S}||{_BPE_S})
                    || {_BPE_S} AS s
         FROM documents
@@ -345,7 +380,7 @@ def _bpe_rounds_cte() -> str:
     )""")
         parts.append(f"""
     d{i + 1} AS (
-        SELECT source, n0,
+        SELECT source, lang, n0,
                replace(s,
                        {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
                        {_BPE_S} || a || {_BPE_J} || b || {_BPE_S}) AS s
@@ -385,10 +420,34 @@ def _bpe_encode_oracle() -> str:
     FROM agg ORDER BY source"""
 
 
+def _bpe_fertility_oracle() -> str:
+    k1 = BPE_TRAIN_ROUNDS + 1
+    return _bpe_rounds_cte() + f""",
+    enc AS (
+        SELECT lang, CAST(n0 AS BIGINT) AS n0,
+               CASE WHEN length(s) <= 2 THEN 0
+                    ELSE len(string_split(substr(s, 2, length(s) - 2),
+                                          {_BPE_S}||{_BPE_S})) END AS n1
+        FROM d{k1}
+    ),
+    agg AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+               CAST(SUM(n0) AS BIGINT) AS tok_before,
+               CAST(SUM(n1) AS BIGINT) AS tok_after
+        FROM enc GROUP BY lang
+    )
+    SELECT lang, doc_ct, tok_before, tok_after,
+           tok_before - tok_after AS merged_ct,
+           CASE WHEN tok_before = 0 THEN 10000
+                ELSE (10000 * tok_after) // tok_before END AS ratio_bp
+    FROM agg ORDER BY lang"""
+
+
 ORACLE = {
     "web_domain_pagerank": _pagerank_oracle(),
     "llm_bpe_train": _bpe_train_oracle(),
     "llm_bpe_encode": _bpe_encode_oracle(),
+    "llm_bpe_fertility_lang": _bpe_fertility_oracle(),
     "llm_dsir_weights": f"""
     WITH toks AS (
         SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents
