@@ -100,9 +100,20 @@ def bpe_train_state(
 
     Each round's winning pair is chosen deterministically (max count,
     then smallest (a, b)); the corpus is rewritten with the delimited-
-    string ``replace`` form and checkpointed before the next round."""
+    string ``replace`` form and checkpointed before the next round.
+
+    A round whose corpus has no remaining bigram (every doc is down to
+    0/1 tokens) yields an EMPTY top-1 frame; crossJoining it would wipe
+    ``seqs`` to zero rows, so the loop breaks there instead — the merge
+    table stops early and ``encoded`` keeps the fully-merged corpus.
+    The SQL twin mirrors this with a LEFT JOIN + CASE fallback, which
+    reaches the same fixpoint (no bigrams ⇒ every later round's top-1
+    is empty too, so the corpus stays fixed)."""
     seqs = docs.select(*carry, delimited(F.col(text_arr)).alias("s"))
     merges: DataFrame | None = None
+    empty_merges = docs.sparkSession.createDataFrame(
+        [], "round int, pair_a string, pair_b string, pair_ct bigint"
+    )
     for i in range(1, rounds + 1):
         toks = seqs.select(_seq_tokens("s").alias("l")).where(F.size("l") >= 2)
         pairs = toks.select(
@@ -121,6 +132,8 @@ def bpe_train_state(
             .limit(1)
             .localCheckpoint(eager=False)
         )
+        if top.isEmpty():  # no bigram left anywhere — further rounds are no-ops
+            break
         row = top.select(
             F.lit(i).alias("round"),
             F.col("a").alias("pair_a"),
@@ -148,4 +161,4 @@ def bpe_train_state(
             )
             .localCheckpoint(eager=False)
         )
-    return merges, seqs
+    return (merges if merges is not None else empty_merges), seqs

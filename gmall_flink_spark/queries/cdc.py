@@ -115,6 +115,90 @@ def cdc_pay_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: payment-type dict (the reference's dim_base_dic rows the HBase lookup
+#: join resolves, app/dwd/DwdTradePayDetailSuc.java:76-96)
+PAY_DICT_ROWS = [
+    ("1101", "Alipay"),
+    ("1102", "Wechat"),
+    ("1103", "UnionPay"),
+]
+
+#: J5 interval-join band for the pay-detail composition: the reference's
+#: od.rt ∈ [pi.rt − 15 min, pi.rt + 5 s] mirrored to this data's skew
+#: direction (synthetic details time at l_shipdate, AFTER the payment's
+#: o_orderdate — TPC-H ships 1-121 days after ordering, so the band
+#: [pi − 5 s, pi + 90 d] selects a real subset the way the reference's
+#: pay-after-order band does).
+PAY_DETAIL_LO_S = 5
+PAY_DETAIL_HI_S = 90 * 86400
+
+
+def pay_suc_with_name(env: DataFrame, dic: DataFrame) -> DataFrame:
+    """The payment_info_with_name view (app/dwd/DwdTradePayDetailSuc.java:
+    59-96), batch/stream agnostic: P7 exact 1002→1005 pay-success
+    transitions, a deterministic payment_type code (the synth envelope
+    carries none; '110'||(id%3+1) stands in for data['payment_type']),
+    then the J3 dict lookup as a broadcast join — Spark's as-of-now form
+    of the reference's `FOR SYSTEM_TIME AS OF pi.pt` HBase lookup."""
+    pays = src_filter(drop_bootstrap(env), "order_info").where(
+        status_transition("order_status", to="1005", from_="1002")
+    )
+    pi = pays.select(
+        d("id").cast("bigint").alias("order_id"),
+        d("user_id").cast("bigint").alias("user_id"),
+        F.concat(
+            F.lit("110"), ((d("id").cast("bigint") % 3) + 1).cast("string")
+        ).alias("payment_type_code"),
+        F.col("ts").alias("pay_ts"),
+    )
+    return pi.join(
+        F.broadcast(dic), pi.payment_type_code == dic.dic_code
+    ).drop("dic_code").withColumnRenamed("dic_name", "payment_type_name")
+
+
+def cdc_pay_detail_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL DwdTradePayDetailSuc composition
+    (app/dwd/DwdTradePayDetailSuc.java:59-158): P7 pay-success transitions
+    → J3 dict lookup (payment_type → name) → J5 interval join with the
+    order_detail fact stream on order_id within the band documented at
+    PAY_DETAIL_LO_S/HI_S (the reference's :100-127 join bounds) → K3
+    keep-first compaction per order_detail_id (the upsert-Kafka PK,
+    :131-158). The streaming twin
+    (streaming/pipelines.py::pay_detail_suc_stream) runs this composition
+    as ONE availableNow query.
+
+    Scale: the dict is rows-bounded (broadcast); pays and details shuffle
+    once on order_id — the interval predicate rides the equi-join as a
+    post-filter, so no range-join blowup; K3 compaction is one keyed
+    window over detail id."""
+    dic = spark.createDataFrame(PAY_DICT_ROWS, "dic_code string, dic_name string")
+    pi = pay_suc_with_name(orders_envelope(spark, sf_dir), dic)
+    od = src_filter(
+        drop_bootstrap(detail_envelope(spark, sf_dir)),
+        "order_detail", ["insert"],
+    ).select(
+        d("id").cast("bigint").alias("order_detail_id"),
+        d("order_id").cast("bigint").alias("order_id"),
+        d("sku_id").cast("bigint").alias("sku_id"),
+        d("sku_num").cast("bigint").alias("sku_num"),
+        d("split_total_amount").cast("decimal(18,2)").alias("amount"),
+        F.col("ts").alias("od_ts"),
+    )
+    wide = od.join(pi, "order_id").where(
+        (F.col("od_ts") >= F.col("pay_ts") - PAY_DETAIL_LO_S)
+        & (F.col("od_ts") <= F.col("pay_ts") + PAY_DETAIL_HI_S)
+    )
+    return (
+        keep_first(wide, ["order_detail_id"], ["od_ts", "sku_num", "amount"])
+        .select(
+            "order_detail_id", "order_id", "user_id", "sku_id", "sku_num",
+            F.col("amount").cast("double").alias("split_payment_amount"),
+            "payment_type_code", "payment_type_name", "pay_ts",
+        )
+        .orderBy("order_detail_id")
+    )
+
+
 def cdc_config_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DimApp/DwdBaseApp config-routing core (J6 broadcast-config join +
     P8 column pruning, app/dim/DimApp.java:94-102): the combined topic_db

@@ -380,11 +380,15 @@ def _bpe_rounds_cte() -> str:
     )""")
         parts.append(f"""
     d{i + 1} AS (
+        -- LEFT JOIN + CASE mirrors the engine's empty-top early stop
+        -- (llm/bpe.py): a round with no remaining bigram leaves the
+        -- corpus untouched instead of wiping it to zero rows.
         SELECT source, lang, n0,
-               replace(s,
-                       {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
-                       {_BPE_S} || a || {_BPE_J} || b || {_BPE_S}) AS s
-        FROM d{i} CROSS JOIN p{i}
+               CASE WHEN a IS NULL THEN s
+                    ELSE replace(s,
+                         {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
+                         {_BPE_S} || a || {_BPE_J} || b || {_BPE_S}) END AS s
+        FROM d{i} LEFT JOIN p{i} ON TRUE
     )""")
     return ",".join(parts)
 

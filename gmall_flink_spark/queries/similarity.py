@@ -339,14 +339,17 @@ def sim_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: rides the session-memoized assignment; the quota cut is one
     rank window partitioned by cluster — cluster count grows with the
-    corpus, so partitions stay bounded; no global sort."""
+    corpus, so partitions stay bounded; no global sort. The label join
+    is an ordinary equi-join on vec_id (labels is corpus-sized — a
+    broadcast hint here would hit the broadcast limit at scale; AQE may
+    still choose broadcast when the scan is actually small)."""
     from gmall_flink_spark.functions.text import md5_long
 
     assigned = _ivf_assigned(spark, sf_dir)
     labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
     keyed = assigned.select(
         "cluster", "vec_id", md5_long(F.col("vec_id").cast("string")).alias("h")
-    ).join(F.broadcast(labels), "vec_id")
+    ).join(labels, "vec_id")
     w = Window.partitionBy("cluster").orderBy("h", "vec_id")
     ranked = keyed.withColumn("rn", F.row_number().over(w))
     return (

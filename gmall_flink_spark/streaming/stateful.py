@@ -32,6 +32,7 @@ test harness replays files in event-time order).
 from __future__ import annotations
 
 from collections.abc import Iterator
+from datetime import datetime, timedelta
 from typing import Any
 
 import pandas as pd
@@ -136,8 +137,15 @@ def daily_new_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFram
     deadlock: the last stateful layer's own watermark node (min policy)
     can only advance through rows the buffer has not yet released.
 
-    State: the key's sorted seen-day list (the reference's per-user
-    order-date state, app/dws/DwsTradeOrderWindow.java:66-101)."""
+    State: the key's MIN day (the first-ever credit holder — a scalar,
+    like the reference's per-user first-order date,
+    app/dws/DwsTradeOrderWindow.java:66-101) plus a membership set of
+    recent seen days. The set is BOUNDED: days strictly older than the
+    watermark can never re-arrive (Spark drops them upstream), so each
+    batch evicts them — with a one-day safety margin against tz skew
+    between the pandas-side day strings and the epoch-ms watermark. A
+    long-lived production stream therefore holds O(watermark-delay in
+    days) per key, not O(stream lifetime)."""
     out_schema = (
         StructType()
         .add(sdf.schema[key].name, sdf.schema[key].dataType)
@@ -145,34 +153,46 @@ def daily_new_flags_stream(sdf: DataFrame, key: str, ts: str = "ts") -> DataFram
         .add("uu", "integer")
         .add("new_delta", "integer")
     )
-    state_schema = "seen_days array<string>"
+    state_schema = "min_day string, seen_days array<string>"
 
     def fn(
         key_tuple: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = list(state.get[0]) if state.exists else []
+        min_day, seen = (
+            (state.get[0], set(state.get[1])) if state.exists else (None, set())
+        )
         pdf = _batch_sorted(pdfs, [ts])
         if pdf is not None:
             out: list[tuple] = []
             for dstr in pdf[ts].dt.strftime("%Y-%m-%d").drop_duplicates():
-                if dstr in seen:
+                if dstr in seen or dstr == min_day:
                     continue
-                if not seen:
+                if min_day is None:
                     out.append((key_tuple[0], dstr, 1, 1))
-                elif dstr > seen[0]:
+                    min_day = dstr
+                elif dstr > min_day:
                     out.append((key_tuple[0], dstr, 1, 0))
                 else:
                     # a chronologically earlier day surfaced late: it takes
                     # the first-ever credit and the old minimum gives it up
                     out.append((key_tuple[0], dstr, 1, 1))
-                    out.append((key_tuple[0], seen[0], 0, -1))
-                seen.append(dstr)
-                seen.sort()
+                    out.append((key_tuple[0], min_day, 0, -1))
+                    min_day = dstr
+                seen.add(dstr)
             if out:
                 yield pd.DataFrame(
                     out, columns=[key, "cur_date", "uu", "new_delta"]
                 )
-        state.update((seen,))
+        try:
+            wm_ms = state.getCurrentWatermarkMs()
+        except Exception:
+            wm_ms = 0  # no upstream watermark: no horizon, keep membership
+        if wm_ms > 0:
+            horizon = (
+                datetime.utcfromtimestamp(wm_ms / 1000) - timedelta(days=1)
+            ).strftime("%Y-%m-%d")
+            seen = {d for d in seen if d >= horizon}
+        state.update((min_day, sorted(seen)))
 
     return sdf.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
