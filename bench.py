@@ -298,6 +298,13 @@ HEADLINE = [
     "corpus_datasheet",
     "dedup_loss_weights",
     "llm_bpe_fertility_lang",
+    # round 10 additions: DwdTradePayDetailSuc composition (P7→J3→J5→K3),
+    # refund-pay-success complete-mode aggregate, sampled BPE trainer +
+    # full-corpus encode with the sampled artifact
+    "cdc_pay_detail_suc",
+    "cdc_refund_pay_suc",
+    "llm_bpe_train_sampled",
+    "llm_bpe_fertility_sampled",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
@@ -364,22 +371,31 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    # Warm second pass over the r01-comparable subset: codegen/scan caches
-    # are hot, so (cold - warm) isolates first-execution overhead while
-    # warm/calib tracks steady-state operator cost — the split that lets a
-    # round-over-round delta be attributed (sandbox vs plan regression)
-    # instead of argued about.
-    t0 = time.perf_counter()
-    for name in HEADLINE[:R1_HEADLINE_N]:
-        if name in errors:
-            continue
-        try:
-            with track_terminal_sort():
-                df = unsorted_form(queries[name](spark, sf_dir))
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            errors.setdefault(name, f"warm: {type(exc).__name__}: {exc}"[:300])
-    r01_warm = round(time.perf_counter() - t0, 3)
+    # Warm passes over the r01-comparable subset, THREE of them (VERDICT
+    # r09 task 5): codegen/scan caches are hot, so (cold - warm) isolates
+    # first-execution overhead while warm/calib tracks steady-state
+    # operator cost. A single warm shot proved too noisy to arbitrate
+    # round-over-round drift (the r08→r09 +17% question cost a judge
+    # investigation; BENCHNOTES documents a 38-44 s same-code band), so
+    # the artifact now carries min/median across the repeats — the min is
+    # the best like-for-like plan-cost estimate on a contended host.
+    warm_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for name in HEADLINE[:R1_HEADLINE_N]:
+            if name in errors:
+                continue
+            try:
+                with track_terminal_sort():
+                    df = unsorted_form(queries[name](spark, sf_dir))
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors.setdefault(name, f"warm: {type(exc).__name__}: {exc}"[:300])
+        warm_runs.append(round(time.perf_counter() - t0, 3))
+    r01_warm = warm_runs[0]  # first warm pass: the cross-round comparable
+    warm_sorted = sorted(warm_runs)
+    r01_warm_min = warm_sorted[0]
+    r01_warm_median = warm_sorted[len(warm_sorted) // 2]
 
     # Streaming throughput: the M1 five-way log-split fan-out driven as a
     # real streaming query (raw JSON topic at rest -> file stream -> parse ->
@@ -440,6 +456,9 @@ def main() -> None:
         "errors": errors,
         "calib_sec": calib,
         "r01_comparable_warm_sec": r01_warm,
+        "r01_comparable_warm_runs": warm_runs,
+        "r01_comparable_warm_min_sec": r01_warm_min,
+        "r01_comparable_warm_median_sec": r01_warm_median,
         "queries": timings,
         "streaming": {
             "pipeline": "log_split_fanout",
@@ -472,7 +491,9 @@ def main() -> None:
 
     compact = {k: detail[k] for k in
                ("metric", "value", "unit", "query_ct", "r01_comparable_sec",
-                "calib_sec", "r01_comparable_warm_sec", "failed_ct")}
+                "calib_sec", "r01_comparable_warm_sec",
+                "r01_comparable_warm_min_sec", "r01_comparable_warm_median_sec",
+                "failed_ct")}
     compact["rows_per_sec_stream"] = detail["streaming"]["rows_per_sec"]
     compact["rows_per_sec_state"] = detail["streaming_stateful"]["rows_per_sec"]
     compact["sf"] = sf

@@ -162,3 +162,32 @@ def bpe_train_state(
             .localCheckpoint(eager=False)
         )
     return (merges if merges is not None else empty_merges), seqs
+
+
+def bpe_apply_merges(
+    docs: DataFrame,
+    text_arr: str,
+    merges: list[tuple[str, str]],
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """ENCODE a corpus with an already-trained ordered merge list — the
+    apply half of the train-on-sample / encode-everything split a real
+    100 TB tokenizer run uses (training reads a sample; encoding reads
+    everything ONCE per merge, map-only, no shuffles at all). ``merges``
+    is the driver-side artifact bpe_train produces — K (pair_a, pair_b)
+    tuples, bounded by the round count, exactly what a tokenizer ships.
+    Each merge is one literal delimited-string ``replace`` (greedy
+    left-to-right, same invariant as the trainer's rewrite), applied in
+    training order; Catalyst fuses all K replaces into the scan projection.
+    Returns ``carry`` + the encoded delimited string ``s``."""
+    seqs = docs.select(*carry, delimited(F.col(text_arr)).alias("s"))
+    col = F.col("s")
+    for a, b in merges:
+        col = F.replace(
+            col,
+            F.concat(
+                F.lit(BPE_SEP + a + BPE_SEP + BPE_SEP + b + BPE_SEP)
+            ),
+            F.concat(F.lit(BPE_SEP + a + BPE_JOIN + b + BPE_SEP)),
+        )
+    return seqs.select(*carry, col.alias("s"))

@@ -194,8 +194,24 @@ def hard_negatives_probed(
     return _triplet_rank(scored, k)
 
 
+#: block cardinality at which the per-pair interpreted fold loses to one
+#: Arrow-batched numpy matmul per block (kernel crossover, measured scale
+#: posture: the fold is ~µs/pair, the matmul amortizes to ~ns/pair)
+NEAR_DUP_MATMUL_MIN_BLOCK = 1024
+
+
+def near_dup_kernel(max_block_rows: int) -> str:
+    """Self-sizing kernel rule (the ``srp_auto_band_bits`` pattern): pure
+    function of the largest block's cardinality, so tests pin the policy
+    and deployments can decide from table stats without a scan."""
+    return "matmul" if max_block_rows >= NEAR_DUP_MATMUL_MIN_BLOCK else "fold"
+
+
 def near_dup_pairs(
-    vectors: DataFrame, threshold: float = 0.3, block_col: str = "label"
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north-star dedup op): block on
     ``block_col`` (a cluster/partition id — at scale an IVF/LSH bucket), then
@@ -204,7 +220,28 @@ def near_dup_pairs(
     The block join is the scale move: an all-pairs cosine over N vectors is
     N², but blocked pairs shuffle on the block key and compare only within
     buckets — the same partitioning IVF search uses. Dedup consumption:
-    ``b_id`` is the dropped duplicate (keep-lowest-id representative)."""
+    ``b_id`` is the dropped duplicate (keep-lowest-id representative).
+
+    ``kernel`` picks the score engine: ``"fold"`` (JVM higher-order fold —
+    wins on small blocks, zero Python), ``"matmul"`` (one numpy matmul per
+    block via applyInPandas — wins past ~10³ vectors/block), or ``"auto"``
+    (default): one count aggregate over the block keys decides via
+    ``near_dup_kernel`` — trivially cheap next to the pair join it sizes;
+    a metastore deployment reads the same number from table stats. Both
+    kernels share the round-6 output contract (equivalence pinned by
+    test_near_dup_matmul_equals_fold)."""
+    if kernel == "auto":
+        mx = (
+            vectors.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        kernel = near_dup_kernel(int(mx or 0))
+    if kernel == "matmul":
+        return near_dup_pairs_matmul(vectors, threshold=threshold, block_col=block_col)
+    if kernel != "fold":
+        raise ValueError(f"unknown near-dup kernel {kernel!r}")
     v = with_norm(vectors)
     a = v.select(
         F.col(block_col).alias("block"),

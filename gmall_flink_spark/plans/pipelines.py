@@ -90,15 +90,21 @@ PIPELINES: list[Pipeline] = [
              "batch-equality pinned by test_order_detail_wide_pipeline_end_to_end"),
     Pipeline("DwdCancelOrderDetail", "app/dwd/DwdCancelOrderDetail.java:24-226",
              "S3,P6,J1,J2,J4,K3", _q("cdc_cancel_enrich"),
-             "as DwdTradeOrderDetail with the P6 cancel predicate"),
+             "streaming/pipelines.py::cancel_segment_stream — ONE query, "
+             "complete mode, transform shared via cancel_segment_frame; "
+             "pinned by test_cancel_segment_pipeline_end_to_end"),
     Pipeline("DwdTradePayDetailSuc", "app/dwd/DwdTradePayDetailSuc.java:19-161",
-             "S2,S3,P7,J3,J5,K3", _q("cdc_pay_suc"),
-             "interval join proven in test_interval_join_stream_equals_batch (J5)"),
+             "S2,S3,P7,J3,J5,K3", _q("cdc_pay_detail_suc"),
+             "streaming/pipelines.py::pay_detail_suc_stream — ONE query, "
+             "P7 -> J3 dict lookup -> J5 interval join -> upsert_writer (K3); "
+             "batch-equality pinned by test_pay_detail_suc_pipeline_end_to_end"),
     Pipeline("DwdTradeRefundOrderDetail", "app/dwd/DwdTradeRefundOrderDetail.java:23-138",
              "S3,P7,J1,J3x2,K3", _q("cdc_refund_region"), "as pay-suc"),
     Pipeline("DwdTradeRefundPaySuc", "app/dwd/DwdTradeRefundPaySuc.java:23-159",
-             "S3,P7,J1,J3x2,K3", _q("cdc_refund_region"),
-             "same shape, refund-pay status pair"),
+             "S3,P7,J1,J3x2,K3", _q("cdc_refund_pay_suc"),
+             "streaming/pipelines.py::refund_pay_suc_stream — ONE query, "
+             "complete mode, transform shared via refund_pay_suc_frame; "
+             "pinned by test_refund_pay_suc_pipeline_end_to_end"),
     Pipeline("DwsTrafficSourceKeywordPageViewWindow",
              "app/dws/DwsTrafficSourceKeywordPageViewWindow.java:18-103",
              "S2,P9,U2,J10,A2,A6,K5", _q("keyword_split"),
@@ -114,7 +120,10 @@ PIPELINES: list[Pipeline] = [
              "S1,D6,A5,A6,K5", _q("returning_users_daily"),
              "streaming.stateful.returning_flags_stream (D6)"),
     Pipeline("DwsUserUserRegisterWindow", "app/dws/DwsUserUserRegisterWindow.java:32-119",
-             "S1,D7,A5,A6,K5", _q("uv_daily"), "first_per_day_stream (D7=D4)"),
+             "S1,D7,A5,A6,K5", _q("uv_daily"),
+             "streaming/pipelines.py::user_register_window_stream — ONE query, "
+             "D4 dedup -> day window; pinned by "
+             "test_user_register_window_pipeline_end_to_end"),
     Pipeline("DwsTradeCartAddUuWindow", "app/dws/DwsTradeCartAddUuWindow.java:37-142",
              "S1,W5,D4,A5,A6,K5", _q("cart_uu_daily"),
              "coalesce(operate_time, create_time) event time (W5) + D4"),

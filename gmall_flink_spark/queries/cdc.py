@@ -65,15 +65,17 @@ def cdc_cart_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cdc_cancel_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The DwdCancelOrderDetail shape (app/dwd/DwdCancelOrderDetail.java:65-67):
-    cancel transitions (P6, any previous state → '1003') enriched via a
-    broadcast dim lookup (J3) and aggregated per segment."""
-    env = drop_bootstrap(orders_envelope(spark, sf_dir))
-    cancels = src_filter(env, "order_info").where(
+def cancel_segment_frame(env: DataFrame, cust: DataFrame) -> DataFrame:
+    """The DwdCancelOrderDetail transform, batch/stream agnostic
+    (app/dwd/DwdCancelOrderDetail.java:65-67): cancel transitions (P6, any
+    previous state → '1003') enriched via a broadcast dim lookup (J3),
+    aggregated per segment. The streaming pipeline
+    (streaming/pipelines.py::cancel_segment_stream) runs THIS function on
+    an envelope stream in complete output mode — batch and stream share
+    the code, like refund_region_frame."""
+    cancels = src_filter(drop_bootstrap(env), "order_info").where(
         status_transition("order_status", to="1003")
     )
-    cust = table(spark, sf_dir, "customer")
     return (
         cancels.select(
             d("user_id").cast("bigint").alias("user_id"),
@@ -85,8 +87,54 @@ def cdc_cancel_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cancel_ct"),
             F.sum("amount").cast("double").alias("cancel_amount"),
         )
-        .orderBy("segment")
     )
+
+
+def cdc_cancel_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdCancelOrderDetail shape (app/dwd/DwdCancelOrderDetail.java:65-67):
+    the shared transform (cancel_segment_frame) over the batch envelope."""
+    return cancel_segment_frame(
+        orders_envelope(spark, sf_dir), table(spark, sf_dir, "customer")
+    ).orderBy("segment")
+
+
+def refund_pay_suc_frame(
+    env: DataFrame, cust: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """The DwdTradeRefundPaySuc transform, batch/stream agnostic
+    (app/dwd/DwdTradeRefundPaySuc.java:23-159): exact refund-pay-success
+    transition (P7 — the synth maps the reference's refund_payment
+    '1602' success state to order_status '1004' reached from '1001',
+    the status pair unused by the other trade pipelines) + the same
+    J3×2 chained broadcast lookups the reference's :104-127 runs,
+    aggregated at nation grain. Shared verbatim with the streaming
+    pipeline (streaming/pipelines.py::refund_pay_suc_stream)."""
+    refunds = src_filter(drop_bootstrap(env), "order_info").where(
+        status_transition("order_status", to="1004", from_="1001")
+    )
+    return (
+        refunds.select(
+            d("user_id").cast("bigint").alias("user_id"),
+            d("total_amount").cast("decimal(18,2)").alias("amount"),
+        )
+        .join(F.broadcast(cust), F.col("user_id") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("refund_pay_ct"),
+            F.sum("amount").cast("double").alias("refund_pay_amount"),
+        )
+    )
+
+
+def cdc_refund_pay_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DwdTradeRefundPaySuc shape: the shared transform
+    (refund_pay_suc_frame) over the batch envelope."""
+    return refund_pay_suc_frame(
+        orders_envelope(spark, sf_dir),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    ).orderBy("nation_name")
 
 
 def cdc_pay_suc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +601,8 @@ QUERIES = {
     "lookup_dict_enrich": lookup_dict_enrich,
     "cdc_cancel_enrich": cdc_cancel_enrich,
     "cdc_pay_suc": cdc_pay_suc,
+    "cdc_pay_detail_suc": cdc_pay_detail_suc,
+    "cdc_refund_pay_suc": cdc_refund_pay_suc,
     "dws_payment_uu_window": dws_payment_uu_window,
     "dws_order_uu_window": dws_order_uu_window,
     "cdc_config_route": cdc_config_route,
@@ -711,6 +761,58 @@ ORACLE = {
                COUNT(*) AS order_uu_ct,
                CAST(SUM(is_first_ever) AS BIGINT) AS order_new_user_ct
         FROM flagged GROUP BY cur_date ORDER BY stt
+    """,
+    "cdc_refund_pay_suc": """
+        SELECT n_name AS nation_name,
+               COUNT(*) AS refund_pay_ct,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS refund_pay_amount
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderkey % 97 != 0
+          AND o_orderkey % 10 IN (6, 7)
+          AND o_orderkey % 4 = 1
+        GROUP BY 1 ORDER BY 1
+    """,
+    "cdc_pay_detail_suc": """
+        WITH pi AS (
+            SELECT o_orderkey AS order_id,
+                   o_custkey AS user_id,
+                   '110' || CAST(o_orderkey % 3 + 1 AS VARCHAR)
+                       AS payment_type_code,
+                   CASE o_orderkey % 3 + 1
+                        WHEN 1 THEN 'Alipay'
+                        WHEN 2 THEN 'Wechat'
+                        WHEN 3 THEN 'UnionPay' END AS payment_type_name,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS pay_ts
+            FROM orders
+            WHERE o_orderkey % 97 != 0
+              AND o_orderkey % 10 IN (6, 7)
+              AND o_orderkey % 4 = 2
+        ),
+        od AS (
+            SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey)
+                       * 1000 + l_suppkey AS order_detail_id,
+                   l_orderkey AS order_id,
+                   l_partkey AS sku_id,
+                   CAST(l_quantity AS BIGINT) AS sku_num,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS split_payment_amount,
+                   CAST(epoch(l_shipdate) AS BIGINT) AS od_ts
+            FROM lineitem
+            WHERE (l_orderkey * 7 + l_linenumber) % 89 != 0
+              AND l_linenumber % 11 != 0
+        )
+        SELECT order_detail_id, od.order_id, user_id, sku_id, sku_num,
+               split_payment_amount, payment_type_code, payment_type_name,
+               pay_ts
+        FROM od JOIN pi ON od.order_id = pi.order_id
+        WHERE od_ts >= pay_ts - 5 AND od_ts <= pay_ts + 90 * 86400
+        QUALIFY row_number() OVER (
+            PARTITION BY order_detail_id
+            ORDER BY od_ts, sku_num, split_payment_amount) = 1
+        ORDER BY order_detail_id
     """,
     "cdc_pay_suc": """
         SELECT n_name AS nation_name,

@@ -185,3 +185,14 @@ def clear_session_memos() -> None:
         _VERIFIED,
     ):
         memo.clear()
+    # the component mapping also persists as a cross-session disk artifact
+    # (queries/llm_dedup._components); a cold-cost measurement must wipe it
+    # too or the "cold" run is a parquet read of the artifact
+    import glob
+    import os as _os
+    import shutil
+
+    from gmall_flink_spark.sources.materialize import CACHE_ROOT
+
+    for p in glob.glob(_os.path.join(CACHE_ROOT, "*", "neardup_components-*")):
+        shutil.rmtree(p, ignore_errors=True)

@@ -19,8 +19,16 @@ per-operator twins.
 
 * ``payment_uu_window_stream`` = DwsTradePaymentWindow
   (app/dws/DwsTradePaymentWindow.java:60-110): P7 exact 1002→1005
-  transition filter → D5 as a DUAL-DEDUP UNION ((user, day) for uu,
-  (user) for first-ever payer) → A5 pairwise counters in day windows.
+  transition filter → D5 (default: the event-time-correct retraction
+  twin ``daily_new_flags_stream``; ``strict_event_time=False`` keeps
+  the arrival-order dual-dedup union) → A5 counters in day windows.
+
+* ``pay_detail_suc_stream`` = DwdTradePayDetailSuc
+  (app/dwd/DwdTradePayDetailSuc.java:59-158): P7 pay-suc transitions →
+  J3 broadcast dict lookup → J5 interval join with the order_detail
+  stream → K3 upsert — the only main chaining an interval join into a
+  lookup-enriched stream; shares ``queries/cdc.py::pay_suc_with_name``
+  with the batch twin.
 
 * ``traffic_grain_window_stream`` = DwsTrafficVcChArIsNewPageViewWindow
   (app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:130-154): raw
@@ -60,6 +68,16 @@ per-operator twins.
   (app/dwd/DwdTradeRefundOrderDetail.java:44-46,100-106): the one
   COMPLETE-mode (non-windowed) continuous aggregate; the transform is
   the batch twin's function verbatim (queries/cdc.py::refund_region_frame).
+
+* ``cancel_segment_stream`` = DwdCancelOrderDetail and
+  ``refund_pay_suc_stream`` = DwdTradeRefundPaySuc: COMPLETE-mode
+  continuous aggregates sharing their transforms verbatim with the batch
+  twins (cancel_segment_frame / refund_pay_suc_frame), the
+  refund_region pattern at two more status pairs.
+
+* ``user_register_window_stream`` = DwsUserUserRegisterWindow
+  (app/dws/DwsUserUserRegisterWindow.java:32-119): D4 (user, day) dedup
+  → per-day unique counts — the cart_add_uu shape keyed on user.
 
 * ``order_detail_wide_stream`` = DwdTradeOrderDetail
   (app/dwd/DwdTradeOrderDetail.java:20-224): order_detail INNER JOIN
@@ -179,29 +197,29 @@ def cart_add_uu_window_stream(
 def payment_uu_window_stream(
     oi_env: DataFrame,
     dedup_delay: str = "3650 days",
+    strict_event_time: bool = True,
 ) -> DataFrame:
     """DwsTradePaymentWindow as one streaming query (P7→D5→A5/A6,
     app/dws/DwsTradePaymentWindow.java:60-110): order_info envelope
     stream → exact 1002→1005 pay-success transition filter → D5
     per-day-unique + first-ever-payer counters in day windows.
 
-    The reference's D5 ValueState (lastPayDate per user, doubling as the
-    first-ever flag) is re-expressed as a DUAL-DEDUP UNION — the same
-    pairwise-counter trick as traffic_grain_window_stream: one branch
-    dedups on (user, day) and tags (uu=1, new=0); the other dedups on
-    (user) alone — its single survivor IS the user's first-ever payment
-    — and tags (0, 1); one window aggregation sums both counters.
+    Default (``strict_event_time=True``): the retraction-style,
+    EVENT-TIME-CORRECT D5 twin (streaming/stateful.py::
+    daily_new_flags_stream — the same operator order_uu_window_stream
+    uses): one delta row per (user, day) first sight, correction pairs
+    when a chronologically earlier day surfaces late, summed in
+    day-grain windows whose watermark delay is one day longer than the
+    payment-side delay (the correction-safety margin proven in the
+    operator's docstring). Correct under ANY arrival order — pinned by
+    a disorder fixture in addition to the ordered-replay equality test.
 
-    Ordering caveat (test-harness contract, same as the reference's
-    processing-order state): the first-EVER branch attributes the new
-    payer to the day of the user's first ARRIVAL. Under the availableNow
-    replay harness (ts-sorted single-file slices, maxFilesPerTrigger=1,
-    one partition per batch) arrival order IS event-time order, so
-    stream == batch twin exactly; a production deployment feeding from
-    an unordered topic swaps that branch for the retraction-style
-    event-time-correct twin (streaming/stateful.py::
-    daily_new_flags_stream, the one order_uu_window_stream uses) with
-    the summed-delta aggregation it requires."""
+    ``strict_event_time=False`` keeps the cheaper arrival-order form
+    (dual-dedup union: (user, day) branch for uu, (user) branch for
+    first-ever): exact only when arrival order is event-time order —
+    i.e. an ordered-replay harness or the reference's effectively
+    in-order single-partition topic; it mirrors the reference's own
+    processing-order ValueState semantics."""
     from gmall_flink_spark.operators.cdc import status_transition
 
     pays = (
@@ -212,6 +230,26 @@ def payment_uu_window_stream(
             F.timestamp_seconds("ts").alias("rt"),
         )
     )
+    if strict_event_time:
+        from gmall_flink_spark.streaming.stateful import daily_new_flags_stream
+
+        flags = daily_new_flags_stream(
+            pays.withWatermark("rt", dedup_delay), "user_id", ts="rt"
+        )
+        n_days = int(dedup_delay.split()[0]) + 1
+        w = flags.withColumn("day_ts", F.to_timestamp("cur_date")).withWatermark(
+            "day_ts", f"{n_days} days"
+        )
+        return tumble_agg(
+            w,
+            "day_ts",
+            "1 day",
+            [],
+            [
+                F.sum("uu").cast("long").alias("payment_suc_uu_ct"),
+                F.sum("new_delta").cast("long").alias("payment_suc_new_user_ct"),
+            ],
+        ).select("stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct")
     uu = (
         pays.withColumn("cur_date", F.date_format("rt", "yyyy-MM-dd"))
         .withWatermark("rt", dedup_delay)
@@ -613,6 +651,137 @@ def order_uu_window_stream(
             F.sum("new_delta").cast("long").alias("order_new_user_ct"),
         ],
     ).select("stt", "edt", "order_uu_ct", "order_new_user_ct")
+
+
+def cancel_segment_stream(oi_env: DataFrame, cust: DataFrame) -> DataFrame:
+    """DwdCancelOrderDetail as one streaming query
+    (app/dwd/DwdCancelOrderDetail.java:24-226), complete output mode:
+    P6 any→'1003' cancel transitions → J3 broadcast dim lookup →
+    segment-grain running totals, re-emitted per micro-batch. The
+    transform is LITERALLY the batch twin's function
+    (queries/cdc.py::cancel_segment_frame), the refund_region_stream
+    pattern at the cancel status pair.
+
+    Scale: complete mode holds |segments| rows — dimension-bounded; a
+    high-cardinality grain would switch to update mode + K3."""
+    from gmall_flink_spark.queries.cdc import cancel_segment_frame
+
+    return cancel_segment_frame(oi_env, cust)
+
+
+def refund_pay_suc_stream(
+    oi_env: DataFrame, cust: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """DwdTradeRefundPaySuc as one streaming query
+    (app/dwd/DwdTradeRefundPaySuc.java:23-159), complete output mode:
+    P7 exact '1001'→'1004' refund-pay-success transitions → J3×2 chained
+    broadcast lookups → nation-grain running totals. Transform shared
+    verbatim with the batch twin (queries/cdc.py::refund_pay_suc_frame).
+
+    Scale: |nations| rows of complete-mode state — dimension-bounded."""
+    from gmall_flink_spark.queries.cdc import refund_pay_suc_frame
+
+    return refund_pay_suc_frame(oi_env, cust, nation)
+
+
+def user_register_window_stream(
+    ev: DataFrame,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwsUserUserRegisterWindow as one streaming query (D4/D7→A5/A6,
+    app/dws/DwsUserUserRegisterWindow.java:32-119): event stream →
+    first-event-per-user-per-day dedup (D4; the synth has no dedicated
+    register topic, so the daily-UV form stands in — the reference's
+    register rows are unique per user by construction, making its window
+    agg exactly this dedup+count composition) → per-day unique-user
+    counts in tumbling day windows. The cart_add_uu composition shape,
+    keyed on user instead of sku, over the events table.
+
+    Scale: dedup state is one entry per (user, day) under the watermark;
+    one window agg with map-side partials."""
+    firsts = (
+        ev.select("user_id", "ts")
+        .withColumn("cur_date", F.date_format("ts", "yyyy-MM-dd"))
+        .withWatermark("ts", dedup_delay)
+        .dropDuplicatesWithinWatermark(["user_id", "cur_date"])
+    )
+    return tumble_agg(
+        firsts, "ts", "1 day", [], [F.count(F.lit(1)).alias("uv_ct")]
+    ).select(F.substring("stt", 1, 10).alias("cur_date"), "uv_ct")
+
+
+def pay_detail_suc_stream(
+    oi_env: DataFrame,
+    od_env: DataFrame,
+    dic: DataFrame,
+    bound_lo_s: int | None = None,
+    bound_hi_s: int | None = None,
+    dedup_delay: str = "3650 days",
+) -> DataFrame:
+    """DwdTradePayDetailSuc as ONE streaming query (P7→J3→J5→K3,
+    app/dwd/DwdTradePayDetailSuc.java:59-158) — the only reference main
+    whose COMPOSITION chains an interval join into a lookup-enriched
+    stream: pay-success transitions (P7, :59-71) → broadcast dict lookup
+    (J3, the as-of-now form of the :87-96 HBase lookup join) → J5
+    interval join with the order_detail stream on order_id within
+    [pi − lo, pi + hi] (:100-127's od.rt ∈ [pi.rt − 15 min, pi.rt + 5 s],
+    band mirrored to this data's order→ship skew; defaults imported from
+    the batch twin so the two can never drift) → ready for the K3 upsert
+    sink keyed on order_detail_id (:131-158). The transform up to the
+    interval join is LITERALLY the batch twin's function
+    (queries/cdc.py::pay_suc_with_name), so the equality test pins one
+    lookup implementation, not two.
+
+    The detail side carries the K3 keep-first compaction pulled to the
+    front (same contract as order_detail_wide_stream) — a no-op on this
+    data's unique packed ids, state-bounded by the watermark otherwise.
+
+    No sentinels needed: both stateful operators here (dedup, INNER
+    interval join) emit on sight — nothing waits for a closing
+    watermark, unlike the windowed/outer-join pipelines.
+
+    Scale: dict broadcast; join state is bounded by the watermark delay
+    minus the band (Spark evicts rows that can no longer match); in a
+    production deployment ``dedup_delay`` shrinks to the real CDC
+    disorder bound and state is hours, not years."""
+    from gmall_flink_spark.queries.cdc import (
+        PAY_DETAIL_HI_S,
+        PAY_DETAIL_LO_S,
+        pay_suc_with_name,
+    )
+
+    lo = PAY_DETAIL_LO_S if bound_lo_s is None else bound_lo_s
+    hi = PAY_DETAIL_HI_S if bound_hi_s is None else bound_hi_s
+    pi = (
+        pay_suc_with_name(oi_env, dic)
+        .withColumnRenamed("order_id", "pi_order_id")
+        .withColumn("pi_rt", F.timestamp_seconds("pay_ts"))
+        .withWatermark("pi_rt", dedup_delay)
+    )
+    od = (
+        src_filter(drop_bootstrap(od_env), "order_detail", ["insert"])
+        .select(
+            d("id").cast("bigint").alias("order_detail_id"),
+            d("order_id").cast("bigint").alias("order_id"),
+            d("sku_id").cast("bigint").alias("sku_id"),
+            d("sku_num").cast("bigint").alias("sku_num"),
+            d("split_total_amount").cast("decimal(18,2)").alias("amount"),
+            F.timestamp_seconds("ts").alias("od_rt"),
+        )
+        .withWatermark("od_rt", dedup_delay)
+        .dropDuplicatesWithinWatermark(["order_detail_id"])
+    )
+    wide = od.join(
+        pi,
+        (F.col("order_id") == F.col("pi_order_id"))
+        & (F.col("od_rt") >= F.col("pi_rt") - F.expr(f"interval {lo} seconds"))
+        & (F.col("od_rt") <= F.col("pi_rt") + F.expr(f"interval {hi} seconds")),
+    )
+    return wide.select(
+        "order_detail_id", "order_id", "user_id", "sku_id", "sku_num",
+        F.col("amount").cast("double").alias("split_payment_amount"),
+        "payment_type_code", "payment_type_name", "pay_ts",
+    )
 
 
 def sentinel_value_slices(

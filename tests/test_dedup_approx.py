@@ -33,6 +33,89 @@ def test_uv_daily_kmv_within_error_bound(spark):
         )
 
 
+def test_exact_fingerprint_pairs_full_and_star(spark):
+    """llm/dedup.exact_fingerprint_pairs: token-SET identity grouping (order
+    and multiplicity ignored — the is_exact definition of the recall
+    audits), full clique pairing at or under the group cap, star fallback
+    to the group minimum above it."""
+    from gmall_flink_spark.llm.dedup import exact_fingerprint_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "c b a a"),      # same token set as 1 (order/mult differ)
+            (3, "a b c"),        # third member of the clique
+            (4, "x y"),
+            (5, "y x"),          # pair with 4
+            (6, "lonely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    full = sorted(map(tuple, exact_fingerprint_pairs(docs).collect()))
+    assert full == [(1, 2), (1, 3), (2, 3), (4, 5)]
+    # cap of 2: the 3-clique degenerates to the star around doc 1
+    star = sorted(map(tuple, exact_fingerprint_pairs(docs, max_group=2).collect()))
+    assert star == [(1, 2), (1, 3), (4, 5)]
+
+
+def test_simhash_exact_recall_floor(spark):
+    """The VERDICT r09 weak-#2 regression pin: the production SimHash pair
+    set (banded + exact-fingerprint pre-pass) must recall ALL sampled
+    exact (jaccard-1) pairs — the oracle mirrors whatever the engine
+    emits, so this floor must live in pytest, not the parity gate."""
+    from gmall_flink_spark.queries.llm_dedup import simhash_recall_audit
+
+    by_class = {r["is_exact"]: r for r in simhash_recall_audit(spark, SF_ORACLE).collect()}
+    exact = by_class[1]
+    assert exact["true_ct"] > 0 and exact["miss_ct"] == 0, dict(exact.asDict())
+
+
+def test_components_artifact_persists_and_invalidates(spark, tmp_path):
+    """The near-dup component mapping is a WRITE-ONCE disk artifact
+    (VERDICT r09 task 8): first call builds the bucketed table under the
+    content stamp; a second call — even after the session memo is cleared
+    of entries — reads it back identically without rebuilding; REWRITING
+    the documents parquet changes the stamp, so a stale mapping can never
+    be served (a fresh artifact directory appears and the mapping follows
+    the new corpus)."""
+    import os
+    import time
+
+    from gmall_flink_spark.queries.llm_dedup import (
+        _COMPONENTS,
+        _components,
+        _components_artifact_path,
+    )
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta", "s", "en") for i in range(4)]
+        + [(9, "unrelated words entirely here now", "s", "en")],
+        "doc_id bigint, text string, source string, lang string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    first = sorted(map(tuple, _components(spark, sf).collect()))
+    p1 = _components_artifact_path(sf)
+    assert os.path.exists(p1) and first, (p1, first)
+    build_mark = os.path.getmtime(p1)
+
+    _COMPONENTS.clear()  # drop the L1 memo; the artifact must serve the read
+    again = sorted(map(tuple, _components(spark, sf).collect()))
+    assert again == first
+    assert os.path.getmtime(p1) == build_mark  # read, not rebuilt
+
+    time.sleep(0.05)  # ensure a distinct mtime stamp for the rewrite
+    docs.limit(3).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    p2 = _components_artifact_path(sf)
+    assert p2 != p1  # content stamp moved with the rewrite
+    refreshed = sorted(map(tuple, _components(spark, sf).collect()))
+    assert os.path.exists(p2)
+    assert {d for d, _ in refreshed} < {d for d, _ in first}
+
+
 def test_length_ratio_prune_is_lossless_at_threshold(spark):
     """jaccard_pairs(ratio=(9,10)) must keep EXACTLY the pairs that clear
     j >= 0.9 — the prune's no-false-negative proof (j <= min/max sizes)

@@ -1498,6 +1498,105 @@ def test_payment_uu_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch)
 
 
+def test_payment_uu_pipeline_corrects_under_disorder(spark):
+    """The payment pipeline's default D5 must move the first-ever-payer
+    credit when an EARLIER-day payment arrives in a LATER batch (the
+    unordered-topic case the arrival-order dual-dedup form gets wrong):
+    u1 pays on Jan 5 (slice 1), then a LATE Jan 2 payment lands (slice
+    2) — the new-payer credit must end on Jan 2, and a same-day
+    duplicate (slice 3) must not double-count. Hand-expected windows, so
+    this is ground truth, not twin-vs-twin."""
+    import datetime as dt
+
+    from gmall_flink_spark.schemas import CDC_ENVELOPE
+    from gmall_flink_spark.streaming.pipelines import (
+        payment_uu_window_stream,
+        sentinel_envelope_slices,
+    )
+
+    def ep(y, m, day, h=12):
+        return int(dt.datetime(y, m, day, h, tzinfo=dt.timezone.utc).timestamp())
+
+    def pay(oid, uid, ts):
+        return (
+            "gmall_flink", "order_info", "update", ts,
+            {"id": str(oid), "user_id": str(uid), "order_status": "1005"},
+            {"order_status": "1002"},
+        )
+
+    arrivals = [  # (arrival slice, envelope)
+        (0, pay(1, 1, ep(2024, 1, 5))),       # u1 day 5 arrives first
+        (0, pay(2, 2, ep(2024, 1, 2))),       # u2 day 2
+        (1, pay(3, 1, ep(2024, 1, 2))),       # u1's EARLIER day 2, late
+        (1, pay(4, 2, ep(2024, 1, 3))),       # u2 day 3, in order
+        (2, pay(5, 1, ep(2024, 1, 5, 18))),   # u1 day-5 duplicate
+    ]
+    env = spark.createDataFrame(
+        [(a, *row) for a, row in arrivals],
+        "arrival int, " + ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in CDC_ENVELOPE.fields
+        ),
+    )
+    slices = os.path.join(TMP, "pay_disorder_slices")
+    split_into_files(env, 3, "arrival", slices)
+    far = ep(2024, 1, 5) + 864_000_000
+    sentinel_envelope_slices(
+        spark, slices, "order_info",
+        {"id": "-9", "user_id": "-9", "order_status": "1005"},
+        far, type_="update", old={"order_status": "1002"},
+    )
+    got = run_available_now(
+        payment_uu_window_stream(stream_from(spark, slices, env).drop("arrival"))
+    )
+    want = [
+        ("2024-01-02 00:00:00", "2024-01-03 00:00:00", 2, 2),  # credit moved here
+        ("2024-01-03 00:00:00", "2024-01-04 00:00:00", 1, 0),
+        ("2024-01-05 00:00:00", "2024-01-06 00:00:00", 1, 0),  # u1 no longer new
+    ]
+    cols = ["stt", "edt", "payment_suc_uu_ct", "payment_suc_new_user_ct"]
+    assert rows(got, cols) == want
+
+
+def test_pay_detail_suc_pipeline_end_to_end(spark):
+    """DwdTradePayDetailSuc as ONE availableNow query — order_info +
+    order_detail envelope streams, P7 pay-suc transition filter → J3
+    broadcast dict lookup → J5 interval join (the only composition that
+    chains an interval join into a lookup-enriched stream) → K3 upsert
+    sink keyed on order_detail_id — final sink state equals the batch
+    twin cdc_pay_detail_suc exactly. Inner-join emission is immediate,
+    so no sentinel slices are needed (every row that will ever match
+    emits when its partner arrives; availableNow drains both sides)."""
+    from gmall_flink_spark.queries.cdc import PAY_DICT_ROWS
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sinks.upsert import read_state, upsert_writer
+    from gmall_flink_spark.sources.cdc_synth import detail_envelope, orders_envelope
+    from gmall_flink_spark.streaming.pipelines import pay_detail_suc_stream
+
+    streams = {}
+    for name, env in (
+        ("oi", orders_envelope(spark, SF)),
+        ("od", detail_envelope(spark, SF)),
+    ):
+        slices = os.path.join(TMP, f"pds_{name}_slices")
+        split_into_files(env, 4, "ts", slices)
+        streams[name] = stream_from(spark, slices, env)
+    dic = spark.createDataFrame(PAY_DICT_ROWS, "dic_code string, dic_name string")
+    wide = pay_detail_suc_stream(streams["oi"], streams["od"], dic)
+    state = os.path.join(TMP, "pds_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    run_available_now(
+        wide,
+        foreach_batch=upsert_writer(
+            state, ["order_detail_id"],
+            ["pay_ts", "sku_num", "split_payment_amount"],
+        ),
+    )
+    got = read_state(spark, state)
+    batch = all_queries()["cdc_pay_detail_suc"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
 def test_streaming_link_graph_rollup_equals_batch_pagerank(spark):
     """The corpus link graph as a continuous aggregate: per-batch
     (src, dst) edge counts merged through the rollup sink, ranks
@@ -1948,4 +2047,80 @@ def test_refund_region_pipeline_end_to_end(spark):
         output_mode="complete",
     )
     batch = all_queries()["cdc_refund_region"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_cancel_segment_pipeline_end_to_end(spark):
+    """DwdCancelOrderDetail as ONE availableNow query in COMPLETE mode —
+    P6 any→1003 transition filter → broadcast customer lookup →
+    segment running totals; the transform IS the batch twin's function
+    (cancel_segment_frame), so equality pins one implementation."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+    from gmall_flink_spark.streaming.pipelines import cancel_segment_stream
+
+    env = orders_envelope(spark, SF)
+    slices = os.path.join(TMP, "cancel_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    got = run_available_now(
+        cancel_segment_stream(
+            stream_from(spark, slices, env), table(spark, SF, "customer")
+        ),
+        output_mode="complete",
+    )
+    batch = all_queries()["cdc_cancel_enrich"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_refund_pay_suc_pipeline_end_to_end(spark):
+    """DwdTradeRefundPaySuc as ONE availableNow query in COMPLETE mode —
+    P7 exact 1001→1004 transition → two chained broadcast lookups →
+    nation running totals; transform shared verbatim with
+    cdc_refund_pay_suc (refund_pay_suc_frame)."""
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.sources.cdc_synth import orders_envelope
+    from gmall_flink_spark.streaming.pipelines import refund_pay_suc_stream
+
+    env = orders_envelope(spark, SF)
+    slices = os.path.join(TMP, "refundpay_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    got = run_available_now(
+        refund_pay_suc_stream(
+            stream_from(spark, slices, env),
+            table(spark, SF, "customer"),
+            table(spark, SF, "nation"),
+        ),
+        output_mode="complete",
+    )
+    batch = all_queries()["cdc_refund_pay_suc"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
+def test_user_register_window_pipeline_end_to_end(spark):
+    """DwsUserUserRegisterWindow as ONE availableNow query — events
+    stream → D4 (user, day) dedup → per-day unique counts in day
+    windows — equals the batch twin uv_daily exactly. Two same-timestamp
+    far-future sentinel events close every real window and self-exclude
+    (their own window never closes)."""
+    import datetime as dt
+
+    from gmall_flink_spark.registry import all_queries
+    from gmall_flink_spark.streaming.pipelines import (
+        _append_sentinel_slices,
+        user_register_window_stream,
+    )
+
+    ev = table(spark, SF, "events").select("user_id", "ts")
+    slices = os.path.join(TMP, "register_ev_slices")
+    split_into_files(ev, 4, "ts", slices)
+    far = ev.agg(F.max("ts")).collect()[0][0] + dt.timedelta(days=10_000, hours=6)
+    _append_sentinel_slices(
+        slices,
+        lambda j: spark.createDataFrame([(-9, far)], "user_id bigint, ts timestamp"),
+        2,
+    )
+    got = run_available_now(
+        user_register_window_stream(stream_from(spark, slices, ev))
+    )
+    batch = all_queries()["uv_daily"](spark, SF)
     assert rows(got) == rows(batch) and got.count() > 0
