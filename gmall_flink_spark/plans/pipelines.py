@@ -72,12 +72,18 @@ def _log_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINES: list[Pipeline] = [
     Pipeline("DimApp", "app/dim/DimApp.java:37-109", "S1,S4,P1,P2,J6,P8,K4,M4",
-             _dim_app, "foreachBatch -> sinks.upsert.upsert_into per sink_table"),
+             _dim_app,
+             "streaming/pipelines.py::dim_app_stream -> dim_store_writer (K4) "
+             "under run_supervised (W12); pinned by "
+             "test_dim_app_supervised_end_to_end"),
     Pipeline("DwdTrafficBaseLogSplit", "app/dwd/DwdTrafficBaseLogSplit.java:32-189",
              "S1,P1,M1,D8,K1", _log_split,
              "operators.log_split.log_split_sinks + streaming.stateful.is_new_repair_stream"),
     Pipeline("DwdBaseApp", "app/dwd/DwdBaseApp.java:37-110", "S1,S4,J6,P8,K2",
-             _q("cdc_config_route"), "foreachBatch -> sinks.upsert.topic_router"),
+             _q("cdc_config_route"),
+             "streaming/pipelines.py::dwd_base_app_stream -> replay-guarded "
+             "topic_router (K2) under run_supervised (W12); pinned by "
+             "test_dwd_base_app_supervised_end_to_end"),
     Pipeline("DwdTradeCartAdd", "app/dwd/DwdTradeCartAdd.java:19-72", "S3,P3,P5,K1",
              _q("cdc_cart_add"), "same transform over stream_table; append sink"),
     Pipeline("DwdInterationCommentInfo", "app/dwd/DwdInterationCommentInfo.java:21-101",

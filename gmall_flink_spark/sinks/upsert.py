@@ -20,6 +20,7 @@ analogue of the Kafka sink honoring a per-row ``topic`` column
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gmall_flink_spark.operators.dedup import keep_last
 from gmall_flink_spark.sinks._bucketed import (
@@ -80,9 +81,49 @@ def upsert_writer(state_path: str, keys: list[str], order_by: list[str], n_bucke
 
 
 def topic_router(base_path: str, topic_col: str = "sink_table"):
-    """K2: route each row to its own sink directory by a per-row column."""
+    """K2: route each row to its own sink directory by a per-row column.
+
+    Append sinks are NOT naturally idempotent, so foreachBatch's
+    at-least-once redelivery (a crash between the write and the offset
+    commit) would duplicate a whole batch — the same lineage-keyed replay
+    marker the non-idempotent rollup merges use guards it: a batch id at
+    or below the recorded high-water mark for this query lineage is a
+    redelivery and is skipped."""
+    from gmall_flink_spark.sinks._bucketed import (
+        last_merged_batch,
+        record_merged_batch,
+        streaming_query_id,
+    )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        qid = streaming_query_id(batch_df)
+        if batch_id <= last_merged_batch(base_path, qid):
+            return
         batch_df.write.mode("append").partitionBy(topic_col).parquet(base_path)
+        record_merged_batch(base_path, batch_id, qid)
+
+    return write
+
+
+def dim_store_writer(base_path: str, pk: str = "pk", order_by: tuple[str, ...] = ("ts",)):
+    """K4: the DimApp sink loop (app/dim/DimApp.java:94-109 writing
+    HBase via the rowkeyed put) — each micro-batch MERGEs per sink_table
+    into that dim table's own keyed parquet state (`base_path/<table>/`),
+    keep-last per PK. The per-batch table list is a collect of the
+    DISTINCT sink_table values — bounded by the routing config's row
+    count (the reference iterates the same config), never by data.
+    Idempotent by construction (a re-put of the same version overwrites),
+    so checkpoint replay after a crash is safe without markers."""
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        tables = [r[0] for r in batch_df.select("sink_table").distinct().collect()]
+        for t in sorted(tables):
+            upsert_into(
+                os.path.join(base_path, t),
+                batch_df.where(F.col("sink_table") == t).drop("sink_table"),
+                [pk],
+                list(order_by),
+            )
 
     return write

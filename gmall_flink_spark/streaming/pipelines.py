@@ -69,6 +69,13 @@ per-operator twins.
   COMPLETE-mode (non-windowed) continuous aggregate; the transform is
   the batch twin's function verbatim (queries/cdc.py::refund_region_frame).
 
+* ``dim_app_stream`` = DimApp and ``dwd_base_app_stream`` = DwdBaseApp:
+  config-routed envelope streams sunk through the K4 per-table dim MERGE
+  (``dim_store_writer``) and the K2 replay-guarded topic fan-out
+  (``topic_router``) respectively, each run SUPERVISED
+  (``streaming.supervise.run_supervised``, W12) with an
+  injected-transient-failure restart proof.
+
 * ``cancel_segment_stream`` = DwdCancelOrderDetail and
   ``refund_pay_suc_stream`` = DwdTradeRefundPaySuc: COMPLETE-mode
   continuous aggregates sharing their transforms verbatim with the batch
@@ -651,6 +658,46 @@ def order_uu_window_stream(
             F.sum("new_delta").cast("long").alias("order_new_user_ct"),
         ],
     ).select("stt", "edt", "order_uu_ct", "order_new_user_ct")
+
+
+def dim_app_stream(env: DataFrame, config: DataFrame) -> DataFrame:
+    """DimApp's transform as one streaming DataFrame (P1/P2→J6→P8,
+    app/dim/DimApp.java:37-109): the combined topic_db envelope stream,
+    bootstrap-dropped, broadcast-config-routed (the reference re-reads
+    table_process per batch; a per-batch-re-read config frame slots in
+    unchanged), pruned to sink_columns, filtered to the dim-typed routes,
+    keyed by the config PK. The caller sinks it through
+    ``sinks.upsert.dim_store_writer`` (K4 — per-table keyed MERGE) under
+    ``streaming.supervise.run_supervised`` (W12), which together complete
+    the reference's supervised dim-layer job."""
+    from gmall_flink_spark.operators.cdc import route_with_config
+
+    routed = route_with_config(drop_bootstrap(env), config, match_type=True)
+    return routed.where(F.col("sink_type") == "dim").select(
+        "sink_table",
+        F.element_at("data_pruned", F.col("sink_row_key")).cast("bigint").alias("pk"),
+        "type",
+        "data_pruned",
+        "ts",
+    )
+
+
+def dwd_base_app_stream(env: DataFrame, config: DataFrame) -> DataFrame:
+    """DwdBaseApp's transform as one streaming DataFrame (P1/P2→J6→P8→K2,
+    app/dwd/DwdBaseApp.java:37-110): the topic_db stream config-routed on
+    (source_table, source_type) and pruned, every surviving row addressed
+    to its per-route topic. The caller sinks it through
+    ``sinks.upsert.topic_router`` (K2 — replay-guarded append fan-out)
+    under ``run_supervised`` (W12)."""
+    from gmall_flink_spark.operators.cdc import route_with_config
+
+    routed = route_with_config(drop_bootstrap(env), config, match_type=True)
+    return routed.select(
+        "sink_table",
+        F.element_at("data_pruned", "id").cast("bigint").alias("id"),
+        "data_pruned",
+        "ts",
+    )
 
 
 def cancel_segment_stream(oi_env: DataFrame, cust: DataFrame) -> DataFrame:

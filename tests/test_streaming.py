@@ -2096,6 +2096,113 @@ def test_refund_pay_suc_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+def test_dim_app_supervised_end_to_end(spark):
+    """DimApp as a SUPERVISED end-to-end run (P1/P2→J6→P8→K4 under W12,
+    app/dim/DimApp.java:37-109 + the reference's fixed-delay restart):
+    topic_db envelope stream → config route → per-table keyed MERGE into
+    the dim store, with a transient failure injected on the second batch
+    — run_supervised restarts from the checkpoint and the final per-table
+    state equals the batch composition's keep-last-per-PK exactly (the
+    MERGE is idempotent, so the replayed batch lands once)."""
+    from gmall_flink_spark.operators.dedup import keep_last
+    from gmall_flink_spark.plans.pipelines import run as run_plan
+    from gmall_flink_spark.queries.cdc import _config_df
+    from gmall_flink_spark.sinks._bucketed import read_state
+    from gmall_flink_spark.sinks.upsert import dim_store_writer
+    from gmall_flink_spark.sources.cdc_synth import topic_db_envelope
+    from gmall_flink_spark.streaming.pipelines import dim_app_stream
+    from gmall_flink_spark.streaming.supervise import run_supervised
+
+    env = topic_db_envelope(spark, SF)
+    slices = os.path.join(TMP, "dimapp_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    store = os.path.join(TMP, "dimapp_store")
+    ckpt = os.path.join(TMP, "dimapp_ckpt")
+    for p in (store, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    writer = dim_store_writer(store)
+    calls = {"n": 0}
+
+    def flaky(batch_df, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected transient dim-store failure")
+        writer(batch_df, batch_id)
+
+    restarts = run_supervised(
+        lambda: dim_app_stream(stream_from(spark, slices, env), _config_df(spark)),
+        flaky,
+        ckpt,
+    )
+    assert restarts == 1
+
+    batch = run_plan("DimApp", spark, SF).withColumn(
+        "pk", F.element_at("data_pruned", "id").cast("bigint")
+    )
+    want = keep_last(batch, ["pk"], ["ts"]).select(
+        "pk", "type", F.map_entries("data_pruned").alias("kv"), "ts"
+    )
+    got = read_state(spark, os.path.join(store, "dim_order_info")).select(
+        "pk", "type", F.map_entries("data_pruned").alias("kv"), "ts"
+    )
+    def kvrows(df):
+        return sorted(
+            (r["pk"], r["type"], tuple(sorted(map(tuple, r["kv"]))), r["ts"])
+            for r in df.collect()
+        )
+    assert kvrows(got) == kvrows(want) and got.count() > 0
+
+
+def test_dwd_base_app_supervised_end_to_end(spark):
+    """DwdBaseApp as a SUPERVISED end-to-end run (P1/P2→J6→P8→K2 under
+    W12, app/dwd/DwdBaseApp.java:37-110): config-routed fan-out through
+    the replay-guarded topic_router, with a failure injected AFTER batch
+    1's append — the restart redelivers batch 1 and the lineage marker
+    must skip it, so the per-topic content equals the batch route with
+    ZERO duplicates (the at-least-once append hole the marker closes)."""
+    from gmall_flink_spark.operators.cdc import drop_bootstrap, route_with_config
+    from gmall_flink_spark.queries.cdc import _config_df
+    from gmall_flink_spark.sinks.upsert import topic_router
+    from gmall_flink_spark.sources.cdc_synth import topic_db_envelope
+    from gmall_flink_spark.streaming.pipelines import dwd_base_app_stream
+    from gmall_flink_spark.streaming.supervise import run_supervised
+
+    env = topic_db_envelope(spark, SF)
+    slices = os.path.join(TMP, "dwdbase_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    out = os.path.join(TMP, "dwdbase_topics")
+    ckpt = os.path.join(TMP, "dwdbase_ckpt")
+    for p in (out, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    writer = topic_router(out)
+    fails = {"armed": True}
+
+    def flaky(batch_df, batch_id):
+        writer(batch_df, batch_id)
+        if batch_id == 1 and fails["armed"]:
+            fails["armed"] = False
+            raise RuntimeError("injected post-append failure")
+
+    restarts = run_supervised(
+        lambda: dwd_base_app_stream(
+            stream_from(spark, slices, env), _config_df(spark)
+        ),
+        flaky,
+        ckpt,
+    )
+    assert restarts == 1
+
+    got = spark.read.parquet(out).select("sink_table", "id", "ts")
+    batch = route_with_config(drop_bootstrap(env), _config_df(spark)).select(
+        "sink_table", F.element_at("data_pruned", "id").cast("bigint").alias("id"), "ts"
+    )
+    assert rows(got) == rows(batch) and got.count() > 0
+
+
 def test_user_register_window_pipeline_end_to_end(spark):
     """DwsUserUserRegisterWindow as ONE availableNow query — events
     stream → D4 (user, day) dedup → per-day unique counts in day
