@@ -305,6 +305,7 @@ HEADLINE = [
     "cdc_refund_pay_suc",
     "llm_bpe_train_sampled",
     "llm_bpe_fertility_sampled",
+    "dedup_bloom_prefilter",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

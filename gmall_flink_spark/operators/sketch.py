@@ -71,3 +71,72 @@ def cms_counters(df, key: str):
         .groupBy("depth", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
     )
+
+
+# ----------------------------------------------------------------- bloom
+
+#: bloom geometry: m bits x k hash functions. With n distinct keys the
+#: false-positive rate is ~(1 - e^(-k*n/m))^k; m = 2^14, k = 4 reads
+#: ~2.4% at n = m/8. m bounds the STATE (<= m distinct positions — always
+#: broadcastable) no matter the corpus size, which is the whole point of
+#: a dedup pre-filter.
+BLOOM_M = 1 << 14
+BLOOM_K = 4
+
+#: the affine family modulus shared with minhash (prime > m*k, keeps every
+#: product far inside int64)
+_BLOOM_P = 1_000_000_007
+
+
+def bloom_positions(key: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """The k bloom bit positions of a key, via the SAME portable affine
+    family minhash uses (h_s(x) = ((2s+1)·md5(x) + s² + 7) mod P, then
+    mod m) — one md5 per key feeds all k positions, and every position is
+    reproducible in DuckDB, so bloom membership verdicts are
+    oracle-checkable like every other sketch here."""
+    base = md5_long(key.cast("string"))
+    return F.array(
+        *[
+            F.pmod(
+                F.pmod((2 * s + 1) * base + F.lit(s * s + 7), F.lit(_BLOOM_P)),
+                F.lit(m),
+            ).cast("bigint")
+            for s in range(k)
+        ]
+    )
+
+
+def bloom_build(df, key: str, k: int = BLOOM_K, m: int = BLOOM_M):
+    """The bloom SET as a relation: the distinct bit positions lit by the
+    key column — at most m rows regardless of input size, mergeable by
+    plain union+distinct (bitwise OR in relational form), which makes it
+    both broadcastable at probe time and a rollup-sink payload per
+    micro-batch."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(key), k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(df, key: str, bloom, k: int = BLOOM_K, m: int = BLOOM_M):
+    """Per-KEY bloom verdicts: one row per distinct key value of ``df``
+    with ``maybe_dup`` = 1 iff ALL k positions are lit (the classic
+    no-false-negative contract — an inserted key always reads 1; a 1 on
+    an uninserted key is the measured false positive). The bloom side is
+    <= m rows, so the probe is a broadcast join against the exploded
+    positions followed by a per-key hit count; callers join the verdict
+    back on the key column when they need row grain."""
+    keys = df.select(key).distinct()
+    hits = (
+        keys.select(key, F.explode(bloom_positions(F.col(key), k, m)).alias("pos"))
+        .join(F.broadcast(bloom), "pos")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return (
+        keys.join(hits, key, "left")
+        .select(
+            key,
+            (F.coalesce(F.col("__hits"), F.lit(0)) == k).cast("int").alias("maybe_dup"),
+        )
+    )

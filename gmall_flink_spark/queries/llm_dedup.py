@@ -758,6 +758,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup PRE-FILTER — the constant-memory membership
+    sketch run before exact dedup at ingest (the classic pattern: a new
+    crawl batch probes the filter built from the indexed corpus; only
+    ``maybe_dup`` rows pay the exact fingerprint join, everything else
+    streams through untouched). Keys are token-SET fingerprints (exact
+    family semantics); the prior half of the corpus (even doc_id — the
+    stand-in for "already ingested") builds the filter, the odd half
+    probes it. The ledger reports per probe source: probes, bloom flags,
+    TRUE duplicates (exact fingerprint membership — the no-false-negative
+    contract demands flagged >= true, pinned in pytest), and the measured
+    false-positive count, the number that sizes m/k for a real corpus.
+
+    Scale: the filter is <= BLOOM_M distinct bit positions — always
+    broadcastable no matter the corpus; build is one map-side-combining
+    distinct, probe is a broadcast join + per-key hit count. The exact
+    verification join the filter EXISTS to avoid runs here only to
+    measure the FP rate (on the probe half, not corpus²)."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("f"),
+    )
+    prior = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    probe = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    bloom = bloom_build(prior, "f")
+    verdicts = bloom_probe(probe, "f", bloom)
+    seen = prior.select("f").distinct().withColumn("seen", F.lit(1))
+    return (
+        probe.join(verdicts, "f")
+        .join(F.broadcast(seen), "f", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("probe_ct"),
+            F.sum("maybe_dup").cast("bigint").alias("flagged_ct"),
+            F.sum(F.coalesce("seen", F.lit(0))).cast("bigint").alias("true_dup_ct"),
+            F.sum(F.col("maybe_dup") * (1 - F.coalesce("seen", F.lit(0))))
+            .cast("bigint")
+            .alias("false_pos_ct"),
+        )
+        .orderBy("source")
+    )
+
+
 def dedup_rep_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection — the step after clustering that actually
     decides which document survives dedup: within each near-dup component
@@ -1162,6 +1211,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_rep_select": dedup_rep_select,
+    "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "web_domain_dup_rate": web_domain_dup_rate,
     "domain_blocklist": domain_blocklist,
     "corpus_datasheet": corpus_datasheet,
@@ -1653,6 +1703,52 @@ ORACLE["simhash_recall_audit"] = f"""
     FROM truth t LEFT JOIN cands c
       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
     GROUP BY t.is_exact ORDER BY t.is_exact
+"""
+
+# bloom pre-filter twin: same token-set fingerprint, same affine position
+# family ((2s+1)h + s²+7 mod P mod m — multiplier <= 7 × h < 2^60 stays
+# inside int64 in both engines), duplicate positions kept on the probe
+# side (the engine explodes the raw array, so a key with colliding
+# positions needs every ELEMENT lit, counted per element here too)
+ORACLE["dedup_bloom_prefilter"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS f
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, source, f,
+               ('0x' || substr(md5('0|' || f), 1, 15))::BIGINT AS h
+        FROM keyed
+    ),
+    bits AS (
+        SELECT DISTINCT ((2 * s + 1) * h + s * s + 7) % 1000000007 % 16384 AS pos
+        FROM hashed, (SELECT unnest(range(4)) AS s)
+        WHERE doc_id % 2 = 0
+    ),
+    probe AS (SELECT * FROM hashed WHERE doc_id % 2 = 1),
+    pkeys AS (SELECT DISTINCT f, h FROM probe),
+    ppos AS (
+        SELECT f, ((2 * s + 1) * h + s * s + 7) % 1000000007 % 16384 AS pos
+        FROM pkeys, (SELECT unnest(range(4)) AS s)
+    ),
+    verdict AS (
+        SELECT p.f, CASE WHEN COUNT(b.pos) = 4 THEN 1 ELSE 0 END AS maybe_dup
+        FROM ppos p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.f
+    ),
+    seen AS (SELECT DISTINCT f FROM hashed WHERE doc_id % 2 = 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS probe_ct,
+           CAST(SUM(v.maybe_dup) AS BIGINT) AS flagged_ct,
+           CAST(SUM(CASE WHEN s.f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS true_dup_ct,
+           CAST(SUM(v.maybe_dup * CASE WHEN s.f IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_pos_ct
+    FROM probe pr
+    JOIN verdict v ON pr.f = v.f
+    LEFT JOIN seen s ON pr.f = s.f
+    GROUP BY source ORDER BY source
 """
 
 ORACLE["dedup_cross_source"] = f"""

@@ -116,6 +116,33 @@ def test_components_artifact_persists_and_invalidates(spark, tmp_path):
     assert {d for d, _ in refreshed} < {d for d, _ in first}
 
 
+def test_bloom_prefilter_no_false_negatives_and_measurable_fp(spark):
+    """The bloom contract on both sides of the geometry: at production
+    (m, k) every inserted key probes maybe_dup=1 (no false negatives);
+    at a deliberately TINY m the filter saturates — inserted keys STILL
+    all read 1 (the contract is geometry-independent) while uninserted
+    keys show measurable false positives (the quantity
+    dedup_bloom_prefilter's ledger reports)."""
+    from gmall_flink_spark.operators.sketch import bloom_build, bloom_probe
+
+    prior = spark.createDataFrame([(f"k{i}",) for i in range(200)], "f string")
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)]        # inserted
+        + [(f"new{i}",) for i in range(150)],  # never inserted
+        "f string",
+    )
+    for m, expect_fp in ((None, False), (64, True)):
+        kw = {} if m is None else {"m": m}
+        bloom = bloom_build(prior, "f", **kw)
+        v = {r["f"]: r["maybe_dup"] for r in bloom_probe(probe, "f", bloom, **kw).collect()}
+        assert all(v[f"k{i}"] == 1 for i in range(50)), f"false negative at m={m}"
+        fp = sum(v[f"new{i}"] for i in range(150))
+        if expect_fp:
+            assert fp > 0, "tiny filter saturated but no FP measured"
+        else:
+            assert fp <= 5, f"production geometry FP rate implausible: {fp}/150"
+
+
 def test_length_ratio_prune_is_lossless_at_threshold(spark):
     """jaccard_pairs(ratio=(9,10)) must keep EXACTLY the pairs that clear
     j >= 0.9 — the prune's no-false-negative proof (j <= min/max sizes)

@@ -2096,6 +2096,55 @@ def test_refund_pay_suc_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+def test_bloom_index_sink_equals_batch_build(spark):
+    """Streaming bloom maintenance: bit positions accrete through the
+    rollup sink while document batches stream in (a bloom is a pure OR —
+    position-count merge subsumes it); the accumulated position set must
+    equal the batch bloom_build, and probing with the streamed filter
+    must yield identical verdicts — the ingest-time dedup pre-filter as
+    continuously-maintained state."""
+    from gmall_flink_spark.functions.text import tokenize
+    from gmall_flink_spark.operators.sketch import (
+        bloom_build,
+        bloom_positions,
+        bloom_probe,
+    )
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    docs = table(spark, SF, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize("text"))))
+        ).alias("f"),
+    )
+    prior = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+    slices = os.path.join(TMP, "bloom_slices")
+    split_into_files(prior, 3, "doc_id", slices)
+    state = os.path.join(TMP, "bloom_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+
+    def partial(df):
+        return (
+            df.select(F.explode(bloom_positions(F.col("f"))).alias("pos"))
+            .groupBy("pos")
+            .agg(F.count(F.lit(1)).alias("hit_ct"))
+        )
+
+    run_available_now(
+        stream_from(spark, slices, prior),
+        foreach_batch=rollup_writer(state, ["pos"], partial),
+    )
+    streamed = read_state(spark, state).select("pos")
+    batch = bloom_build(prior, "f")
+    assert rows(streamed) == rows(batch)
+
+    probe = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+    got = bloom_probe(probe, "f", streamed)
+    want = bloom_probe(probe, "f", batch)
+    assert rows(got) == rows(want) and got.where("maybe_dup = 1").count() > 0
+
+
 def test_dim_app_supervised_end_to_end(spark):
     """DimApp as a SUPERVISED end-to-end run (P1/P2→J6→P8→K4 under W12,
     app/dim/DimApp.java:37-109 + the reference's fixed-delay restart):
