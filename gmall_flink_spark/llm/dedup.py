@@ -649,13 +649,16 @@ def connected_components(
     return labels
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 16, units: DataFrame | None = None) -> DataFrame:
     """Per-doc simhash, one-pass: each distinct token is hashed ONCE
     (md5_long) and every bit-b vote (±1) is derived from bit b of that hash
     by shift/mask, so the whole signature is a single groupBy(doc_id) with
     ``bits`` sum aggregates — one shuffle with map-side partials, no ×bits
-    row expansion (the classic Charikar construction, vectorized)."""
-    toks = distinct_tokens(docs).select("doc_id", md5_long(F.col("shingle")).alias("_h"))
+    row expansion (the classic Charikar construction, vectorized).
+    ``units`` (a (doc_id, shingle) frame) skips the tokenize scan."""
+    if units is None:
+        units = distinct_tokens(docs)
+    toks = units.select("doc_id", md5_long(F.col("shingle")).alias("_h"))
     votes = [
         F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_t{b}")
         for b in range(bits)
@@ -677,27 +680,29 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
 EXACT_FP_MAX_GROUP = 1000
 
 
-def token_set_fingerprint(docs: DataFrame) -> DataFrame:
+def token_set_fingerprint(docs: DataFrame, units: DataFrame | None = None) -> DataFrame:
     """(doc_id, setfp): portable hash of the SORTED DISTINCT token stream —
     fingerprint equality is exactly token-set identity, i.e. jaccard 1
     (``inter == uni`` in the exact family's terms). The order/multiplicity
     -sensitive cousin of functions/text.fingerprint, needed because near-
-    dup ground truth is defined on token SETS."""
+    dup ground truth is defined on token SETS. Pass ``units`` (a
+    (doc_id, shingle) frame, e.g. the session-memoized shared stage) to
+    skip the tokenize scan."""
     from gmall_flink_spark.functions.text import md5_long
 
-    return (
-        distinct_tokens(docs)
-        .groupBy("doc_id")
-        .agg(
-            md5_long(
-                F.concat_ws(" ", F.array_sort(F.collect_set("shingle")))
-            ).alias("setfp")
-        )
+    if units is None:
+        units = distinct_tokens(docs)
+    return units.groupBy("doc_id").agg(
+        md5_long(
+            F.concat_ws(" ", F.array_sort(F.collect_set("shingle")))
+        ).alias("setfp")
     )
 
 
 def exact_fingerprint_pairs(
-    docs: DataFrame, max_group: int = EXACT_FP_MAX_GROUP
+    docs: DataFrame,
+    max_group: int = EXACT_FP_MAX_GROUP,
+    units: DataFrame | None = None,
 ) -> DataFrame:
     """Identical-document pairs (a_id < b_id) by token-set fingerprint —
     the EXACT pre-pass routed AROUND capped approximate indexes (VERDICT
@@ -710,7 +715,7 @@ def exact_fingerprint_pairs(
 
     Scale: one shuffle on setfp; pair volume = Σ n_g² over TRUE duplicate
     groups (capped) — the size of the real answer, never corpus²."""
-    fp = token_set_fingerprint(docs)
+    fp = token_set_fingerprint(docs, units=units)
     stats = (
         fp.groupBy("setfp")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))

@@ -699,7 +699,7 @@ SIMHASH_MAX_BUCKET = 100
 SIMHASH_HAM_MAX = 2
 
 
-def _simhash_verified_frame(docs: DataFrame) -> DataFrame:
+def _simhash_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production SimHash pair set: banded hamming-ball candidates
     (capped buckets) UNIONed with the exact token-set-fingerprint pre-pass
     (VERDICT r09 weak #2 fix). Identical documents share every band value,
@@ -707,10 +707,13 @@ def _simhash_verified_frame(docs: DataFrame) -> DataFrame:
     — the pre-pass routes them through one hash aggregation instead
     (llm/dedup.py::exact_fingerprint_pairs; hamming 0 by construction
     since identical token sets hash to identical signatures). DISTINCT
-    collapses pairs both paths find."""
+    collapses pairs both paths find. Both the signature votes and the
+    fingerprint ride the memoized distinct-unit stage (_doc_units), so
+    neither path re-pays the tokenize scan."""
     from gmall_flink_spark.llm.dedup import simhash_pairs
 
-    sig = simhash(docs, bits=16)
+    units = _doc_units(spark, sf_dir)
+    sig = simhash(None, bits=16, units=units)
     banded = simhash_pairs(
         sig,
         "doc_id",
@@ -720,7 +723,7 @@ def _simhash_verified_frame(docs: DataFrame) -> DataFrame:
         max_bucket=SIMHASH_MAX_BUCKET,
         ham_max=SIMHASH_HAM_MAX,
     )
-    exact = exact_fingerprint_pairs(docs).select(
+    exact = exact_fingerprint_pairs(None, units=units).select(
         "a_id", "b_id", F.lit(0).cast("bigint").alias("hamming")
     )
     return banded.unionByName(exact).distinct()
@@ -745,8 +748,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification touches only colliding pairs and the xor/bit_count check
     is a per-row integer op. Candidate volume ∝ shared signature mass +
     true duplicate mass, never corpus²."""
-    docs = table(spark, sf_dir, "documents")
-    verified = _simhash_verified_frame(docs)
+    verified = _simhash_verified_frame(spark, sf_dir)
     return (
         verified.groupBy("hamming")
         .agg(
@@ -933,7 +935,7 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
     )
     cands = (
-        _simhash_verified_frame(table(spark, sf_dir, "documents"))
+        _simhash_verified_frame(spark, sf_dir)
         .where(
             (F.pmod(F.col("a_id"), F.lit(AUDIT_MOD)) == 0)
             & (F.pmod(F.col("b_id"), F.lit(AUDIT_MOD)) == 0)
