@@ -687,7 +687,10 @@ def token_set_fingerprint(docs: DataFrame, units: DataFrame | None = None) -> Da
     -sensitive cousin of functions/text.fingerprint, needed because near-
     dup ground truth is defined on token SETS. Pass ``units`` (a
     (doc_id, shingle) frame, e.g. the session-memoized shared stage) to
-    skip the tokenize scan."""
+    skip the tokenize scan. Token-LESS docs have no unit rows and thus no
+    fingerprint — the same exclusion every set-similarity family here
+    applies (jaccard is 0/0 on empty sets); an ingest that must dedup
+    empty payloads filters them on length first."""
     from gmall_flink_spark.functions.text import md5_long
 
     if units is None:

@@ -297,3 +297,76 @@ def test_nb_quantized_scores_match_python(spark, docs):
         for r in nb_score(ho, model, priors).collect()
     }
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=5),
+        min_size=0,
+        max_size=14,
+    ),
+    max_group=st.sampled_from([2, 1000]),
+)
+@_SETTINGS
+def test_exact_fingerprint_pairs_match_python(spark, docs, max_group):
+    """exact_fingerprint_pairs vs a naive oracle over the input space:
+    token-SET identity (order/multiplicity ignored), full clique pairing
+    at/under the cap, star-to-minimum above it, single-doc groups, and
+    the documented empty-doc exclusion (no tokens → no fingerprint — the
+    set-similarity families' shared convention, jaccard being 0/0
+    there)."""
+    from gmall_flink_spark.llm.dedup import exact_fingerprint_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(" ".join(d) for d in docs)) or [(0, "")],
+        "doc_id long, text string",
+    )
+    if not docs:
+        df = df.limit(0)
+    groups: dict[frozenset, list[int]] = {}
+    for i, d in enumerate(docs):
+        if d:  # token-less docs carry no fingerprint (documented exclusion)
+            groups.setdefault(frozenset(d), []).append(i)
+    expect = set()
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        if len(members) <= max_group:
+            expect |= {
+                (a, b) for a in members for b in members if a < b
+            }
+        else:
+            m0 = min(members)
+            expect |= {(m0, b) for b in members if b != m0}
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in exact_fingerprint_pairs(df, max_group=max_group).collect()
+    }
+    assert got == expect
+
+
+@given(
+    prior=st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), max_size=12),
+    probe=st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), max_size=12),
+    m=st.sampled_from([16, 16384]),
+)
+@_SETTINGS
+def test_bloom_never_false_negative(spark, prior, probe, m):
+    """The bloom membership contract over the input space, at both a
+    saturating and a production geometry: every probed key that WAS
+    inserted must read maybe_dup=1 — false positives are allowed (and
+    expected at m=16), false negatives never."""
+    from gmall_flink_spark.operators.sketch import bloom_build, bloom_probe
+
+    pdf = spark.createDataFrame([(x,) for x in prior] or [("_",)], "f string")
+    if not prior:
+        pdf = pdf.limit(0)
+    qdf = spark.createDataFrame([(x,) for x in probe] or [("_",)], "f string")
+    if not probe:
+        qdf = qdf.limit(0)
+    bloom = bloom_build(pdf, "f", m=m)
+    got = {r["f"]: r["maybe_dup"] for r in bloom_probe(qdf, "f", bloom, m=m).collect()}
+    inserted = set(prior)
+    for f in set(probe):
+        if f in inserted:
+            assert got[f] == 1, (f, m)
