@@ -306,6 +306,7 @@ HEADLINE = [
     "llm_bpe_train_sampled",
     "llm_bpe_fertility_sampled",
     "dedup_bloom_prefilter",
+    "llm_corpus_build",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -20,10 +20,13 @@ from gmall_flink_spark.functions.web import normalize_url, registered_domain
 from gmall_flink_spark.llm.bpe import BPE_TRAIN_ROUNDS
 from gmall_flink_spark.llm.graph import PR_DAMP, PR_ITERS, PR_Q, pagerank
 from gmall_flink_spark.queries.llm_pipeline import (
+    _CLEAN_FLAGGED,
     _TOKS,
     _raw_url,
     BENCH_MOD,
+    MIX_TOKEN_TARGET,
     URL_TLDS,
+    llm_corpus_build,
 )
 from gmall_flink_spark.sources.tables import table
 
@@ -388,6 +391,10 @@ QUERIES = {
     "llm_bpe_fertility_lang": llm_bpe_fertility_lang,
     "llm_bpe_train_sampled": llm_bpe_train_sampled,
     "llm_bpe_fertility_sampled": llm_bpe_fertility_sampled,
+    # the epoch-construction composition lives in queries/llm_pipeline.py
+    # (it shares _clean_ranked with llm_clean_corpus) but registers here,
+    # next to the shard constants its arithmetic and oracle pin
+    "llm_corpus_build": llm_corpus_build,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -601,6 +608,45 @@ ORACLE = {
     "llm_bpe_fertility_lang": _bpe_fertility_oracle(),
     "llm_bpe_train_sampled": _bpe_train_sampled_oracle(),
     "llm_bpe_fertility_sampled": _bpe_fertility_sampled_oracle(),
+    "llm_corpus_build": f"""
+    WITH {_CLEAN_FLAGGED},
+    kept AS (
+        SELECT source, doc_id, tok FROM flagged
+        WHERE q_ok AND NOT contam
+          AND doc_id NOT IN (SELECT doc_id FROM dups)
+    ),
+    tot AS (SELECT source, COUNT(*) AS total_ct FROM flagged GROUP BY source),
+    per AS (
+        SELECT source,
+               COUNT(*) AS kept_ct,
+               SUM(tok) AS kept_tok,
+               COUNT(DISTINCT
+                   ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % {N_SHARDS}) AS shard_spread,
+               SUM(doc_id % {SHARD_CK_MOD}) AS kept_id_ck
+        FROM kept GROUP BY source
+    ),
+    j AS (
+        SELECT t.source,
+               CAST(t.total_ct AS BIGINT) AS total_ct,
+               CAST(COALESCE(p.kept_ct, 0) AS BIGINT) AS kept_ct,
+               CAST(COALESCE(p.kept_tok, 0) AS BIGINT) AS kept_tok,
+               CAST(COALESCE(p.shard_spread, 0) AS BIGINT) AS shard_spread,
+               CAST(COALESCE(p.kept_id_ck, 0) AS BIGINT) AS kept_id_ck,
+               CAST(floor(sqrt(CAST(COALESCE(p.kept_tok, 0) AS DOUBLE)))
+                    AS BIGINT) AS weight_q
+        FROM tot t LEFT JOIN per p ON t.source = p.source
+    ),
+    wt AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS w FROM j)
+    SELECT source, total_ct, kept_ct, kept_tok, shard_spread, kept_id_ck,
+           weight_q,
+           CAST(CASE WHEN w > 0 THEN {MIX_TOKEN_TARGET} * weight_q // w
+                     ELSE 0 END AS BIGINT) AS alloc_tok,
+           CAST(CASE WHEN kept_tok > 0 AND w > 0
+                     THEN (100 * ({MIX_TOKEN_TARGET} * weight_q // w)) // kept_tok
+                     ELSE 0 END AS BIGINT) AS epochs_x100
+    FROM j CROSS JOIN wt ORDER BY source
+    """,
     "llm_dsir_weights": f"""
     WITH toks AS (
         SELECT source, doc_id, unnest({_TOKS}) AS t FROM documents

@@ -111,15 +111,12 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end corpus materialization: quality filter (Gopher-rule
-    battery) → benchmark decontamination → near-exact dedup on the 8-token
-    prefix fingerprint (keep lowest doc_id per cluster — head-clustering
-    policy), accounted per source with one row per drop reason. Composes the
-    individual north-star ops into the pipeline a training-data run actually
-    executes; rules apply in that order so each doc is dropped exactly
-    once."""
-    from gmall_flink_spark.functions.text import fingerprint, tokenize
+def _clean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clean pipeline's per-doc verdict frame (source, doc_id, tok,
+    q_ok, contam, dup): quality rules → decontamination → prefix-fp dedup
+    flags, in drop order. Shared by llm_clean_corpus (the drop ledger)
+    and llm_corpus_build (the full epoch-construction composition)."""
+    from gmall_flink_spark.functions.text import fingerprint, gopher_keep, tokenize
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -127,8 +124,6 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0).withColumn(
         "toks", tokenize("text")
     )
-    from gmall_flink_spark.functions.text import gopher_keep
-
     q_ok = gopher_keep(F.col("toks"), "text")
     contaminated = (
         decontaminate_overlap(corpus, bench, n=NGRAM_N)
@@ -138,6 +133,7 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select(
             "source",
             "doc_id",
+            F.size("toks").cast("bigint").alias("tok"),
             q_ok.alias("q_ok"),
             fingerprint("text", prefix_tokens=8).alias("fp"),
         )
@@ -151,9 +147,20 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > 1)
         .select("doc_id", F.lit(True).alias("dup"))
     )
-    ranked = flagged.join(dups, "doc_id", "left").withColumn(
+    return flagged.join(dups, "doc_id", "left").withColumn(
         "dup", F.coalesce("dup", F.lit(False))
     )
+
+
+def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus materialization: quality filter (Gopher-rule
+    battery) → benchmark decontamination → near-exact dedup on the 8-token
+    prefix fingerprint (keep lowest doc_id per cluster — head-clustering
+    policy), accounted per source with one row per drop reason. Composes the
+    individual north-star ops into the pipeline a training-data run actually
+    executes; rules apply in that order so each doc is dropped exactly
+    once."""
+    ranked = _clean_ranked(spark, sf_dir)
     return (
         ranked.groupBy("source")
         .agg(
@@ -164,6 +171,80 @@ def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 (F.col("q_ok") & ~F.col("contam") & ~F.col("dup")).cast("bigint")
             ).alias("kept_ct"),
+        )
+        .orderBy("source")
+    )
+
+
+def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL epoch-construction composition — the one-query report a
+    training-data run signs off on before materializing an epoch: the
+    clean pipeline's keep set (quality → decontaminate → prefix-dedup,
+    the _clean_ranked verdicts shared with llm_clean_corpus) feeds the
+    temperature-scaled mixture (alpha = 1/2 integer-sqrt weights over the
+    KEPT token mass — the mix must be decided on what survives cleaning,
+    not the raw crawl) and the deterministic epoch shuffle (the
+    llm_shard_manifest hash rule over kept docs). Per source: raw and
+    kept volume, kept token mass, the quantized weight, the exact
+    allocation out of MIX_TOKEN_TARGET, the implied repetition factor
+    (epochs ×100), the shard spread of the kept docs (proves the epoch
+    shuffle covers the shard space for every surviving source), and a
+    kept-membership checksum.
+
+    Scale: one verdict scan (shared stages all bounded — see
+    llm_clean_corpus), one source-grain aggregate with map-side partials,
+    a 1-row weight-total broadcast; |sources| rows end to end."""
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.datasel import N_SHARDS, SHARD_CK_MOD
+
+    ranked = _clean_ranked(spark, sf_dir)
+    kept = ranked.where(F.col("q_ok") & ~F.col("contam") & ~F.col("dup"))
+    per = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_ct"),
+        F.sum("tok").alias("kept_tok"),
+        F.countDistinct(
+            F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+        ).alias("shard_spread"),
+        F.sum(F.col("doc_id") % SHARD_CK_MOD).alias("kept_id_ck"),
+    )
+    totals = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("total_ct"))
+    j = (
+        totals.join(per, "source", "left")
+        .select(
+            "source",
+            "total_ct",
+            F.coalesce("kept_ct", F.lit(0)).alias("kept_ct"),
+            F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
+            F.coalesce("shard_spread", F.lit(0)).alias("shard_spread"),
+            F.coalesce("kept_id_ck", F.lit(0)).alias("kept_id_ck"),
+        )
+        .withColumn(
+            "weight_q",
+            F.floor(F.sqrt(F.col("kept_tok").cast("double"))).cast("bigint"),
+        )
+    )
+    tot = j.agg(F.sum("weight_q").alias("wt"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "total_ct",
+            "kept_ct",
+            "kept_tok",
+            "shard_spread",
+            "kept_id_ck",
+            "weight_q",
+            F.when(
+                F.col("wt") > 0,
+                F.expr(f"{MIX_TOKEN_TARGET}L * weight_q div wt"),
+            ).otherwise(F.lit(0)).cast("bigint").alias("alloc_tok"),
+        )
+        .withColumn(
+            "epochs_x100",
+            F.when(
+                F.col("kept_tok") > 0,
+                F.expr("100L * alloc_tok div kept_tok"),
+            ).otherwise(F.lit(0)).cast("bigint"),
         )
         .orderBy("source")
     )
@@ -852,6 +933,8 @@ QUERIES = {
     "llm_source_topk": llm_source_topk,
     "llm_embed_quantize": llm_embed_quantize,
     "llm_clean_corpus": llm_clean_corpus,
+    # llm_corpus_build registers in queries/datasel.py (it needs that
+    # module's shard constants; datasel already imports this module)
     "llm_pack_sequences": llm_pack_sequences,
     "llm_split_assign": llm_split_assign,
     "llm_vocab_topk": llm_vocab_topk,
@@ -874,6 +957,35 @@ _SHINGLES5 = f"""
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents) t
     )
 """
+
+#: the clean pipeline's per-doc verdict CTE chain (mirror of
+#: _clean_ranked), shared by the llm_clean_corpus ledger and the
+#: llm_corpus_build composition
+_CLEAN_FLAGGED = f"""sh AS ({_SHINGLES5}),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+        contam_ids AS (
+            SELECT DISTINCT doc_id FROM sh
+            JOIN bench USING (shingle)
+            WHERE doc_id % {BENCH_MOD} != 0
+        ),
+        flagged AS (
+            SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS tok,
+                   NOT (len(toks) < 20 OR len(toks) > 85
+                        OR 4 * len(toks) > len(array_to_string(toks, ''))
+                        OR len(array_to_string(toks, '')) > 5 * len(toks)
+                        OR len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) = 0
+                        OR 10 * len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) > len(text))
+                       AS q_ok,
+                   doc_id IN (SELECT doc_id FROM contam_ids) AS contam,
+                   md5(array_to_string(toks[1:8], ' ')) AS fp
+            FROM (SELECT source, doc_id, text, {_TOKS} AS toks FROM documents
+                  WHERE doc_id % {BENCH_MOD} != 0)
+        ),
+        dups AS (
+            SELECT doc_id FROM flagged
+            WHERE q_ok AND NOT contam
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+        )"""
 
 ORACLE = {
     "llm_token_budget": f"""
@@ -948,31 +1060,7 @@ ORACLE = {
         ORDER BY source, rn
     """,
     "llm_clean_corpus": f"""
-        WITH sh AS ({_SHINGLES5}),
-        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0),
-        contam_ids AS (
-            SELECT DISTINCT doc_id FROM sh
-            JOIN bench USING (shingle)
-            WHERE doc_id % {BENCH_MOD} != 0
-        ),
-        flagged AS (
-            SELECT source, doc_id,
-                   NOT (len(toks) < 20 OR len(toks) > 85
-                        OR 4 * len(toks) > len(array_to_string(toks, ''))
-                        OR len(array_to_string(toks, '')) > 5 * len(toks)
-                        OR len(list_filter(toks, x -> x IN ('the','a','of','and','in'))) = 0
-                        OR 10 * len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) > len(text))
-                       AS q_ok,
-                   doc_id IN (SELECT doc_id FROM contam_ids) AS contam,
-                   md5(array_to_string(toks[1:8], ' ')) AS fp
-            FROM (SELECT source, doc_id, text, {_TOKS} AS toks FROM documents
-                  WHERE doc_id % {BENCH_MOD} != 0)
-        ),
-        dups AS (
-            SELECT doc_id FROM flagged
-            WHERE q_ok AND NOT contam
-            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
-        )
+        WITH {_CLEAN_FLAGGED}
         SELECT source, COUNT(*) AS total_ct,
                CAST(SUM(CASE WHEN NOT q_ok THEN 1 ELSE 0 END) AS BIGINT)
                    AS drop_quality_ct,
