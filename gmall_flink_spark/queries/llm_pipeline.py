@@ -191,32 +191,33 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle covers the shard space for every surviving source), and a
     kept-membership checksum.
 
-    Scale: one verdict scan (shared stages all bounded — see
-    llm_clean_corpus), one source-grain aggregate with map-side partials,
-    a 1-row weight-total broadcast; |sources| rows end to end."""
+    Scale: ONE verdict scan — total and kept statistics are conditional
+    aggregates of the same pass (two consumers of the verdict frame would
+    make Catalyst duplicate the whole decontamination subtree — the
+    _triplet_rank lesson), one source-grain aggregate with map-side
+    partials, a 1-row weight-total broadcast; |sources| rows end to
+    end."""
     from gmall_flink_spark.functions.text import md5_long
     from gmall_flink_spark.queries.datasel import N_SHARDS, SHARD_CK_MOD
 
-    ranked = _clean_ranked(spark, sf_dir)
-    kept = ranked.where(F.col("q_ok") & ~F.col("contam") & ~F.col("dup"))
-    per = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("kept_ct"),
-        F.sum("tok").alias("kept_tok"),
-        F.countDistinct(
-            F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
-        ).alias("shard_spread"),
-        F.sum(F.col("doc_id") % SHARD_CK_MOD).alias("kept_id_ck"),
+    ranked = _clean_ranked(spark, sf_dir).withColumn(
+        "keep", F.col("q_ok") & ~F.col("contam") & ~F.col("dup")
     )
-    totals = ranked.groupBy("source").agg(F.count(F.lit(1)).alias("total_ct"))
     j = (
-        totals.join(per, "source", "left")
-        .select(
-            "source",
-            "total_ct",
-            F.coalesce("kept_ct", F.lit(0)).alias("kept_ct"),
-            F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
-            F.coalesce("shard_spread", F.lit(0)).alias("shard_spread"),
-            F.coalesce("kept_id_ck", F.lit(0)).alias("kept_id_ck"),
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_ct"),
+            F.sum(F.col("keep").cast("bigint")).alias("kept_ct"),
+            F.sum(F.when(F.col("keep"), F.col("tok")).otherwise(0)).alias("kept_tok"),
+            F.countDistinct(
+                F.when(
+                    F.col("keep"),
+                    F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS)),
+                )
+            ).alias("shard_spread"),
+            F.sum(
+                F.when(F.col("keep"), F.col("doc_id") % SHARD_CK_MOD).otherwise(0)
+            ).alias("kept_id_ck"),
         )
         .withColumn(
             "weight_q",
