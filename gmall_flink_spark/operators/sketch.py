@@ -126,17 +126,17 @@ def bloom_probe(df, key: str, bloom, k: int = BLOOM_K, m: int = BLOOM_M):
     <= m rows, so the probe is a broadcast join against the exploded
     positions followed by a per-key hit count; callers join the verdict
     back on the key column when they need row grain."""
-    keys = df.select(key).distinct()
-    hits = (
-        keys.select(key, F.explode(bloom_positions(F.col(key), k, m)).alias("pos"))
-        .join(F.broadcast(bloom), "pos")
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("__hits"))
+    exploded = (
+        df.select(key)
+        .distinct()
+        .select(key, F.explode(bloom_positions(F.col(key), k, m)).alias("pos"))
     )
+    # LEFT join keeps all k position rows per key, so one aggregate both
+    # counts the lit positions (non-null marker) and retains zero-hit keys
+    # — a single consumer of the distinct-keys stage (an inner join +
+    # join-back would make Catalyst compute the distinct twice)
     return (
-        keys.join(hits, key, "left")
-        .select(
-            key,
-            (F.coalesce(F.col("__hits"), F.lit(0)) == k).cast("int").alias("maybe_dup"),
-        )
+        exploded.join(F.broadcast(bloom.withColumn("__lit", F.lit(1))), "pos", "left")
+        .groupBy(key)
+        .agg((F.count("__lit") == k).cast("int").alias("maybe_dup"))
     )

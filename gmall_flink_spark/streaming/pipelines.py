@@ -700,6 +700,35 @@ def dwd_base_app_stream(env: DataFrame, config: DataFrame) -> DataFrame:
     )
 
 
+def dim_and_dwd_writer(
+    config: DataFrame, dim_store: str, topic_dir: str, between=None
+):
+    """The COMBINED DimAndDwdApp (M3 dual-sink routing,
+    app/lab/DimAndDwdApp.java:100-113 + DimAndDwdTableProcessFunction
+    .java:70-119): ONE topic_db envelope stream, each micro-batch routed
+    BOTH ways — dim-typed rows MERGE into the per-table dim store (K4),
+    dwd-typed rows append through the replay-guarded topic router (K2) —
+    the reference's main-output/side-output split as two filtered writes
+    of one batch. Write order matters for crash safety: the idempotent
+    dim MERGE runs first, the marker-guarded append second, so a crash
+    between them replays the MERGE harmlessly and the append exactly
+    once. ``between`` is an optional per-batch hook invoked between the
+    two writes (fault injection in the crash-ordering test; a metrics
+    probe in a deployment)."""
+    from gmall_flink_spark.sinks.upsert import dim_store_writer, topic_router
+
+    dim_w = dim_store_writer(dim_store)
+    dwd_w = topic_router(topic_dir)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        dim_w(dim_app_stream(batch_df, config), batch_id)
+        if between is not None:
+            between(batch_id)
+        dwd_w(dwd_base_app_stream(batch_df, config), batch_id)
+
+    return write
+
+
 def cancel_segment_stream(oi_env: DataFrame, cust: DataFrame) -> DataFrame:
     """DwdCancelOrderDetail as one streaming query
     (app/dwd/DwdCancelOrderDetail.java:24-226), complete output mode:

@@ -2252,6 +2252,72 @@ def test_dwd_base_app_supervised_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+def test_dim_and_dwd_combined_supervised_end_to_end(spark):
+    """The lab DimAndDwdApp (M3 dual-sink routing) as ONE SUPERVISED
+    stream: each micro-batch of the single topic_db stream MERGEs its
+    dim routes into the per-table store AND appends its dwd routes
+    through the marker-guarded topic router. A failure injected BETWEEN
+    the two writes exercises the crash-safety ordering: on replay the
+    dim MERGE re-applies idempotently and the append (not yet marked)
+    lands exactly once — both final states equal their batch
+    compositions."""
+    from gmall_flink_spark.operators.cdc import drop_bootstrap, route_with_config
+    from gmall_flink_spark.operators.dedup import keep_last
+    from gmall_flink_spark.plans.pipelines import run as run_plan
+    from gmall_flink_spark.queries.cdc import _config_df
+    from gmall_flink_spark.sinks._bucketed import read_state
+    from gmall_flink_spark.sources.cdc_synth import topic_db_envelope
+    from gmall_flink_spark.streaming.pipelines import dim_and_dwd_writer
+    from gmall_flink_spark.streaming.supervise import run_supervised
+
+    env = topic_db_envelope(spark, SF)
+    slices = os.path.join(TMP, "dimdwd_env_slices")
+    split_into_files(env, 4, "ts", slices)
+    store = os.path.join(TMP, "dimdwd_store")
+    topics = os.path.join(TMP, "dimdwd_topics")
+    ckpt = os.path.join(TMP, "dimdwd_ckpt")
+    for p in (store, topics, ckpt):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+
+    config = _config_df(spark)
+    fails = {"armed": True}
+
+    def inject(batch_id):
+        if batch_id == 1 and fails["armed"]:
+            fails["armed"] = False
+            raise RuntimeError("injected failure between the dual sinks")
+
+    writer = dim_and_dwd_writer(config, store, topics, between=inject)
+    restarts = run_supervised(
+        lambda: stream_from(spark, slices, env), writer, ckpt
+    )
+    assert restarts == 1
+
+    batch_dim = run_plan("DimApp", spark, SF).withColumn(
+        "pk", F.element_at("data_pruned", "id").cast("bigint")
+    )
+    want_dim = keep_last(batch_dim, ["pk"], ["ts"]).select(
+        "pk", F.map_entries("data_pruned").alias("kv")
+    )
+    got_dim = read_state(spark, os.path.join(store, "dim_order_info")).select(
+        "pk", F.map_entries("data_pruned").alias("kv")
+    )
+    def kvrows(df):
+        return sorted(
+            (r["pk"], tuple(sorted(map(tuple, r["kv"])))) for r in df.collect()
+        )
+    assert kvrows(got_dim) == kvrows(want_dim) and got_dim.count() > 0
+
+    got_dwd = spark.read.parquet(topics).select("sink_table", "id", "ts")
+    want_dwd = route_with_config(drop_bootstrap(env), config).select(
+        "sink_table",
+        F.element_at("data_pruned", "id").cast("bigint").alias("id"),
+        "ts",
+    )
+    assert rows(got_dwd) == rows(want_dwd) and got_dwd.count() > 0
+
+
 def test_user_register_window_pipeline_end_to_end(spark):
     """DwsUserUserRegisterWindow as ONE availableNow query — events
     stream → D4 (user, day) dedup → per-day unique counts in day
