@@ -33,11 +33,36 @@ def quality_keep(docs: DataFrame) -> DataFrame:
     return toked.where(gopher_keep(F.col("toks"), "text")).drop("toks")
 
 
-def clean_corpus_writer(state_path: str, bench_shingles: DataFrame, n_buckets: int = 16):
+def clean_corpus_writer(
+    state_path: str,
+    bench_shingles: DataFrame,
+    n_buckets: int = 16,
+    totals_path: str | None = None,
+):
     """foreachBatch: filter, decontaminate against the broadcast benchmark
     shingle set, then cross-batch dedup-append on the 8-token-prefix
-    fingerprint (first doc_id wins)."""
+    fingerprint (first doc_id wins). Survivors carry their token count so
+    downstream governance (the epoch card) reads mass, not just
+    membership.
+
+    ``totals_path`` (optional) additionally maintains the per-source RAW
+    ingest counts through the rollup sink — the denominator the epoch
+    card needs. Write order is crash-safe: the idempotent dedup merge
+    first, the marker-guarded rollup second, so a crash between them
+    replays the merge harmlessly and the counts land exactly once."""
     bench = bench_shingles.select("shingle").distinct()
+    totals_w = None
+    if totals_path is not None:
+        from gmall_flink_spark.sinks.rollup import rollup_writer
+
+        totals_w = rollup_writer(
+            totals_path,
+            ["source"],
+            lambda df: df.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_ct")
+            ),
+            n_buckets,
+        )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         q = quality_keep(batch_df)
@@ -48,8 +73,52 @@ def clean_corpus_writer(state_path: str, bench_shingles: DataFrame, n_buckets: i
             .distinct()
         )
         survivors = q.join(hits, "doc_id", "left_anti").select(
-            "doc_id", "source", fingerprint("text", prefix_tokens=8).alias("fp")
+            "doc_id",
+            "source",
+            fingerprint("text", prefix_tokens=8).alias("fp"),
+            F.size(tokenize("text")).cast("bigint").alias("tok"),
         )
         dedup_append(state_path, survivors, "fp", ["doc_id"], n_buckets)
+        if totals_w is not None:
+            totals_w(batch_df, batch_id)
 
     return write
+
+
+def corpus_build_card(spark, state_path: str, totals_path: str) -> DataFrame:
+    """The STREAMING epoch sign-off: the same per-source report
+    llm_corpus_build computes in batch, derived at read time from the
+    continuously-maintained ingest states — kept membership/mass from the
+    cross-batch dedup state, raw volume from the totals rollup, the
+    temperature-mix arithmetic from the ONE shared tail
+    (queries/llm_pipeline.corpus_mix_report). Governance stays fresh per
+    micro-batch with zero rescans of history; stream == batch is pinned
+    by test_streaming_corpus_build_card_equals_batch."""
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.datasel import N_SHARDS, SHARD_CK_MOD
+    from gmall_flink_spark.queries.llm_pipeline import corpus_mix_report
+    from gmall_flink_spark.sinks.dedup_sink import read_state as read_kept
+    from gmall_flink_spark.sinks.rollup import read_state as read_totals
+
+    kept = (
+        read_kept(spark, state_path)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_ct"),
+            F.sum("tok").alias("kept_tok"),
+            F.countDistinct(
+                F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS))
+            ).alias("shard_spread"),
+            F.sum(F.col("doc_id") % SHARD_CK_MOD).alias("kept_id_ck"),
+        )
+    )
+    totals = read_totals(spark, totals_path).select("source", "total_ct")
+    stats = totals.join(kept, "source", "left").select(
+        "source",
+        "total_ct",
+        F.coalesce("kept_ct", F.lit(0)).alias("kept_ct"),
+        F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
+        F.coalesce("shard_spread", F.lit(0)).alias("shard_spread"),
+        F.coalesce("kept_id_ck", F.lit(0)).alias("kept_id_ck"),
+    )
+    return corpus_mix_report(stats).orderBy("source")

@@ -203,32 +203,38 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = _clean_ranked(spark, sf_dir).withColumn(
         "keep", F.col("q_ok") & ~F.col("contam") & ~F.col("dup")
     )
-    j = (
-        ranked.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("total_ct"),
-            F.sum(F.col("keep").cast("bigint")).alias("kept_ct"),
-            F.sum(F.when(F.col("keep"), F.col("tok")).otherwise(0)).alias("kept_tok"),
-            F.countDistinct(
-                F.when(
-                    F.col("keep"),
-                    F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS)),
-                )
-            ).alias("shard_spread"),
-            F.sum(
-                F.when(F.col("keep"), F.col("doc_id") % SHARD_CK_MOD).otherwise(0)
-            ).alias("kept_id_ck"),
-        )
-        .withColumn(
-            "weight_q",
-            F.floor(F.sqrt(F.col("kept_tok").cast("double"))).cast("bigint"),
-        )
-        # |sources| rows, TWO consumers below (the weight total and the
-        # final select) — unmaterialized, Catalyst re-runs the whole
-        # verdict chain per consumer (the nb_grid lesson: eagerly
-        # checkpoint the small statistic, measured 18 → 10 shuffles here)
-        .localCheckpoint(eager=True)
+    stats = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_ct"),
+        F.sum(F.col("keep").cast("bigint")).alias("kept_ct"),
+        F.sum(F.when(F.col("keep"), F.col("tok")).otherwise(0)).alias("kept_tok"),
+        F.countDistinct(
+            F.when(
+                F.col("keep"),
+                F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(N_SHARDS)),
+            )
+        ).alias("shard_spread"),
+        F.sum(
+            F.when(F.col("keep"), F.col("doc_id") % SHARD_CK_MOD).otherwise(0)
+        ).alias("kept_id_ck"),
     )
+    return corpus_mix_report(stats).orderBy("source")
+
+
+def corpus_mix_report(stats: DataFrame) -> DataFrame:
+    """The temperature-mix tail of the epoch sign-off, over a per-source
+    statistics frame (source, total_ct, kept_ct, kept_tok, shard_spread,
+    kept_id_ck): quantized sqrt weights, exact allocation out of
+    MIX_TOKEN_TARGET, implied epochs ×100. Shared by the batch
+    llm_corpus_build and the streaming card
+    (plans/clean_corpus_stream.corpus_build_card), so the arithmetic has
+    ONE home. The |sources|-row input is eagerly checkpointed before its
+    two consumers (weight total + final select) — unmaterialized,
+    Catalyst re-runs the producing chain per consumer (the nb_grid
+    lesson; measured 18 → 10 cold shuffles on the batch query)."""
+    j = stats.withColumn(
+        "weight_q",
+        F.floor(F.sqrt(F.col("kept_tok").cast("double"))).cast("bigint"),
+    ).localCheckpoint(eager=True)
     tot = j.agg(F.sum("weight_q").alias("wt"))
     return (
         j.crossJoin(F.broadcast(tot))
@@ -252,7 +258,6 @@ def llm_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("100L * alloc_tok div kept_tok"),
             ).otherwise(F.lit(0)).cast("bigint"),
         )
-        .orderBy("source")
     )
 
 

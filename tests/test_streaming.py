@@ -558,11 +558,53 @@ def test_streaming_clean_corpus_equals_batch_keep_set(spark):
         .select("doc_id")
         .distinct()
     )
+    from gmall_flink_spark.functions.text import tokenize as _tokenize
+
     survivors = q.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "source", fingerprint("text", prefix_tokens=8).alias("fp")
+        "doc_id",
+        "source",
+        fingerprint("text", prefix_tokens=8).alias("fp"),
+        F.size(_tokenize("text")).cast("bigint").alias("tok"),
     )
     batch = keep_first(survivors, ["fp"], ["doc_id"])
     assert rows(read_state(spark, state)) == rows(batch)
+
+
+def test_streaming_corpus_build_card_equals_batch(spark):
+    """The epoch sign-off as CONTINUOUSLY MAINTAINED state: documents
+    stream through the clean-corpus ingest (quality → decontaminate →
+    cross-batch dedup, plus the per-source totals rollup) and the card
+    derived from the two states must equal the batch llm_corpus_build
+    EXACTLY — same keep set, same token mass, same temperature-mix
+    allocations, same shard spread and membership checksums (the mix
+    arithmetic is literally the shared corpus_mix_report)."""
+    from gmall_flink_spark.llm.dedup import word_shingles
+    from gmall_flink_spark.plans.clean_corpus_stream import (
+        clean_corpus_writer,
+        corpus_build_card,
+    )
+    from gmall_flink_spark.queries.llm_pipeline import BENCH_MOD
+    from gmall_flink_spark.registry import all_queries
+
+    docs = table(spark, SF, "documents")
+    bench_docs = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    bench_sh = word_shingles(bench_docs, n=5)
+
+    slices = os.path.join(TMP, "cbuild_slices")
+    split_into_files(corpus, 3, "doc_id", slices)
+    state = os.path.join(TMP, "cbuild_state")
+    totals = os.path.join(TMP, "cbuild_totals")
+    for p in (state, totals):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    sdf = stream_from(spark, slices, corpus)
+    run_available_now(
+        sdf, foreach_batch=clean_corpus_writer(state, bench_sh, totals_path=totals)
+    )
+    got = corpus_build_card(spark, state, totals)
+    batch = all_queries()["llm_corpus_build"](spark, SF)
+    assert rows(got) == rows(batch) and got.count() > 0
 
 
 def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
