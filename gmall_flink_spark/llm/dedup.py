@@ -649,6 +649,61 @@ def connected_components(
     return labels
 
 
+def merge_components(mapping: DataFrame, new_edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Incrementally fold ``new_edges`` into an existing component
+    ``mapping`` (doc_id, component — component = min reachable doc_id, the
+    connected_components contract), returning the updated FULL mapping
+    (VERDICT r10 task 2: merge new edges instead of rebuilding).
+
+    Correctness: contract each new edge's endpoints through the old
+    mapping (an unmapped endpoint — a brand-new doc or an old singleton —
+    contracts to itself), drop self-loops, and run connected_components on
+    the CONTRACTED graph only. Contracted node ids are old component
+    labels (each the min doc_id of its old cluster) and unmapped doc ids,
+    so the sub-graph's min-label result equals the full rebuild's label on
+    the merged cluster: min over merged old-cluster minima and new ids =
+    global min. Old rows relabel through the (old component → new
+    component) map; unmapped endpoints gain rows. Equality with a full
+    rebuild is pinned by test_merge_components_equals_full_rebuild.
+
+    Cost at scale: the iteration runs on |edges touching the delta| —
+    proportional to the DELTA's cluster overlap, not the corpus; the full
+    mapping is touched by exactly one relabel join (and the bucketed
+    artifact form rewrites only the buckets holding changed rows — see
+    queries/llm_dedup.merge_components_artifact)."""
+    m = mapping.localCheckpoint(eager=True)
+    e = new_edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    ma = m.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("_ca"))
+    mb = m.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("_cb"))
+    contracted = (
+        e.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.coalesce("_ca", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("_cb", F.col("doc_b")).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    sub = connected_components(contracted, max_rounds=max_rounds)
+    # old rows whose component merged into a lower label
+    relabel = sub.select(
+        F.col("doc_id").alias("component"), F.col("component").alias("_new")
+    )
+    kept_old = m.join(relabel, "component", "left").select(
+        "doc_id", F.coalesce("_new", F.col("component")).alias("component")
+    )
+    # endpoints not in the old mapping (new docs / old singletons) whose
+    # contracted node got a label — they join the mapping now
+    new_nodes = (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(m.select("doc_id"), "doc_id", "left_anti")
+    )
+    new_rows = new_nodes.join(sub, "doc_id").select("doc_id", "component")
+    return kept_old.unionAll(new_rows)
+
+
 def simhash(docs: DataFrame, bits: int = 16, units: DataFrame | None = None) -> DataFrame:
     """Per-doc simhash, one-pass: each distinct token is hashed ONCE
     (md5_long) and every bit-b vote (±1) is derived from bit b of that hash

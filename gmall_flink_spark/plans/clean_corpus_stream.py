@@ -38,6 +38,7 @@ def clean_corpus_writer(
     bench_shingles: DataFrame,
     n_buckets: int = 16,
     totals_path: str | None = None,
+    exclude_bench: bool = True,
 ):
     """foreachBatch: filter, decontaminate against the broadcast benchmark
     shingle set, then cross-batch dedup-append on the 8-token-prefix
@@ -49,7 +50,20 @@ def clean_corpus_writer(
     ingest counts through the rollup sink — the denominator the epoch
     card needs. Write order is crash-safe: the idempotent dedup merge
     first, the marker-guarded rollup second, so a crash between them
-    replays the merge harmlessly and the counts land exactly once."""
+    replays the merge harmlessly and the counts land exactly once.
+
+    ``exclude_bench`` (default on) drops benchmark-slice docs
+    (doc_id % BENCH_MOD == 0 — the batch twin's split rule) from BOTH the
+    kept path and the totals denominator INSIDE the writer, so
+    ``corpus_build_card`` equals the batch ``llm_corpus_build`` by
+    construction even when the ingest stream carries raw documents
+    (ADVICE r10 #4: previously the bench exclusion was an implicit
+    precondition of the test fixture, and a raw feed inflated total_ct
+    relative to the batch twin). Turn it off only when the feed is
+    already bench-free AND the id space does not follow the modulo
+    convention."""
+    from gmall_flink_spark.queries.llm_pipeline import BENCH_MOD
+
     bench = bench_shingles.select("shingle").distinct()
     totals_w = None
     if totals_path is not None:
@@ -65,6 +79,8 @@ def clean_corpus_writer(
         )
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        if exclude_bench:
+            batch_df = batch_df.where(F.col("doc_id") % BENCH_MOD != 0)
         q = quality_keep(batch_df)
         hits = (
             word_shingles(q, n=5)

@@ -231,13 +231,19 @@ COMPONENTS_N_BUCKETS = 16
 def _components_stamp(sf_dir: str) -> str:
     """Content-stamped invalidation key for the persisted mapping: the
     documents parquet's (mtime_ns, size) — a testdata regen produces a new
-    artifact directory — plus a hash of the producing code (llm/dedup.py
-    source and the LSH/banding constants), so editing the pair pipeline
-    can never serve a stale mapping (the materialize.py lesson)."""
+    artifact directory — plus a hash of the producing code, so editing the
+    pair pipeline can never serve a stale mapping (the materialize.py
+    lesson). The code hash covers EVERY layer the artifact derives from
+    (ADVICE r10 #1): llm/dedup.py (minhash/banding/jaccard/components
+    kernels), this module's producer functions (_doc_toks .. _verified_pairs
+    — the inline 9/10 verify threshold and the two-level candidate
+    composition live there), the tokenize rule in functions/text.py that
+    defines what a token unit IS, and the LSH/banding constants."""
     import hashlib
     import inspect
     import os as _os
 
+    from gmall_flink_spark.functions.text import tokenize as _tokenize
     from gmall_flink_spark.llm import dedup as _dedup_mod
 
     try:
@@ -246,7 +252,11 @@ def _components_stamp(sf_dir: str) -> str:
     except OSError:
         data = "0:0"
     consts = repr((MINHASH_K, ROWS_PER_BAND, FINE_ROWS_PER_BAND, LSH_MAX_BUCKET))
-    code = inspect.getsource(_dedup_mod) + consts
+    producers = "".join(
+        inspect.getsource(fn)
+        for fn in (_doc_toks, _doc_units, _minhash_mx, _lsh_cands, _verified_pairs)
+    )
+    code = inspect.getsource(_dedup_mod) + producers + inspect.getsource(_tokenize) + consts
     return hashlib.md5(f"{data}|{code}".encode()).hexdigest()[:12]
 
 
@@ -300,6 +310,67 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
             df = read_state(spark, path)
         _COMPONENTS[key] = df
     return _COMPONENTS[key]
+
+
+def merge_components_artifact(
+    spark: SparkSession,
+    path: str,
+    new_edges: DataFrame,
+    n_buckets: int = COMPONENTS_N_BUCKETS,
+) -> None:
+    """Incrementally maintain a PERSISTED component-mapping table (the
+    production layout of ``_components``' artifact) under a corpus-version
+    delta: fold ``new_edges`` (pairs touching added/changed docs — e.g.
+    the verified pairs of a corpus_version_diff 'added' slice against the
+    index) into the bucketed table via llm.dedup.merge_components,
+    rewriting ONLY the doc_id buckets that hold changed or new rows
+    (VERDICT r10 task 2).
+
+    Equality with a full rebuild on the merged graph is pinned by
+    test_merge_components_artifact_equals_rebuild; the measured
+    delta-vs-rebuild cost lives in SCALE.md. The session-stamped artifact
+    (_components) stays write-once — a testdata regen changes the content
+    stamp and rebuilds — this maintainer is for the governed-table
+    deployment where the mapping outlives any one corpus scan and deltas
+    arrive from the ingest pipeline."""
+    from gmall_flink_spark.llm.dedup import merge_components
+    from gmall_flink_spark.sinks._bucketed import (
+        check_buckets,
+        pin_batch,
+        read_prior,
+        read_state,
+        swap_buckets,
+        touched_buckets,
+        unpin_batch,
+        with_bucket,
+    )
+
+    check_buckets(path, n_buckets)
+    empty_marker = os.path.join(path, "_EMPTY")
+    if os.path.exists(empty_marker):
+        old = spark.createDataFrame([], "doc_id bigint, component bigint")
+    else:
+        old = read_state(spark, path)
+    full = merge_components(old, new_edges)
+    # delta = rows the merge changed or added; (doc_id, component) rows the
+    # old table already holds survive untouched in their buckets
+    delta = full.join(old, ["doc_id", "component"], "left_anti")
+    pinned = pin_batch(with_bucket(delta, ["doc_id"], n_buckets))
+    try:
+        buckets = touched_buckets(pinned)
+        if not buckets:
+            return
+        prior = read_prior(spark, path, buckets)
+        merged = pinned
+        if prior is not None:
+            merged = prior.join(
+                pinned.select("doc_id"), "doc_id", "left_anti"
+            ).select(*pinned.columns).unionAll(pinned)
+        swap_buckets(merged, path, buckets, n_buckets)
+        if os.path.exists(empty_marker):
+            os.remove(empty_marker)
+    finally:
+        unpin_batch(pinned)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,37 +22,54 @@ def _splits(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def log_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 shape check: per split-output row count + distinct device count
-    (the five topics of DwdTrafficBaseLogSplit.java:151-185)."""
-    splits = _splits(spark, sf_dir)
-    tagged = [
-        df.select(F.lit(name).alias("split"), "mid")
-        for name, df in sorted(splits.items())
-    ]
-    out = tagged[0]
-    for p in tagged[1:]:
-        out = out.unionAll(p)
-    # one aggregation tree over the tagged union (instead of five separate
-    # two-exchange distinct aggs): the shuffle carries (split, mid) keys
-    # only, and every branch's count/distinct partials combine map-side
-    counts = out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("row_ct"),
-        F.countDistinct("mid").alias("mid_ct"),
+    (the five topics of DwdTrafficBaseLogSplit.java:151-185).
+
+    ONE-SCAN form (r11, closes the VERDICT r10 `weak` drift row): the
+    split predicates are conditional aggregates of a single pass over the
+    parsed log — exploded splits count as sum(size(array)) and their
+    device counts as countDistinct over a predicate-masked mid — then one
+    stack() unpivots the 1-row aggregate into the 5-row report. Replaces
+    the 5-branch tagged union (5 scans + union + groupBy + names join):
+    measured 1.4-1.6 s → 0.73-0.96 s warm at sf0.1, and the cold plan is
+    a fraction of the size (the drift was first-execution planning cost
+    of the wide union, not operator work — see BENCHNOTES r11). Split
+    semantics mirror operators/log_split.py::split_log exactly: action/
+    display rows require a PAGE row with a non-null array, an empty array
+    contributes 0 rows and no device."""
+    parsed = page_log_parsed(spark, sf_dir)
+    is_err = F.col("err").isNotNull()
+    is_start = F.col("start").isNotNull()
+    is_page = F.col("start").isNull() & F.col("page").isNotNull()
+    has_act = is_page & F.col("actions").isNotNull()
+    has_disp = is_page & F.col("displays").isNotNull()
+    mid = F.col("common.mid")
+    row = parsed.agg(
+        F.coalesce(F.sum(is_err.cast("bigint")), F.lit(0)).alias("r_err"),
+        F.countDistinct(F.when(is_err, mid)).alias("m_err"),
+        F.coalesce(F.sum(is_start.cast("bigint")), F.lit(0)).alias("r_start"),
+        F.countDistinct(F.when(is_start, mid)).alias("m_start"),
+        F.coalesce(F.sum(is_page.cast("bigint")), F.lit(0)).alias("r_page"),
+        F.countDistinct(F.when(is_page, mid)).alias("m_page"),
+        F.coalesce(
+            F.sum(F.when(has_act, F.size("actions")).otherwise(0)).cast("bigint"),
+            F.lit(0),
+        ).alias("r_action"),
+        F.countDistinct(
+            F.when(has_act & (F.size("actions") > 0), mid)
+        ).alias("m_action"),
+        F.coalesce(
+            F.sum(F.when(has_disp, F.size("displays")).otherwise(0)).cast("bigint"),
+            F.lit(0),
+        ).alias("r_display"),
+        F.countDistinct(
+            F.when(has_disp & (F.size("displays") > 0), mid)
+        ).alias("m_display"),
     )
-    # an EMPTY split must still report a zero row (the per-branch .agg()
-    # form did; groupBy alone would drop it and break the 5-row contract)
-    names = spark.createDataFrame(
-        [(n,) for n in sorted(splits)], "split string"
-    )
-    return (
-        F.broadcast(names)
-        .join(counts, "split", "left")
-        .select(
-            "split",
-            F.coalesce("row_ct", F.lit(0)).alias("row_ct"),
-            F.coalesce("mid_ct", F.lit(0)).alias("mid_ct"),
-        )
-        .orderBy("split")
-    )
+    return row.selectExpr(
+        "stack(5, 'action', r_action, m_action, 'display', r_display, m_display, "
+        "'err', r_err, m_err, 'page', r_page, m_page, 'start', r_start, m_start) "
+        "as (split, row_ct, mid_ct)"
+    ).orderBy("split")
 
 
 def log_display_flat(spark: SparkSession, sf_dir: str) -> DataFrame:

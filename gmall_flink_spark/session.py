@@ -19,6 +19,19 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: built-in state store providers by short name (SURVEY §4: the reference
+#: runs HashMap state, app/dws/DwsTradeOrderWindow.java:42; at 100× keyed
+#: state the on-heap HDFSBackedStateStore OOMs and RocksDB spills to disk —
+#: VERDICT r10 task 1 exercises the whole streaming suite under it)
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "gmall-flink-spark",
@@ -26,6 +39,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     tz: str = "UTC",
     extra_conf: dict[str, str] | None = None,
+    state_store: str | None = None,
 ) -> SparkSession:
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -50,6 +64,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if state_store is not None:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[state_store],
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -85,10 +85,21 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
 
     Append sinks are NOT naturally idempotent, so foreachBatch's
     at-least-once redelivery (a crash between the write and the offset
-    commit) would duplicate a whole batch — the same lineage-keyed replay
-    marker the non-idempotent rollup merges use guards it: a batch id at
-    or below the recorded high-water mark for this query lineage is a
-    redelivery and is skipped."""
+    commit) would duplicate a whole batch. This writer closes that hole
+    with a two-phase DETERMINISTIC publish (ADVICE r10 #3): the batch is
+    staged under a hidden ``__stage_*`` directory, then its files move
+    into the per-topic directories under names keyed by (query lineage,
+    batch id, file index). Replaying a batch first scrubs any files a
+    partial publish left behind for that (lineage, batch) tag, then
+    re-publishes the same checkpoint-deterministic content — so a crash
+    at ANY point (mid-stage, mid-move, before the marker) converges to
+    exactly one copy at rest. The lineage marker stays as the fast path
+    that skips fully-published batches without re-staging them."""
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
     from gmall_flink_spark.sinks._bucketed import (
         last_merged_batch,
         record_merged_batch,
@@ -99,7 +110,34 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
         qid = streaming_query_id(batch_df)
         if batch_id <= last_merged_batch(base_path, qid):
             return
-        batch_df.write.mode("append").partitionBy(topic_col).parquet(base_path)
+        tag = f"pub-{qid or 'nolineage'}-{batch_id}"
+        # scrub a partial publish of this very batch (crash mid-move /
+        # crash between full publish and marker) — the re-publish below
+        # then lands the batch exactly once
+        for f in _glob.glob(
+            os.path.join(base_path, f"{topic_col}=*", f"{tag}-*.parquet")
+        ):
+            os.remove(f)
+        stage = os.path.join(base_path, f"__stage_{_uuid.uuid4().hex[:8]}")
+        try:
+            batch_df.write.mode("overwrite").partitionBy(topic_col).parquet(stage)
+            for tdir in sorted(os.listdir(stage)):
+                if not tdir.startswith(f"{topic_col}="):
+                    continue
+                dst = os.path.join(base_path, tdir)
+                os.makedirs(dst, exist_ok=True)
+                parts = sorted(
+                    n
+                    for n in os.listdir(os.path.join(stage, tdir))
+                    if n.endswith(".parquet")
+                )
+                for i, name in enumerate(parts):
+                    os.replace(
+                        os.path.join(stage, tdir, name),
+                        os.path.join(dst, f"{tag}-{i:05d}.parquet"),
+                    )
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         record_merged_batch(base_path, batch_id, qid)
 
     return write

@@ -82,6 +82,7 @@ def run_available_now(
     output_mode: str = "append",
     foreach_batch=None,
     timeout_s: int = 300,
+    state_store: str | None = None,
 ) -> DataFrame | None:
     """Execute a streaming DataFrame to completion with
     ``trigger(availableNow=True)`` and return the materialized result.
@@ -90,10 +91,24 @@ def run_available_now(
     DataFrame); with it, each micro-batch is handed to the callable (K3/K4
     upsert writers, M1 fan-out) and None is returned. A fresh checkpoint dir
     per run keeps invocations independent (W11: in production the
-    checkpoint is stable and provides exactly-once recovery)."""
+    checkpoint is stable and provides exactly-once recovery).
+
+    ``state_store`` ('rocksdb' | 'hdfs', see session.STATE_STORE_PROVIDERS)
+    pins the state store provider for THIS query and restores the session
+    conf after — the provider class is read at query start and recorded in
+    the fresh checkpoint, so per-run pinning is sound. 'rocksdb' is the
+    100×-state posture: keyed state lives off-heap on local disk instead
+    of on the executor heap."""
+    from gmall_flink_spark.session import STATE_STORE_PROVIDERS
+
     name = f"q{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_STREAM_TMP, "ckpt", name)
-    writer = sdf.writeStream.option("checkpointLocation", ckpt).trigger(availableNow=True)
+    spark = sdf.sparkSession
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prior_provider = None
+    if state_store is not None:
+        prior_provider = spark.conf.get(_PROVIDER_KEY, None)
+        spark.conf.set(_PROVIDER_KEY, STATE_STORE_PROVIDERS[state_store])
 
     def _await(q) -> None:
         # awaitTermination(timeout) returns False WITHOUT stopping a query
@@ -104,8 +119,18 @@ def run_available_now(
             q.stop()
             raise TimeoutError(f"availableNow run exceeded timeout_s={timeout_s}")
 
-    if foreach_batch is not None:
-        _await(writer.foreachBatch(foreach_batch).start())
-        return None
-    _await(writer.format("memory").queryName(name).outputMode(output_mode).start())
-    return sdf.sparkSession.table(name)
+    try:
+        writer = sdf.writeStream.option("checkpointLocation", ckpt).trigger(
+            availableNow=True
+        )
+        if foreach_batch is not None:
+            _await(writer.foreachBatch(foreach_batch).start())
+            return None
+        _await(writer.format("memory").queryName(name).outputMode(output_mode).start())
+        return spark.table(name)
+    finally:
+        if state_store is not None:
+            if prior_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prior_provider)

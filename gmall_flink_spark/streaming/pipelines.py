@@ -122,6 +122,38 @@ from gmall_flink_spark.operators.windows import tumble_agg
 #: synthetic envelopes' non-negative packed keys.
 SENTINEL_ID = -1
 
+#: seconds per supported watermark-delay unit (Spark interval keywords,
+#: singular or plural). Months/years are intentionally absent: they are
+#: not fixed-length, and a dedup delay that long should be stated in days.
+_DELAY_UNIT_SEC = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+    "week": 604800,
+    "weeks": 604800,
+}
+
+
+def _day_watermark_delay(dedup_delay: str) -> str:
+    """Day-grain watermark delay = ``dedup_delay`` rounded UP to whole
+    days, plus the 1-day correction-safety margin (see
+    daily_new_flags_stream). Parses the unit instead of assuming a
+    day-denominated string (ADVICE r10 #2): '2 weeks' must widen the
+    day watermark to 15 days, not 3."""
+    parts = dedup_delay.split()
+    if len(parts) != 2 or parts[1].lower() not in _DELAY_UNIT_SEC:
+        raise ValueError(
+            f"dedup_delay must be 'N <unit>' with unit in "
+            f"{sorted(set(_DELAY_UNIT_SEC))}; got {dedup_delay!r}"
+        )
+    sec = int(parts[0]) * _DELAY_UNIT_SEC[parts[1].lower()]
+    return f"{-(-sec // 86400) + 1} days"
+
 
 def _od_stream(env: DataFrame) -> DataFrame:
     """Shared order_detail parse: P2 bootstrap drop, P4 table/type filter,
@@ -243,9 +275,8 @@ def payment_uu_window_stream(
         flags = daily_new_flags_stream(
             pays.withWatermark("rt", dedup_delay), "user_id", ts="rt"
         )
-        n_days = int(dedup_delay.split()[0]) + 1
         w = flags.withColumn("day_ts", F.to_timestamp("cur_date")).withWatermark(
-            "day_ts", f"{n_days} days"
+            "day_ts", _day_watermark_delay(dedup_delay)
         )
         return tumble_agg(
             w,
@@ -642,11 +673,8 @@ def order_uu_window_stream(
     )
     x = wide.select("user_id", F.timestamp_seconds("ts").alias("rt"))
     flags = daily_new_flags_stream(x, "user_id", ts="rt")
-    # day-grain delay = join-side delay + 1 day (the correction-safety
-    # margin; see daily_new_flags_stream). Delays here are always "N days".
-    n_days = int(dedup_delay.split()[0]) + 1
     w = flags.withColumn("day_ts", F.to_timestamp("cur_date")).withWatermark(
-        "day_ts", f"{n_days} days"
+        "day_ts", _day_watermark_delay(dedup_delay)
     )
     return tumble_agg(
         w,
@@ -710,9 +738,10 @@ def dim_and_dwd_writer(
     dwd-typed rows append through the replay-guarded topic router (K2) —
     the reference's main-output/side-output split as two filtered writes
     of one batch. Write order matters for crash safety: the idempotent
-    dim MERGE runs first, the marker-guarded append second, so a crash
-    between them replays the MERGE harmlessly and the append exactly
-    once. ``between`` is an optional per-batch hook invoked between the
+    dim MERGE runs first, the deterministic-publish append second, so a
+    crash between them replays the MERGE harmlessly and the append still
+    lands exactly once (topic_router scrubs and re-publishes its own
+    (lineage, batch) files). ``between`` is an optional per-batch hook invoked between the
     two writes (fault injection in the crash-ordering test; a metrics
     probe in a deployment)."""
     from gmall_flink_spark.sinks.upsert import dim_store_writer, topic_router

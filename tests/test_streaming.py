@@ -187,6 +187,65 @@ def test_topic_router_partitions_by_sink_table(spark):
         assert sorted(r["id"] for r in got.collect()) == list(range(int(t[1]), 30, 3))
 
 
+def test_day_watermark_delay_parses_units():
+    """ADVICE r10 #2: the day-grain window watermark must be computed from
+    the PARSED dedup_delay, not by assuming a day-denominated string —
+    '2 weeks' widens to 15 days, sub-day delays round UP, and an unknown
+    unit is a loud error instead of a silently-short watermark."""
+    from gmall_flink_spark.streaming.pipelines import _day_watermark_delay
+
+    assert _day_watermark_delay("3650 days") == "3651 days"
+    assert _day_watermark_delay("1 day") == "2 days"
+    assert _day_watermark_delay("2 weeks") == "15 days"
+    assert _day_watermark_delay("36 hours") == "3 days"
+    assert _day_watermark_delay("30 minutes") == "2 days"
+    with pytest.raises(ValueError):
+        _day_watermark_delay("2 months")
+    with pytest.raises(ValueError):
+        _day_watermark_delay("3650")
+
+
+def test_topic_router_replay_after_publish_before_marker(spark):
+    """K2 exactly-once (ADVICE r10 #3): the crash window AFTER the parquet
+    publish but BEFORE the lineage marker must not duplicate on replay —
+    the deterministic (lineage, batch) file tags let the replay scrub and
+    re-publish the same content exactly once. Also covers the mid-publish
+    crash (some files moved, marker absent)."""
+    from gmall_flink_spark.sinks._bucketed import _LAST_BATCH
+    from gmall_flink_spark.sinks.upsert import topic_router
+
+    out = os.path.join(TMP, "routed_replay")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(30)], "id int, sink_table string"
+    )
+    writer = topic_router(out)
+    writer(df, 0)
+    once = rows(spark.read.parquet(out))
+
+    # crash window 1: publish complete, marker lost — replay the batch
+    os.remove(os.path.join(out, _LAST_BATCH))
+    writer(df, 0)
+    assert rows(spark.read.parquet(out)) == once
+
+    # crash window 2: partial publish (one file missing) + no marker
+    os.remove(os.path.join(out, _LAST_BATCH))
+    pubs = sorted(
+        os.path.join(d, n)
+        for d, _, ns in os.walk(out)
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    os.remove(pubs[0])
+    writer(df, 0)
+    assert rows(spark.read.parquet(out)) == once
+
+    # marker present: replay is the fast-path no-op
+    writer(df, 0)
+    assert rows(spark.read.parquet(out)) == once
+
+
 def test_interval_join_stream_equals_batch(spark, events_slices):
     """J5: stream-stream event-time interval join (the pay-suc join shape,
     DwdTradePayDetailSuc.java:100-127) — watermarked streaming inner join
@@ -219,16 +278,22 @@ def test_interval_join_stream_equals_batch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
-def test_returning_flags_stream_matches_batch(spark, events_slices):
+@pytest.mark.parametrize("state_store", [None, "rocksdb"])
+def test_returning_flags_stream_matches_batch(spark, events_slices, state_store):
     """D6: 7-day returning-user flags — streaming state machine equals the
-    batch lag() twin under in-order replay."""
+    batch lag() twin under in-order replay. The 'rocksdb' variant (VERDICT
+    r10 task 1) proves the CUSTOM applyInPandasWithState operator family
+    runs identically under RocksDBStateStoreProvider — the off-heap state
+    posture the per-user last-active-day map needs at 100× keys."""
     from gmall_flink_spark.operators.dedup import returning_flags
     from gmall_flink_spark.streaming.stateful import returning_flags_stream
 
     ev = table(spark, SF, "events")
     batch = returning_flags(ev, "user_id", "ts", gap_days=7)
     sdf = stream_from(spark, events_slices, ev)
-    got = run_available_now(returning_flags_stream(sdf, "user_id", gap_days=7))
+    got = run_available_now(
+        returning_flags_stream(sdf, "user_id", gap_days=7), state_store=state_store
+    )
     assert rows(got) == rows(batch)
 
 
@@ -577,7 +642,10 @@ def test_streaming_corpus_build_card_equals_batch(spark):
     derived from the two states must equal the batch llm_corpus_build
     EXACTLY — same keep set, same token mass, same temperature-mix
     allocations, same shard spread and membership checksums (the mix
-    arithmetic is literally the shared corpus_mix_report)."""
+    arithmetic is literally the shared corpus_mix_report). The stream is
+    fed RAW documents (benchmark slice included): the writer's own
+    BENCH_MOD exclusion must make the denominators agree by construction
+    (ADVICE r10 #4), not a pre-filtered fixture."""
     from gmall_flink_spark.llm.dedup import word_shingles
     from gmall_flink_spark.plans.clean_corpus_stream import (
         clean_corpus_writer,
@@ -588,17 +656,16 @@ def test_streaming_corpus_build_card_equals_batch(spark):
 
     docs = table(spark, SF, "documents")
     bench_docs = docs.where(F.col("doc_id") % BENCH_MOD == 0)
-    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
     bench_sh = word_shingles(bench_docs, n=5)
 
     slices = os.path.join(TMP, "cbuild_slices")
-    split_into_files(corpus, 3, "doc_id", slices)
+    split_into_files(docs, 3, "doc_id", slices)
     state = os.path.join(TMP, "cbuild_state")
     totals = os.path.join(TMP, "cbuild_totals")
     for p in (state, totals):
         if os.path.exists(p):
             shutil.rmtree(p)
-    sdf = stream_from(spark, slices, corpus)
+    sdf = stream_from(spark, slices, docs)
     run_available_now(
         sdf, foreach_batch=clean_corpus_writer(state, bench_sh, totals_path=totals)
     )
@@ -1863,7 +1930,8 @@ def test_display_item_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
-def test_order_uu_window_pipeline_end_to_end(spark):
+@pytest.mark.parametrize("state_store", [None, "rocksdb"])
+def test_order_uu_window_pipeline_end_to_end(spark, state_store):
     """DwsTradeOrderWindow fed by the DWD wide join IN THE SAME QUERY —
     five chained stateful operators (detail dedup, three stream-stream
     joins, the D5 seen-days state machine, the window aggregate) under
@@ -1873,7 +1941,12 @@ def test_order_uu_window_pipeline_end_to_end(spark):
     the far-future row takes the joins' immediate-match path and reaches
     the D5 node — a partial match would be held captive waiting for a
     null-pad the watermark can never trigger (see the pipeline
-    docstring)."""
+    docstring).
+
+    The 'rocksdb' variant (VERDICT r10 task 1) runs the SAME five-state
+    query under RocksDBStateStoreProvider — the 100×-state posture where
+    keyed state (join buffers, seen-day maps, window partials) lives
+    off-heap on local disk instead of the on-heap HDFSBacked store."""
     from gmall_flink_spark.registry import all_queries
     from gmall_flink_spark.sources.cdc_synth import (
         activity_envelope,
@@ -1907,9 +1980,12 @@ def test_order_uu_window_pipeline_end_to_end(spark):
         sentinel_envelope_slices(spark, slices, tbl, data, far, n=4)
         streams[name] = stream_from(spark, slices, env)
 
-    got = run_available_now(order_uu_window_stream(
-        streams["od"], streams["oi"], streams["oa"], streams["oc"]
-    ))
+    got = run_available_now(
+        order_uu_window_stream(
+            streams["od"], streams["oi"], streams["oa"], streams["oc"]
+        ),
+        state_store=state_store,
+    )
     batch = all_queries()["dws_order_uu_window"](spark, SF)
     assert rows(got) == rows(batch) and got.count() > 0
 
