@@ -307,6 +307,10 @@ HEADLINE = [
     "llm_bpe_fertility_sampled",
     "dedup_bloom_prefilter",
     "llm_corpus_build",
+    # round 11 additions: unigram-LM tokenizer family (sampled trainer +
+    # map-only full-corpus encode)
+    "llm_unigram_train",
+    "llm_unigram_encode",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

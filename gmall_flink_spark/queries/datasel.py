@@ -382,6 +382,66 @@ def llm_bpe_fertility_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+#: session memo of the sampled-trained unigram-LM vocab (ranked frame) —
+#: llm_unigram_train and llm_unigram_encode share one EM run
+_UNIGRAM_VOCAB: dict[tuple, DataFrame] = {}
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.llm.corpus import hash_sample
+    from gmall_flink_spark.llm.unigram import unigram_train, word_counts
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _UNIGRAM_VOCAB)
+    if key not in _UNIGRAM_VOCAB:
+        docs = table(spark, sf_dir, "documents")
+        words = word_counts(hash_sample(docs, F.col("doc_id"), BPE_SAMPLE_PCT))
+        _UNIGRAM_VOCAB[key] = unigram_train(words)
+    return _UNIGRAM_VOCAB[key]
+
+
+def llm_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training — the
+    prune-down counterpart of BPE's merge-up (VERDICT r10 task 4): seed
+    every substring of the sampled corpus' words, rank pieces by usage,
+    and run UNIGRAM_EM_ROUNDS hard-EM rounds where each word takes its
+    canonical minimal segmentation (Viterbi, integer Zipf-rank costs —
+    llm/unigram.py docstring) and piece counts are re-estimated from the
+    chosen segmentations. Output = the final ranked vocab, the artifact a
+    unigram tokenizer ships. Trained on the same 40% hash slice as
+    llm_bpe_train_sampled (the 100 TB posture: training touches the
+    sample, only encoding touches everything).
+
+    The oracle verifies the engine's DP by BRUTE-FORCE enumeration of
+    every segmentation per word (recursive CTE) — an independent method,
+    not a mirror of the optimization."""
+    v = _unigram_vocab(spark, sf_dir)
+    return v.select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        "cnt",
+        "rank",
+        "cost_q",
+    ).orderBy("rank")
+
+
+def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL corpus encoded with the sample-trained unigram vocab
+    (llm/unigram.unigram_encode_stats — the collected bounded vocab as a
+    map literal, segmentation as a pure map-side expression, zero
+    shuffles before the per-source aggregate): per source, in-cap word
+    count, total pieces, total quantized cost, total chars, and fertility
+    (pieces per word x100). The unigram analogue of
+    llm_bpe_fertility_sampled; out-of-vocab single chars (possible under
+    sampled training) cost UNIGRAM_UNK_COST and are segmentable, unknown
+    multi-char pieces are not."""
+    from gmall_flink_spark.llm.unigram import collect_costs, unigram_encode_stats
+
+    v = _unigram_vocab(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    return unigram_encode_stats(docs, collect_costs(v), "source").orderBy("source")
+
+
 QUERIES = {
     "web_domain_pagerank": web_domain_pagerank,
     "llm_dsir_weights": llm_dsir_weights,
@@ -395,6 +455,8 @@ QUERIES = {
     # (it shares _clean_ranked with llm_clean_corpus) but registers here,
     # next to the shard constants its arithmetic and oracle pin
     "llm_corpus_build": llm_corpus_build,
+    "llm_unigram_train": llm_unigram_train,
+    "llm_unigram_encode": llm_unigram_encode,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -601,6 +663,163 @@ def _bpe_fertility_sampled_oracle() -> str:
     return "".join(parts)
 
 
+# ---- unigram-LM oracle: brute-force segmentation enumeration ----------
+# The engine's Viterbi DP is verified by ENUMERATING every segmentation of
+# every word with a recursive CTE and taking the (cost, pct, path) minimum
+# — a genuinely independent method (the dedup_allpairs_exact pattern).
+# Every macro below mirrors a constant from llm/unigram.py; touching one
+# side means touching both.
+
+
+def _uni_ranked(src: str, out: str) -> str:
+    """rank = row_number over (cnt desc, piece asc); cost_q =
+    length(bin(rank)) — mirrors llm/unigram.ranked."""
+    return f"""{out} AS (
+      SELECT piece, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
+             CAST(length(printf('%b',
+                  ROW_NUMBER() OVER (ORDER BY cnt DESC, piece))) AS BIGINT) AS cost_q
+      FROM {src})"""
+
+
+def _uni_edges(words: str, vocab: str, out: str) -> str:
+    """Per (word, start): valid pieces with costs — vocab pieces plus the
+    UNK single-char fallback for chars absent from the vocab."""
+    from gmall_flink_spark.llm.unigram import UNIGRAM_MAX_PIECE, UNIGRAM_UNK_COST
+
+    lens = ",".join(str(i) for i in range(1, UNIGRAM_MAX_PIECE + 1))
+    return f"""{out} AS (
+      SELECT x.word, x.i - 1 AS s_pos, x.i - 1 + length(v.piece) AS e_pos,
+             v.piece, v.cost_q AS cost
+      FROM (SELECT p.word, p.i, substring(p.word, p.i, ll.l) AS sub
+            FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+                  FROM {words}) p,
+                 (SELECT unnest([{lens}]) AS l) ll
+            WHERE p.i + ll.l - 1 <= length(p.word)) x
+      JOIN {vocab} v ON x.sub = v.piece
+      UNION ALL
+      SELECT p.word, p.i - 1, p.i, substring(p.word, p.i, 1),
+             CAST({UNIGRAM_UNK_COST} AS BIGINT)
+      FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM {words}) p
+      WHERE substring(p.word, p.i, 1) NOT IN
+            (SELECT piece FROM {vocab} WHERE length(piece) = 1))"""
+
+
+def _uni_best(words: str, edges: str, out: str) -> str:
+    """Enumerate all segmentations (recursive CTE over the edge DAG) and
+    keep the canonical minimum per word: (cost, pct, path) — the exact
+    tie-break of llm/unigram.with_viterbi."""
+    return f"""seg_{out} AS (
+      SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS cost,
+             CAST(0 AS BIGINT) AS pct, '' AS path
+      FROM {words}
+      UNION ALL
+      SELECT s.word, e.e_pos, s.cost + e.cost, s.pct + 1,
+             s.path || chr(31) || e.piece
+      FROM seg_{out} s JOIN {edges} e ON e.word = s.word AND e.s_pos = s.pos),
+    {out} AS (
+      SELECT word, cost, pct, path FROM (
+        SELECT word, cost, pct, path,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY cost, pct, path) AS rn
+        FROM seg_{out} WHERE pos = length(word))
+      WHERE rn = 1)"""
+
+
+def _uni_mstep(words: str, best: str, out: str) -> str:
+    """Recount pieces from the chosen segmentations; chars always kept
+    (zero-filled), multi-char pruned to UNIGRAM_KEEP_MULTI — mirrors the
+    M-step of llm/unigram.unigram_train."""
+    from gmall_flink_spark.llm.unigram import UNIGRAM_KEEP_MULTI
+
+    return f"""cnt_{out} AS (
+      SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (SELECT word, unnest(string_split(substring(path, 2), chr(31))) AS piece
+            FROM {best}) q
+      JOIN {words} USING (word)
+      GROUP BY piece),
+    {out} AS (
+      SELECT c.piece, CAST(COALESCE(k.cnt, 0) AS BIGINT) AS cnt
+      FROM uchars c LEFT JOIN cnt_{out} k USING (piece)
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM cnt_{out} WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {UNIGRAM_KEEP_MULTI}))"""
+
+
+def _uni_train_cte() -> str:
+    """The shared WITH body: sampled words -> seed -> 2 hard-EM rounds ->
+    final ranked vocab v2."""
+    from gmall_flink_spark.llm.unigram import (
+        UNIGRAM_MAX_WORD_LEN,
+        UNIGRAM_SEED_MULTI,
+    )
+
+    return f"""WITH RECURSIVE
+    uwords AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE {_BPE_SAMPLE_WHERE})
+      WHERE length(w) <= {UNIGRAM_MAX_WORD_LEN}
+      GROUP BY w),
+    useed AS (
+      SELECT sub AS piece, CAST(SUM(wcount) AS BIGINT) AS cnt
+      FROM (SELECT p.word, p.wcount, substring(p.word, p.i, ll.l) AS sub
+            FROM (SELECT word, wcount, unnest(range(1, length(word) + 1)) AS i
+                  FROM uwords) p,
+                 (SELECT unnest([1,2,3,4]) AS l) ll
+            WHERE p.i + ll.l - 1 <= length(p.word)) x
+      GROUP BY sub),
+    uchars AS (SELECT piece FROM useed WHERE length(piece) = 1),
+    uvocab0 AS (
+      SELECT piece, cnt FROM useed WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM useed WHERE length(piece) > 1
+        ORDER BY cnt DESC, piece LIMIT {UNIGRAM_SEED_MULTI})),
+    {_uni_ranked("uvocab0", "v0")},
+    {_uni_edges("uwords", "v0", "e1")},
+    {_uni_best("uwords", "e1", "b1")},
+    {_uni_mstep("uwords", "b1", "uvocab1")},
+    {_uni_ranked("uvocab1", "v1")},
+    {_uni_edges("uwords", "v1", "e2")},
+    {_uni_best("uwords", "e2", "b2")},
+    {_uni_mstep("uwords", "b2", "uvocab2")},
+    {_uni_ranked("uvocab2", "v2")}"""
+
+
+def _unigram_train_oracle() -> str:
+    return (
+        _uni_train_cte()
+        + """
+    SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt, rank, cost_q
+    FROM v2 ORDER BY rank"""
+    )
+
+
+def _unigram_encode_oracle() -> str:
+    from gmall_flink_spark.llm.unigram import UNIGRAM_MAX_WORD_LEN
+
+    return (
+        _uni_train_cte()
+        + f""",
+    fw AS (
+      SELECT source, w AS word
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) <= {UNIGRAM_MAX_WORD_LEN}),
+    dw AS (SELECT DISTINCT word FROM fw),
+    {_uni_edges("dw", "v2", "eF")},
+    {_uni_best("dw", "eF", "bF")}
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS word_ct,
+           CAST(SUM(b.pct) AS BIGINT) AS piece_ct,
+           CAST(SUM(b.cost) AS BIGINT) AS cost_total,
+           CAST(SUM(length(f.word)) AS BIGINT) AS char_ct,
+           CAST((100 * SUM(b.pct)) // COUNT(*) AS BIGINT) AS fertility_x100
+    FROM fw f JOIN bF b USING (word)
+    GROUP BY f.source ORDER BY f.source"""
+    )
+
+
 ORACLE = {
     "web_domain_pagerank": _pagerank_oracle(),
     "llm_bpe_train": _bpe_train_oracle(),
@@ -608,6 +827,8 @@ ORACLE = {
     "llm_bpe_fertility_lang": _bpe_fertility_oracle(),
     "llm_bpe_train_sampled": _bpe_train_sampled_oracle(),
     "llm_bpe_fertility_sampled": _bpe_fertility_sampled_oracle(),
+    "llm_unigram_train": _unigram_train_oracle(),
+    "llm_unigram_encode": _unigram_encode_oracle(),
     "llm_corpus_build": f"""
     WITH {_CLEAN_FLAGGED},
     kept AS (

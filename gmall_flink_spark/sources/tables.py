@@ -164,7 +164,11 @@ def clear_session_memos(disk_artifacts: bool = True) -> None:
         _SUBSTR_IDX,
         _VERIFIED,
     )
-    from gmall_flink_spark.queries.datasel import _BPE_STATE
+    from gmall_flink_spark.queries.datasel import (
+        _BPE_SAMPLED,
+        _BPE_STATE,
+        _UNIGRAM_VOCAB,
+    )
     from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
     from gmall_flink_spark.queries.similarity import (
         _ASSIGNED_MEMO,
@@ -174,7 +178,9 @@ def clear_session_memos(disk_artifacts: bool = True) -> None:
     from gmall_flink_spark.queries.text import _WINNOW_DOCS
 
     for memo in (
+        _BPE_SAMPLED,
         _BPE_STATE,
+        _UNIGRAM_VOCAB,
         _WINNOW_DOCS,
         _COMPONENTS,
         _DOC_TOKS,

@@ -932,6 +932,124 @@ def test_bpe_train_stops_when_no_bigrams_remain(spark):
     assert {r["doc_id"] for r in e2.collect()} == {1, 2}
 
 
+def test_unigram_train_matches_python_reference(spark):
+    """llm/unigram: the hard-EM trainer (seed substrings -> Zipf-rank
+    integer costs -> Viterbi canonical segmentation -> recount -> prune)
+    against a plain-Python reference implementing the identical contract:
+    rank over (cnt desc, piece asc), cost = floor(log2(rank)) + 1,
+    segmentation argmin by (cost, piece_ct, path string), SEP = 0x1f,
+    chars always kept, multi pruned to UNIGRAM_KEEP_MULTI. The corpus is
+    engineered so multi-char pieces WIN segmentations (repeated bigrams)
+    and so the M-step actually reshuffles ranks between rounds."""
+    from gmall_flink_spark.llm.unigram import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_KEEP_MULTI,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_SEED_MULTI,
+        USEP,
+        unigram_train,
+    )
+
+    words = {  # word -> corpus count
+        "abab": 40, "ab": 30, "baba": 20, "abc": 12, "cab": 9,
+        "dd": 8, "abba": 5, "x": 3,
+    }
+
+    def py_ranked(vocab):
+        ordered = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+        return {
+            p: (i + 1, len(bin(i + 1)) - 2, c)
+            for i, (p, c) in enumerate(ordered)
+        }
+
+    def py_viterbi(word, costs):
+        # states[i] = (cost, pct, path) tuple-min over candidate pieces
+        states = [(0, 0, "")] + [None] * len(word)
+        for pos in range(1, len(word) + 1):
+            best = None
+            for plen in range(1, min(UNIGRAM_MAX_PIECE, pos) + 1):
+                piece = word[pos - plen:pos]
+                c = costs.get(piece)
+                if c is None:
+                    if plen != 1:
+                        continue
+                    c = 30
+                prev = states[pos - plen]
+                cand = (prev[0] + c, prev[1] + 1, prev[2] + USEP + piece)
+                if best is None or cand < best:
+                    best = cand
+            states[pos] = best
+        return states[len(word)]
+
+    def py_train(words, rounds):
+        seed = {}
+        for w, ct in words.items():
+            for i in range(len(w)):
+                for l in range(1, min(UNIGRAM_MAX_PIECE, len(w) - i) + 1):
+                    seed[w[i:i + l]] = seed.get(w[i:i + l], 0) + ct
+        chars = {p for p in seed if len(p) == 1}
+        multi = sorted(
+            ((p, c) for p, c in seed.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNIGRAM_SEED_MULTI]
+        vocab = {p: c for p, c in seed.items() if len(p) == 1} | dict(multi)
+        for _ in range(rounds):
+            costs = {p: r[1] for p, r in py_ranked(vocab).items()}
+            counts = {}
+            for w, ct in words.items():
+                for piece in py_viterbi(w, costs)[2][1:].split(USEP):
+                    counts[piece] = counts.get(piece, 0) + ct
+            kept_multi = sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:UNIGRAM_KEEP_MULTI]
+            vocab = {p: counts.get(p, 0) for p in chars} | dict(kept_multi)
+        return vocab  # final {piece: cnt}
+
+    # expected: (piece, cnt, rank, cost_q) from the python reference
+    final_vocab = py_train(words, UNIGRAM_EM_ROUNDS)
+    final_ranked = py_ranked(final_vocab)
+    expected = sorted(
+        (p, final_vocab[p], final_ranked[p][0], final_ranked[p][1])
+        for p in final_vocab
+    )
+
+    rows = [(w,) for w, ct in words.items() for _ in range(ct)]
+    df = spark.createDataFrame(rows, "word string").groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wcount")
+    )
+    vocab = unigram_train(df, rounds=UNIGRAM_EM_ROUNDS)
+    got = sorted(
+        (r["piece"], r["cnt"], r["rank"], r["cost_q"]) for r in vocab.collect()
+    )
+    assert got == expected
+
+
+def test_unigram_viterbi_unknown_chars_and_ties(spark):
+    """with_viterbi edge semantics: an out-of-vocab single char costs
+    UNIGRAM_UNK_COST (the word stays segmentable), an out-of-vocab
+    multi-char piece is never used, and equal-cost segmentations resolve
+    by fewer pieces then lexicographically smaller path."""
+    from gmall_flink_spark.llm.unigram import (
+        UNIGRAM_UNK_COST,
+        USEP,
+        with_viterbi,
+    )
+
+    costs = {"a": 2, "b": 2, "ab": 4, "zq": 1}
+    df = spark.createDataFrame([("ab",), ("xa",), ("zq",)], "word string")
+    got = {
+        r["word"]: (r["st"]["cost"], r["st"]["pct"], r["st"]["path"])
+        for r in with_viterbi(df, "word", costs).collect()
+    }
+    # 'ab': a+b (cost 4, 2 pieces) vs ab (cost 4, 1 piece) -> fewer pieces
+    assert got["ab"] == (4, 1, USEP + "ab")
+    # 'xa': x unknown -> UNK cost + a
+    assert got["xa"] == (UNIGRAM_UNK_COST + 2, 2, USEP + "x" + USEP + "a")
+    # 'zq': known multi piece beats unknown singles (1 vs 60)
+    assert got["zq"] == (1, 1, USEP + "zq")
+
+
 def test_nb_classifier_separable_vocab(spark, tmp_path):
     """The quantized NB head must recover a class split when the training
     vocabularies are disjoint, and must honor both declared drop rules:
