@@ -210,6 +210,273 @@ def decode_wav(data: bytes) -> tuple[int, int, int]:
     return rate, n, int(pcm.sum(dtype=np.int64))
 
 
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def mp4_bytes(duration: int, timescale: int, codecs: list[str]) -> bytes:
+    """Minimal VALID ISO-BMFF (MP4) file: ftyp + moov{mvhd(v0), one
+    trak{mdia{minf{stbl{stsd{<fourcc sample entry>}}}}} per codec}. Every
+    box carries a correct 32-bit size, mvhd is the full 100-byte version-0
+    body, each stsd holds one sample entry whose TYPE is the track's codec
+    fourcc — exactly the boxes a metadata pass reads (VERDICT r10 task 5;
+    spec: ISO/IEC 14496-12). No sample data: this is the metadata-plumbing
+    twin, the same honesty level as the PNG/WAV synthesizers."""
+    import struct
+
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation / modification time
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(
+            ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+        )  # unity matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", len(codecs) + 1)  # next_track_ID
+    )
+    traks = b""
+    for c in codecs:
+        entry = _mp4_box(c.encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
+        stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry)
+        traks += _mp4_box(
+            b"trak", _mp4_box(b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))
+        )
+    return ftyp + _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + traks)
+
+
+def parse_mp4(data: bytes) -> tuple[int, int, int, list[str]]:
+    """REAL ISO-BMFF box walk (stdlib struct only): top-level scan for
+    moov, mvhd v0/v1 -> (timescale, duration), one stsd descent per trak
+    -> first sample entry's codec fourcc. Returns (timescale, duration,
+    track_count, codecs). Raises on any malformed box (bad size,
+    truncation, missing moov/mvhd/stsd) — the dead-letter contract: a
+    corrupt blob becomes an error row, never a dead job."""
+    import struct
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos < end:
+            if pos + 8 > end:
+                raise ValueError("truncated box header")
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            if size < 8 or pos + size > end:
+                raise ValueError("bad box size")
+            yield data[pos + 4 : pos + 8], pos + 8, pos + size
+            pos += size
+
+    def find(tag: bytes, start: int, end: int) -> tuple[int, int] | None:
+        for t, s, e in walk(start, end):
+            if t == tag:
+                return s, e
+        return None
+
+    moov = find(b"moov", 0, len(data))
+    if moov is None:
+        raise ValueError("no moov box")
+    ts = dur = None
+    codecs: list[str] = []
+    for tag, s, e in walk(*moov):
+        if tag == b"mvhd":
+            ver = data[s]
+            if ver == 0:
+                ts, dur = struct.unpack(">II", data[s + 12 : s + 20])
+            else:  # version 1: 64-bit creation/modification/duration
+                (ts,) = struct.unpack(">I", data[s + 20 : s + 24])
+                (dur,) = struct.unpack(">Q", data[s + 24 : s + 32])
+        elif tag == b"trak":
+            cur: tuple[int, int] | None = (s, e)
+            for t in (b"mdia", b"minf", b"stbl", b"stsd"):
+                cur = find(t, *cur)
+                if cur is None:
+                    raise ValueError("trak missing stsd chain")
+            # stsd body: version/flags(4) + entry_count(4), then entries
+            first_entry = cur[0] + 8
+            if first_entry + 8 > cur[1]:
+                raise ValueError("empty stsd")
+            codecs.append(data[first_entry + 4 : first_entry + 8].decode("ascii"))
+    if ts is None or not codecs:
+        raise ValueError("missing mvhd or tracks")
+    return int(ts), int(dur), len(codecs), codecs
+
+
+#: corrupt-clip rule of video_mp4_table: every 23rd video id is truncated
+#: mid-box (the parser must dead-letter it); mirrored by the oracle
+MP4_CORRUPT_MOD = 23
+
+
+def video_mp4_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize genuinely PARSEABLE minimal MP4 payloads for the video
+    slice (doc_id % 3 == 2), deterministic from doc_id:
+
+      timescale  = 600 * (id % 4 + 1)
+      duration   = timescale * (id % 30 + 1) + id % 97   (non-round ms)
+      tracks     = (id % 2) + 1
+      codec[i]   = ['avc1','mp4a','hvc1'][(id // 3 + i) % 3]  (id % 3 is
+          CONSTANT on the video slice — the divided form actually varies)
+      id % MP4_CORRUPT_MOD == 0 -> payload truncated to 12 bytes (a valid
+          ftyp header cut mid-box) — the dead-letter path
+
+    Same generative-oracle trick as media_real_table: the DuckDB twin
+    re-derives every value from these formulas, never from the bytes, so
+    parity proves the box walk actually ran. Closure is self-contained
+    (workers have no repo on PYTHONPATH)."""
+    from gmall_flink_spark.sources.tables import spread
+
+    ids = spread(
+        table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).where(F.col("doc_id") % 3 == 2)
+    corrupt_mod = MP4_CORRUPT_MOD
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def box(tag: bytes, body: bytes) -> bytes:
+            # inline twin of module-level _mp4_box (parity pinned by test)
+            return struct.pack(">I", len(body) + 8) + tag + body
+
+        def mp4(duration: int, timescale: int, codecs: list) -> bytes:
+            ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+            mvhd = (
+                b"\x00\x00\x00\x00"
+                + struct.pack(">II", 0, 0)
+                + struct.pack(">II", timescale, duration)
+                + struct.pack(">I", 0x00010000)
+                + struct.pack(">H", 0x0100)
+                + b"\x00" * 10
+                + struct.pack(
+                    ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+                )
+                + b"\x00" * 24
+                + struct.pack(">I", len(codecs) + 1)
+            )
+            traks = b""
+            for c in codecs:
+                entry = box(c.encode("ascii"), b"\x00" * 6 + struct.pack(">H", 1))
+                stsd = box(
+                    b"stsd", b"\x00\x00\x00\x00" + struct.pack(">I", 1) + entry
+                )
+                traks += box(
+                    b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsd)))
+                )
+            return ftyp + box(b"moov", box(b"mvhd", mvhd) + traks)
+
+        names = ["avc1", "mp4a", "hvc1"]
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                ts = 600 * (mid % 4 + 1)
+                dur = ts * (mid % 30 + 1) + mid % 97
+                codecs = [names[(mid // 3 + i) % 3] for i in range(mid % 2 + 1)]
+                data = mp4(dur, ts, codecs)
+                if mid % corrupt_mod == 0:
+                    data = data[:12]
+                payloads.append(data)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, "media_id long, payload binary")
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("track_ct", IntegerType()),
+        StructField("codecs", StringType()),
+    ]
+)
+
+
+def video_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 metadata extraction over (media_id, payload):
+    box-walk each blob (inline twin of module-level parse_mp4), emit
+    (ok, timescale, duration, duration_ms = 1000*duration // timescale,
+    track_ct, comma-joined codec fourccs); a malformed file yields
+    ok=0 with NULL fields — dead-letter, never a dead task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def walk(data: bytes, start: int, end: int):
+            pos = start
+            while pos < end:
+                if pos + 8 > end:
+                    raise ValueError("truncated box header")
+                (size,) = struct.unpack(">I", data[pos : pos + 4])
+                if size < 8 or pos + size > end:
+                    raise ValueError("bad box size")
+                yield data[pos + 4 : pos + 8], pos + 8, pos + size
+                pos += size
+
+        def find(data: bytes, tag: bytes, start: int, end: int):
+            for t, s, e in walk(data, start, end):
+                if t == tag:
+                    return s, e
+            return None
+
+        def parse(data: bytes):
+            moov = find(data, b"moov", 0, len(data))
+            if moov is None:
+                raise ValueError("no moov box")
+            ts = dur = None
+            codecs = []
+            for tag, s, e in walk(data, *moov):
+                if tag == b"mvhd":
+                    if data[s] == 0:
+                        ts, dur = struct.unpack(">II", data[s + 12 : s + 20])
+                    else:
+                        (ts,) = struct.unpack(">I", data[s + 20 : s + 24])
+                        (dur,) = struct.unpack(">Q", data[s + 24 : s + 32])
+                elif tag == b"trak":
+                    cur = (s, e)
+                    for t in (b"mdia", b"minf", b"stbl", b"stsd"):
+                        cur = find(data, t, *cur)
+                        if cur is None:
+                            raise ValueError("trak missing stsd chain")
+                    fe = cur[0] + 8
+                    if fe + 8 > cur[1]:
+                        raise ValueError("empty stsd")
+                    codecs.append(data[fe + 4 : fe + 8].decode("ascii"))
+            if ts is None or not codecs:
+                raise ValueError("missing mvhd or tracks")
+            return int(ts), int(dur), len(codecs), codecs
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    ts, dur, n, codecs = parse(bytes(payload))
+                    rows.append(
+                        (int(mid), 1, ts, dur, 1000 * dur // ts, n, ",".join(codecs))
+                    )
+                except Exception:
+                    rows.append((int(mid), 0, None, None, None, None, None))
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "ok": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "timescale": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "duration": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "duration_ms": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "track_ct": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "codecs": [r[6] for r in rows],
+                }
+            )
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize the multimodal table from `documents`: payload = utf-8
     text bytes (deterministic), kind = doc_id % 3, metadata arithmetic on

@@ -34,7 +34,13 @@ from gmall_flink_spark.sinks._bucketed import (
     with_bucket,
 )
 
-__all__ = ["upsert_into", "upsert_writer", "topic_router", "read_state"]
+__all__ = [
+    "upsert_into",
+    "upsert_writer",
+    "topic_router",
+    "compact_topics",
+    "read_state",
+]
 
 
 def upsert_into(
@@ -141,6 +147,100 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
         record_merged_batch(base_path, batch_id, qid)
 
     return write
+
+
+def compact_topics(
+    spark,
+    base_path: str,
+    topic_col: str = "sink_table",
+    max_files: int = 8,
+) -> dict[str, tuple[int, int]]:
+    """Compact a topic_router sink: the append path adds one file per
+    (topic, batch) forever — the real file-count growth vector of the sink
+    family (the MERGE sinks rewrite touched buckets per batch, so their
+    counts are bounded by task parallelism, not batch count; VERDICT r10
+    task 6). Any topic directory holding more than ``max_files`` parquet
+    files is rewritten: files from PUBLISHED batches (lineage matches the
+    marker and batch id <= the recorded high-water mark, plus earlier
+    compacts) merge into one ``compact-<lineage>-<hi>-<uuid>.parquet``;
+    files from unmarked batches pass through untouched, so the replay
+    scrub of an in-flight batch never loses its deterministic tags (a
+    marked batch's replay exits on the marker fast path and never reaches
+    the scrub, which is what makes compacting it safe).
+
+    Crash-safe like swap_buckets: stage a full replacement directory
+    (compacted file + passthrough links), move the live topic dir aside,
+    install, drop the aside copy; a crash between the two renames is
+    healed on the next call (aside dir present + live missing -> restore).
+    Returns {topic: (files_before, files_after)} for the rewritten topics.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    from gmall_flink_spark.sinks._bucketed import _LAST_BATCH
+
+    lineage, hi = "nolineage", -1
+    marker = os.path.join(base_path, _LAST_BATCH)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            lines = fh.read().splitlines()
+        if len(lines) >= 2:
+            lineage, hi = (lines[0] or "nolineage"), int(lines[1])
+        elif len(lines) == 1:
+            hi = int(lines[0])
+
+    def published(name: str) -> bool:
+        for prefix in ("pub-", "compact-"):
+            if name.startswith(prefix):
+                stem = name[len(prefix) : -len(".parquet")]
+                parts = stem.rsplit("-", 2)
+                if len(parts) != 3:
+                    return False
+                return parts[0] == lineage and int(parts[1]) <= hi
+        return False
+
+    stats: dict[str, tuple[int, int]] = {}
+    for d in sorted(os.listdir(base_path)):
+        if not d.startswith(f"{topic_col}="):
+            continue
+        tdir = os.path.join(base_path, d)
+        old = tdir + ".__old__"
+        if os.path.exists(old):  # heal a crashed prior compaction
+            if os.path.exists(tdir):
+                shutil.rmtree(old)
+            else:
+                os.replace(old, tdir)
+        files = sorted(n for n in os.listdir(tdir) if n.endswith(".parquet"))
+        if len(files) <= max_files:
+            continue
+        elig = [n for n in files if published(n)]
+        if len(elig) < 2:
+            continue
+        tag = _uuid.uuid4().hex[:8]
+        tmp_out = os.path.join(base_path, f"__compact_read_{tag}")
+        spark.read.parquet(*[os.path.join(tdir, n) for n in elig]).coalesce(
+            1
+        ).write.parquet(tmp_out)
+        part = next(
+            n for n in os.listdir(tmp_out) if n.endswith(".parquet")
+        )
+        stage = os.path.join(base_path, f"__compact_stage_{tag}")
+        os.makedirs(stage)
+        os.replace(
+            os.path.join(tmp_out, part),
+            os.path.join(stage, f"compact-{lineage}-{hi}-{tag}.parquet"),
+        )
+        shutil.rmtree(tmp_out)
+        for n in files:
+            if n not in elig:
+                os.link(os.path.join(tdir, n), os.path.join(stage, n))
+        os.replace(tdir, old)
+        os.replace(stage, tdir)
+        shutil.rmtree(old)
+        stats[d] = (len(files), len(files) - len(elig) + 1)
+    return stats
 
 
 def dim_store_writer(base_path: str, pk: str = "pk", order_by: tuple[str, ...] = ("ts",)):

@@ -239,3 +239,63 @@ def test_media_real_table_kind_pruning(spark):
     aud = media_real_table(spark, SF, kinds=("audio",)).limit(30).collect()
     assert aud and all(r["kind"] == "audio" and r["media_id"] % 3 == 1 for r in aud)
     assert all(bytes(r["payload"])[:4] == b"RIFF" for r in aud)
+
+
+def test_mp4_roundtrip_and_corrupt():
+    """mp4_bytes -> parse_mp4 roundtrip (module-level pair; the inline
+    mapInPandas twins mirror these byte-for-byte): timescale/duration/
+    track fourccs come back out of the boxes; truncation, bad sizes, and
+    a missing moov raise (the dead-letter contract)."""
+    import pytest
+
+    from gmall_flink_spark.llm.multimodal import mp4_bytes, parse_mp4
+
+    data = mp4_bytes(duration=123456, timescale=90000, codecs=["avc1", "mp4a"])
+    ts, dur, n, codecs = parse_mp4(data)
+    assert (ts, dur, n, codecs) == (90000, 123456, 2, ["avc1", "mp4a"])
+
+    one = mp4_bytes(duration=600, timescale=600, codecs=["hvc1"])
+    assert parse_mp4(one)[2:] == (1, ["hvc1"])
+
+    with pytest.raises(ValueError):
+        parse_mp4(data[:12])  # truncated mid-box
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x01ftyp")  # size < 8
+    with pytest.raises(ValueError):
+        parse_mp4(data[: len(data) - 4])  # last box overruns
+    from gmall_flink_spark.llm.multimodal import _mp4_box
+
+    with pytest.raises(ValueError):
+        parse_mp4(_mp4_box(b"ftyp", b"isom"))  # well-formed but no moov
+
+
+def test_video_meta_matches_generative_formulas(spark):
+    """video_mp4_table -> video_meta end-to-end: per-clip metadata equals
+    the generative formulas, and exactly the %MP4_CORRUPT_MOD clips
+    dead-letter (ok=0, NULL fields)."""
+    from gmall_flink_spark.llm.multimodal import (
+        MP4_CORRUPT_MOD,
+        video_meta,
+        video_mp4_table,
+    )
+
+    rows = {
+        r["media_id"]: r
+        for r in video_meta(video_mp4_table(spark, SF)).limit(60).collect()
+    }
+    assert rows, "no video rows emitted"
+    names = ["avc1", "mp4a", "hvc1"]
+    for mid, r in rows.items():
+        assert mid % 3 == 2
+        if mid % MP4_CORRUPT_MOD == 0:
+            assert r["ok"] == 0 and r["timescale"] is None and r["codecs"] is None
+            continue
+        ts = 600 * (mid % 4 + 1)
+        dur = ts * (mid % 30 + 1) + mid % 97
+        assert r["ok"] == 1
+        assert r["timescale"] == ts and r["duration"] == dur
+        assert r["duration_ms"] == 1000 * dur // ts
+        assert r["track_ct"] == mid % 2 + 1
+        assert r["codecs"] == ",".join(
+            names[(mid // 3 + i) % 3] for i in range(mid % 2 + 1)
+        )

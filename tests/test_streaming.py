@@ -246,6 +246,80 @@ def test_topic_router_replay_after_publish_before_marker(spark):
     assert rows(spark.read.parquet(out)) == once
 
 
+def test_topic_router_compaction_preserves_content_and_replay(spark):
+    """K2 file-count growth (VERDICT r10 task 6): the append sink adds one
+    file per (topic, batch); compact_topics folds PUBLISHED batches into
+    one file per topic, preserving content exactly, and a replay of an
+    already-marked batch after compaction is still a marker-skipped no-op
+    (compaction never touches unmarked batches, so the deterministic
+    scrub tags of an in-flight batch survive)."""
+    import glob
+
+    from gmall_flink_spark.sinks.upsert import compact_topics, topic_router
+
+    out = os.path.join(TMP, "routed_compact")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    writer = topic_router(out)
+    n_batches = 6
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b * 100 + i, f"t{i % 2}") for i in range(10)],
+            "id int, sink_table string",
+        )
+        writer(df, b)
+    before = rows(spark.read.parquet(out))
+
+    def file_ct(topic):
+        return len(glob.glob(os.path.join(out, f"sink_table={topic}", "*.parquet")))
+
+    # at least one file per batch (several when the batch has multiple
+    # partitions): the unbounded growth compaction exists to stop
+    assert file_ct("t0") >= n_batches
+    stats = compact_topics(spark, out, max_files=2)
+    assert set(stats) == {"sink_table=t0", "sink_table=t1"}
+    assert file_ct("t0") == 1 and file_ct("t1") == 1
+    assert rows(spark.read.parquet(out)) == before  # content preserved
+
+    # replay of a published batch after compaction: marker fast path
+    writer(
+        spark.createDataFrame(
+            [(0, "t0")], "id int, sink_table string"
+        ),
+        n_batches - 1,
+    )
+    assert rows(spark.read.parquet(out)) == before
+
+    # idempotent: nothing left over max_files
+    assert compact_topics(spark, out, max_files=2) == {}
+
+
+def test_rollup_sink_file_count_bounded_across_batches(spark):
+    """The MERGE sink family does NOT need compaction: swap_buckets
+    REWRITES each touched bucket per batch, so a bucket's file count is
+    bounded by write parallelism, not by how many batches ever merged —
+    pinned here so the append-vs-merge file-growth distinction (SCALE.md
+    r11) stays true in code."""
+    import glob
+
+    from gmall_flink_spark.sinks.rollup import merge_rollup, read_state
+
+    state = os.path.join(TMP, "rollup_filecount")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    n_batches = 6
+    counts = []
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(f"k{i}", 1) for i in range(8)], "k string, v_ct bigint"
+        )
+        merge_rollup(state, df, ["k"], n_buckets=4)
+        counts.append(len(glob.glob(os.path.join(state, "__bucket=*", "*.parquet"))))
+    assert counts[-1] <= counts[0] + 4, f"file counts grew with batches: {counts}"
+    got = {r["k"]: r["v_ct"] for r in read_state(spark, state).collect()}
+    assert got == {f"k{i}": n_batches for i in range(8)}
+
+
 def test_interval_join_stream_equals_batch(spark, events_slices):
     """J5: stream-stream event-time interval join (the pay-suc join shape,
     DwdTradePayDetailSuc.java:100-127) — watermarked streaming inner join
