@@ -294,6 +294,35 @@ def test_topic_router_compaction_preserves_content_and_replay(spark):
     assert compact_topics(spark, out, max_files=2) == {}
 
 
+def test_streaming_trained_unigram_equals_batch(spark):
+    """Unigram-LM training over a STREAM: the word-frequency table is the
+    trainer's sufficient statistic (the NB-classifier pattern — counts
+    merge algebraically), so maintaining it through the rollup sink per
+    micro-batch and training on the final state must equal the batch
+    trainer bit-for-bit: same vocab, same counts, same ranks/costs."""
+    from gmall_flink_spark.llm.unigram import unigram_train, word_counts
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+
+    docs = table(spark, SF, "documents")
+    slices = os.path.join(TMP, "unigram_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "unigram_wordcounts")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+
+    writer = rollup_writer(
+        state,
+        ["word"],
+        lambda b: word_counts(b).withColumnRenamed("wcount", "w_ct"),
+    )
+    run_available_now(stream_from(spark, slices, docs), foreach_batch=writer)
+
+    streamed_words = read_state(spark, state).withColumnRenamed("w_ct", "wcount")
+    got = rows(unigram_train(streamed_words))
+    want = rows(unigram_train(word_counts(docs)))
+    assert got == want and got
+
+
 def test_rollup_sink_file_count_bounded_across_batches(spark):
     """The MERGE sink family does NOT need compaction: swap_buckets
     REWRITES each touched bucket per batch, so a bucket's file count is
