@@ -347,7 +347,11 @@ def merge_components_artifact(
 
     check_buckets(path, n_buckets)
     empty_marker = os.path.join(path, "_EMPTY")
-    if os.path.exists(empty_marker):
+    has_buckets = os.path.exists(path) and any(
+        n.startswith("__bucket=") for n in os.listdir(path)
+    )
+    if os.path.exists(empty_marker) or not has_buckets:
+        # fresh or empty-marked state: the first delta seeds the table
         old = spark.createDataFrame([], "doc_id bigint, component bigint")
     else:
         old = read_state(spark, path)
@@ -386,6 +390,45 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components_exact (prefix-filtered, sampled), and SCALE.md's r6
     section states when to reach for which."""
     return _components(spark, sf_dir).orderBy("doc_id")
+
+
+def components_writer(path: str, n_buckets: int = COMPONENTS_N_BUCKETS):
+    """foreachBatch form of merge_components_artifact: a STREAM of new
+    verified near-dup edges (doc_a, doc_b) continuously maintains the
+    persisted component mapping — the governed dedup table stays current
+    as the ingest pipeline discovers pairs, instead of being re-clustered
+    per session. Idempotent by construction: re-merging a delivered
+    batch's edges is a no-op (the contracted graph collapses to
+    self-loops and the delta is empty), so checkpoint replay after a
+    crash needs no marker — the same argument as the keyed MERGE sinks.
+    Stream == full batch rebuild is pinned by
+    test_components_writer_stream_equals_rebuild."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        merge_components_artifact(
+            batch_df.sparkSession, path, batch_df, n_buckets
+        )
+
+    return write
+
+
+def dedup_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental maintenance path AS a mapping producer, oracle-
+    checked end-to-end (VERDICT r10 task 2): build the v1 mapping on the
+    verified pair graph EXCLUDING docs with doc_id % 5 == 0 (the
+    corpus-version-delta stand-in), then llm.dedup.merge_components folds
+    the held-out delta edges in — contracted-graph CC, cost ∝ the delta's
+    cluster overlap. The result must equal connected components of the
+    FULL graph, so the oracle is dedup_components' from-scratch
+    recursive-CTE closure verbatim: an incremental engine path agreeing
+    with a from-scratch oracle is exactly the maintenance guarantee a
+    governed dedup table needs."""
+    from gmall_flink_spark.llm.dedup import connected_components, merge_components
+
+    pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    is_delta = (F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0)
+    v1 = connected_components(pairs.where(~is_delta))
+    return merge_components(v1, pairs.where(is_delta)).orderBy("doc_id")
 
 
 def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,6 +1326,7 @@ QUERIES = {
     "substr_cut_plan": substr_cut_plan,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
+    "dedup_components_incremental": dedup_components_incremental,
     "dedup_rep_select": dedup_rep_select,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "web_domain_dup_rate": web_domain_dup_rate,
@@ -2162,3 +2206,7 @@ ORACLE["substr_cut_plan"] = f"""
            n_toks - covered_ct AS kept_token_ct
     FROM per_doc ORDER BY doc_id
 """
+
+# the incremental maintenance path must equal the from-scratch closure —
+# its oracle IS dedup_components' recursive-CTE oracle, verbatim
+ORACLE["dedup_components_incremental"] = ORACLE["dedup_components"]

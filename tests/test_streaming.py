@@ -294,7 +294,35 @@ def test_topic_router_compaction_preserves_content_and_replay(spark):
     assert compact_topics(spark, out, max_files=2) == {}
 
 
-def test_streaming_trained_unigram_equals_batch(spark):
+def test_components_writer_stream_equals_rebuild(spark):
+    """Continuously maintained near-dup clustering: verified pair edges
+    replayed in 3 micro-batches through components_writer (contracted-
+    graph merge per batch, touched buckets only) must leave the persisted
+    mapping equal to connected components over ALL edges — and re-merging
+    a delivered batch must be a no-op (idempotence under checkpoint
+    replay: already-merged edges contract to self-loops)."""
+    from gmall_flink_spark.llm.dedup import connected_components
+    from gmall_flink_spark.queries.llm_dedup import (
+        _verified_pairs,
+        components_writer,
+    )
+    from gmall_flink_spark.sinks._bucketed import read_state
+
+    pairs = _verified_pairs(spark, SF).select("doc_a", "doc_b")
+    slices = os.path.join(TMP, "comp_edge_slices")
+    split_into_files(pairs, 3, "doc_a", slices)
+    state = os.path.join(TMP, "comp_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+
+    writer = components_writer(state)
+    run_available_now(stream_from(spark, slices, pairs), foreach_batch=writer)
+    want = rows(connected_components(pairs))
+    assert rows(read_state(spark, state)) == want and want
+
+    # replay the whole edge set as one extra batch: no-op
+    writer(pairs, 99)
+    assert rows(read_state(spark, state)) == want
     """Unigram-LM training over a STREAM: the word-frequency table is the
     trainer's sufficient statistic (the NB-classifier pattern — counts
     merge algebraically), so maintaining it through the rollup sink per
