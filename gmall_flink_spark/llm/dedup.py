@@ -670,9 +670,16 @@ def merge_components(mapping: DataFrame, new_edges: DataFrame, max_rounds: int =
     proportional to the DELTA's cluster overlap, not the corpus; the full
     mapping is touched by exactly one relabel join (and the bucketed
     artifact form rewrites only the buckets holding changed rows — see
-    queries/llm_dedup.merge_components_artifact)."""
-    m = mapping.localCheckpoint(eager=True)
-    e = new_edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    queries/llm_dedup.merge_components_artifact).
+
+    Materialization is CALLER-OWNED: this function checkpoints nothing —
+    a per-call localCheckpoint of the full mapping would leak lingering
+    blocks across a long-running maintenance stream (the r04 pin_batch
+    lesson); components_writer pins the batch edges deterministically and
+    the mapping side is a plain (cheap, columnar) table re-scan per
+    consumer."""
+    m = mapping
+    e = new_edges.select("doc_a", "doc_b")
     ma = m.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("_ca"))
     mb = m.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("_cb"))
     contracted = (

@@ -253,10 +253,13 @@ def mp4_bytes(duration: int, timescale: int, codecs: list[str]) -> bytes:
 def parse_mp4(data: bytes) -> tuple[int, int, int, list[str]]:
     """REAL ISO-BMFF box walk (stdlib struct only): top-level scan for
     moov, mvhd v0/v1 -> (timescale, duration), one stsd descent per trak
-    -> first sample entry's codec fourcc. Returns (timescale, duration,
-    track_count, codecs). Raises on any malformed box (bad size,
-    truncation, missing moov/mvhd/stsd) — the dead-letter contract: a
-    corrupt blob becomes an error row, never a dead job."""
+    -> first sample entry's codec fourcc. Handles all three box-size
+    forms of ISO/IEC 14496-12 §4.2: plain 32-bit, size==1 (64-bit
+    largesize — the >4 GiB mdat case), size==0 (box extends to the end of
+    the enclosing scope). Returns (timescale, duration, track_count,
+    codecs). Raises on any malformed box (bad size, truncation, missing
+    moov/mvhd/stsd) — the dead-letter contract: a corrupt blob becomes an
+    error row, never a dead job."""
     import struct
 
     def walk(start: int, end: int):
@@ -265,9 +268,17 @@ def parse_mp4(data: bytes) -> tuple[int, int, int, list[str]]:
             if pos + 8 > end:
                 raise ValueError("truncated box header")
             (size,) = struct.unpack(">I", data[pos : pos + 4])
-            if size < 8 or pos + size > end:
+            hdr = 8
+            if size == 1:  # 64-bit largesize follows the type (>4 GiB boxes)
+                if pos + 16 > end:
+                    raise ValueError("truncated largesize header")
+                (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to the end of the enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
                 raise ValueError("bad box size")
-            yield data[pos + 4 : pos + 8], pos + 8, pos + size
+            yield data[pos + 4 : pos + 8], pos + hdr, pos + size
             pos += size
 
     def find(tag: bytes, start: int, end: int) -> tuple[int, int] | None:
@@ -409,14 +420,24 @@ def video_meta(df: DataFrame) -> DataFrame:
         import struct
 
         def walk(data: bytes, start: int, end: int):
+            # inline twin of module-level parse_mp4's walk (incl. the
+            # size==1 largesize and size==0 to-end-of-scope forms)
             pos = start
             while pos < end:
                 if pos + 8 > end:
                     raise ValueError("truncated box header")
                 (size,) = struct.unpack(">I", data[pos : pos + 4])
-                if size < 8 or pos + size > end:
+                hdr = 8
+                if size == 1:
+                    if pos + 16 > end:
+                        raise ValueError("truncated largesize header")
+                    (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr or pos + size > end:
                     raise ValueError("bad box size")
-                yield data[pos + 4 : pos + 8], pos + 8, pos + size
+                yield data[pos + 4 : pos + 8], pos + hdr, pos + size
                 pos += size
 
         def find(data: bytes, tag: bytes, start: int, end: int):

@@ -203,8 +203,12 @@ def unigram_train(words: DataFrame, rounds: int = UNIGRAM_EM_ROUNDS) -> DataFram
     collect of the bounded vocab, one map-only segmentation pass, one
     piece-key shuffle for the recount."""
     words = words.localCheckpoint(eager=True)
-    seed = seed_vocab(words)
-    chars = seed.where(F.length("piece") == 1).select("piece").localCheckpoint(eager=True)
+    # one materialization of the substring-explosion aggregate: `chars`
+    # and the round-0 ranking both read it (unmaterialized, Catalyst
+    # re-runs the explode+groupBy per consumer — the llm_corpus_build
+    # plan lesson)
+    seed = seed_vocab(words).localCheckpoint(eager=True)
+    chars = seed.where(F.length("piece") == 1).select("piece")
     vocab = ranked(seed).localCheckpoint(eager=True)
     for _ in range(rounds):
         costs = collect_costs(vocab)

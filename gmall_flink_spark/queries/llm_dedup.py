@@ -355,26 +355,34 @@ def merge_components_artifact(
         old = spark.createDataFrame([], "doc_id bigint, component bigint")
     else:
         old = read_state(spark, path)
-    full = merge_components(old, new_edges)
-    # delta = rows the merge changed or added; (doc_id, component) rows the
-    # old table already holds survive untouched in their buckets
-    delta = full.join(old, ["doc_id", "component"], "left_anti")
-    pinned = pin_batch(with_bucket(delta, ["doc_id"], n_buckets))
+    # pin the batch edges once (merge_components consumes them from three
+    # joins and checkpoints NOTHING itself — caller-owned materialization,
+    # freed deterministically below, the pin_batch discipline); the
+    # mapping side stays a plain columnar re-scan per consumer
+    edges = pin_batch(new_edges.select("doc_a", "doc_b"))
     try:
-        buckets = touched_buckets(pinned)
-        if not buckets:
-            return
-        prior = read_prior(spark, path, buckets)
-        merged = pinned
-        if prior is not None:
-            merged = prior.join(
-                pinned.select("doc_id"), "doc_id", "left_anti"
-            ).select(*pinned.columns).unionAll(pinned)
-        swap_buckets(merged, path, buckets, n_buckets)
-        if os.path.exists(empty_marker):
-            os.remove(empty_marker)
+        full = merge_components(old, edges)
+        # delta = rows the merge changed or added; (doc_id, component) rows
+        # the old table already holds survive untouched in their buckets
+        delta = full.join(old, ["doc_id", "component"], "left_anti")
+        pinned = pin_batch(with_bucket(delta, ["doc_id"], n_buckets))
+        try:
+            buckets = touched_buckets(pinned)
+            if not buckets:
+                return
+            prior = read_prior(spark, path, buckets)
+            merged = pinned
+            if prior is not None:
+                merged = prior.join(
+                    pinned.select("doc_id"), "doc_id", "left_anti"
+                ).select(*pinned.columns).unionAll(pinned)
+            swap_buckets(merged, path, buckets, n_buckets)
+            if os.path.exists(empty_marker):
+                os.remove(empty_marker)
+        finally:
+            unpin_batch(pinned)
     finally:
-        unpin_batch(pinned)
+        unpin_batch(edges)
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

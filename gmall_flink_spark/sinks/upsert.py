@@ -86,6 +86,34 @@ def upsert_writer(state_path: str, keys: list[str], order_by: list[str], n_bucke
     return write
 
 
+def _heal_topic_asides(base_path: str, topic_col: str) -> None:
+    """Recover a compaction that crashed between its two renames: an
+    aside dir (`<topic>.__old__`) whose live topic is missing is restored;
+    a leftover aside next to a live topic is dropped. Orphaned staging
+    directories from crashed publishes/compactions (`__stage_*`,
+    `__compact_read_*`, `__compact_stage_*` — hidden to Spark readers but
+    each holding a batch-sized copy) are swept too, so repeated crashes
+    never leak unbounded disk. Runs at the top of BOTH the writer and the
+    compactor (single-writer sink discipline — the same assumption every
+    foreachBatch sink here makes — so a swept stage can only be a dead
+    run's leftover, never a live run's work in progress)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(base_path):
+        return
+    for d in sorted(os.listdir(base_path)):
+        p = os.path.join(base_path, d)
+        if d.startswith(f"{topic_col}=") and d.endswith(".__old__"):
+            live = os.path.join(base_path, d[: -len(".__old__")])
+            if os.path.exists(live):
+                shutil.rmtree(p)
+            else:
+                os.replace(p, live)
+        elif d.startswith(("__stage_", "__compact_read_", "__compact_stage_")):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def topic_router(base_path: str, topic_col: str = "sink_table"):
     """K2: route each row to its own sink directory by a per-row column.
 
@@ -116,6 +144,7 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
         qid = streaming_query_id(batch_df)
         if batch_id <= last_merged_batch(base_path, qid):
             return
+        _heal_topic_asides(base_path, topic_col)
         tag = f"pub-{qid or 'nolineage'}-{batch_id}"
         # scrub a partial publish of this very batch (crash mid-move /
         # crash between full publish and marker) — the re-publish below
@@ -168,13 +197,19 @@ def compact_topics(
     marked batch's replay exits on the marker fast path and never reaches
     the scrub, which is what makes compacting it safe).
 
+    Files from a lineage OTHER than the marker's belong to a dead query
+    (the marker records only the latest lineage) and are compactable: a
+    dead lineage can never replay into this sink again, so nothing will
+    scrub its tags — and skipping them would freeze every pre-reset file
+    out of compaction forever.
+
     Crash-safe like swap_buckets: stage a full replacement directory
     (compacted file + passthrough links), move the live topic dir aside,
     install, drop the aside copy; a crash between the two renames is
-    healed on the next call (aside dir present + live missing -> restore).
+    healed on the next call (aside dir present + live missing -> restore),
+    and orphaned staging directories from crashed runs are swept.
     Returns {topic: (files_before, files_after)} for the rewritten topics.
     """
-    import glob as _glob
     import os
     import shutil
     import uuid as _uuid
@@ -198,20 +233,26 @@ def compact_topics(
                 parts = stem.rsplit("-", 2)
                 if len(parts) != 3:
                     return False
-                return parts[0] == lineage and int(parts[1]) <= hi
+                if parts[0] != lineage:
+                    # a DEAD lineage (the marker records only the latest):
+                    # its query can never replay here again, so its files
+                    # are safely compactable — without this, one checkpoint
+                    # reset would freeze every older file out of
+                    # compaction forever and the growth would return
+                    return True
+                return int(parts[1]) <= hi
         return False
+
+    # heal crashed prior compactions FIRST (an aside is itself named
+    # `<topic>.__old__`, so the main loop below must skip those names)
+    _heal_topic_asides(base_path, topic_col)
 
     stats: dict[str, tuple[int, int]] = {}
     for d in sorted(os.listdir(base_path)):
-        if not d.startswith(f"{topic_col}="):
+        if not d.startswith(f"{topic_col}=") or d.endswith(".__old__"):
             continue
         tdir = os.path.join(base_path, d)
         old = tdir + ".__old__"
-        if os.path.exists(old):  # heal a crashed prior compaction
-            if os.path.exists(tdir):
-                shutil.rmtree(old)
-            else:
-                os.replace(old, tdir)
         files = sorted(n for n in os.listdir(tdir) if n.endswith(".parquet"))
         if len(files) <= max_files:
             continue

@@ -268,6 +268,19 @@ def test_mp4_roundtrip_and_corrupt():
     with pytest.raises(ValueError):
         parse_mp4(_mp4_box(b"ftyp", b"isom"))  # well-formed but no moov
 
+    # ISO/IEC 14496-12 §4.2 alternate size forms must parse, not
+    # dead-letter: size==1 (64-bit largesize) and size==0 (to end of scope)
+    import struct
+
+    ftyp_len = struct.unpack(">I", data[:4])[0]  # first box's total size
+    ftyp, moov = data[:ftyp_len], data[ftyp_len:]
+    large_moov = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", len(moov) + 8) + moov[8:]
+    )
+    assert parse_mp4(ftyp + large_moov) == (90000, 123456, 2, ["avc1", "mp4a"])
+    tail_free = struct.pack(">I", 0) + b"free"  # size 0: extends to EOF
+    assert parse_mp4(data + tail_free) == (90000, 123456, 2, ["avc1", "mp4a"])
+
 
 def test_video_meta_matches_generative_formulas(spark):
     """video_mp4_table -> video_meta end-to-end: per-clip metadata equals

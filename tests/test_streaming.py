@@ -323,6 +323,9 @@ def test_components_writer_stream_equals_rebuild(spark):
     # replay the whole edge set as one extra batch: no-op
     writer(pairs, 99)
     assert rows(read_state(spark, state)) == want
+
+
+def test_streaming_trained_unigram_equals_batch(spark):
     """Unigram-LM training over a STREAM: the word-frequency table is the
     trainer's sufficient statistic (the NB-classifier pattern — counts
     merge algebraically), so maintaining it through the rollup sink per
@@ -349,6 +352,39 @@ def test_components_writer_stream_equals_rebuild(spark):
     got = rows(unigram_train(streamed_words))
     want = rows(unigram_train(word_counts(docs)))
     assert got == want and got
+
+
+def test_compact_topics_heals_crashed_swap(spark):
+    """compact_topics crash window: a crash between the move-aside and the
+    install leaves `<topic>.__old__` present and the live dir missing; the
+    next call must restore the aside copy before doing anything else (the
+    swap_buckets recovery discipline), so no rows are ever lost."""
+    from gmall_flink_spark.sinks.upsert import compact_topics, topic_router
+
+    out = os.path.join(TMP, "routed_heal")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    writer = topic_router(out)
+    for b in range(3):
+        writer(
+            spark.createDataFrame(
+                [(b * 10 + i, "t0") for i in range(5)],
+                "id int, sink_table string",
+            ),
+            b,
+        )
+    before = rows(spark.read.parquet(out))
+    # simulate the crash: live dir moved aside, install never happened
+    live = os.path.join(out, "sink_table=t0")
+    os.replace(live, live + ".__old__")
+    # plus an orphaned staging dir from a crashed publish: swept, and its
+    # contents never enter the table
+    orphan = os.path.join(out, "__stage_deadbeef")
+    os.makedirs(orphan)
+    compact_topics(spark, out, max_files=1)
+    assert rows(spark.read.parquet(out)) == before
+    assert os.path.exists(live) and not os.path.exists(live + ".__old__")
+    assert not os.path.exists(orphan)
 
 
 def test_rollup_sink_file_count_bounded_across_batches(spark):
