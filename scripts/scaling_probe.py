@@ -168,6 +168,50 @@ def build_distinct_documents(spark, root: str, base: str, k: int) -> None:
     out.repartition(16).write.parquet(d)
 
 
+def build_distinct_facts(spark, root: str, base: str, k: int) -> None:
+    """Replace the symlinked orders / lineitem / events replication under
+    ``root`` with K ID-DISTINCT replicas (replica 0 = the originals
+    verbatim): o_orderkey and l_orderkey shift by the SAME stride (their
+    join survives per replica), event_id and user_id shift by their own
+    strides. Dim FKs (o_custkey, l_partkey, l_suppkey) stay — dims remain
+    1x, so dim joins keep their selectivity. Symlink replication keeps
+    duplicate keys, so every fact-fact equi-join fans out xK per matched
+    pair (output xK^2 per join edge — the cdc_order_detail_wide x42.5
+    artifact); id-distinct replication is what a true sfK generator
+    produces, and it also grows the KEY space of user-keyed state xK."""
+    from pyspark.sql import functions as F
+
+    def stride_of(df, col):
+        m = df.agg(F.max(col)).collect()[0][0]
+        return ((int(m) // 4) + 1) * 4
+
+    orders = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+    events = spark.read.parquet(os.path.join(base, "events.parquet"))
+    o_stride = max(stride_of(orders, "o_orderkey"), stride_of(lineitem, "l_orderkey"))
+    e_stride = stride_of(events, "event_id")
+    u_stride = stride_of(events, "user_id")
+
+    def shifted(df, shifts, i):
+        out = df
+        for col, stride in shifts:
+            out = out.withColumn(col, F.col(col) + F.lit(i * stride))
+        return out
+
+    plans = {
+        "orders": (orders, [("o_orderkey", o_stride)]),
+        "lineitem": (lineitem, [("l_orderkey", o_stride)]),
+        "events": (events, [("event_id", e_stride), ("user_id", u_stride)]),
+    }
+    for name, (df, shifts) in plans.items():
+        out = df
+        for i in range(1, k):
+            out = out.unionAll(shifted(df, shifts, i))
+        d = os.path.join(root, f"{name}.parquet")
+        shutil.rmtree(d)
+        out.repartition(16).write.parquet(d)
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     distinct = "--distinct" in sys.argv[1:]

@@ -5,14 +5,15 @@ rows, 1M orders, 1M events, 600k docs) in ONE session, and write the
 per-query ratio table to BENCH_LOCAL_sf1.json.
 
 No sf1 testdata exists in this environment, so the decade comes from the
-scaling-probe construction: every FACT table becomes a directory of 10
-symlinks to the sf0.1 parquet (dims stay 1x — at scale dims grow far
-slower than facts), EXCEPT documents, which is materialized as 10
-ID-DISTINCT token-salted replicas (build_distinct_documents) because
-symlink replication is dedup-adversarial — every copy is an exact dup of
-9 others and pair volume grows ~K^2 without the corpus actually growing.
-Embeddings stay symlinked: annotate, don't hide, the replication caveats
-(exact-dup vectors inflate near-dup pair families; see SCALE.md r11).
+scaling-probe construction (dims stay 1x — at scale dims grow far slower
+than facts): documents materialize as 10 ID-DISTINCT token-salted
+replicas (symlink replication is dedup-adversarial), and orders /
+lineitem / events materialize as 10 ID-DISTINCT key-shifted replicas
+(symlinked ids made every fact-fact equi-join fan out xK per matched
+pair — output xK^2 per join edge, the cdc_order_detail_wide x42.5
+artifact of the first r11 run). Only embeddings stay symlinked:
+annotate, don't hide, the replication caveats (exact-dup vectors inflate
+near-dup pair families; see SCALE.md r11).
 
 Per query: one warm-up run at sf0.1 (codegen out of the clock), then one
 timed run per scale, memos cleared between scales so nothing is served
@@ -39,7 +40,11 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    from scaling_probe import build_distinct_documents, build_scaled_dir
+    from scaling_probe import (
+        build_distinct_documents,
+        build_distinct_facts,
+        build_scaled_dir,
+    )
 
     import bench as B
     from gmall_flink_spark.registry import all_queries
@@ -50,6 +55,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     scaled = build_scaled_dir(base, k)
     build_distinct_documents(spark, scaled, base, k)
+    # relational facts id-distinct too (r11 second pass): symlinked ids
+    # made every fact-fact join fan out xK^2 (cdc_order_detail_wide x42.5)
+    build_distinct_facts(spark, scaled, base, k)
 
     queries = all_queries()
     subset = B.HEADLINE[: B.R1_HEADLINE_N]
