@@ -400,7 +400,44 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _components(spark, sf_dir).orderBy("doc_id")
 
 
-def components_writer(path: str, n_buckets: int = COMPONENTS_N_BUCKETS):
+#: fixed-point scale of the LSH sensitivity curve (probabilities ×1e6)
+LSH_CURVE_Q = 1_000_000
+
+
+def lsh_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLAN step of the dedup governance story (detect → verify →
+    audit → plan): the banded-MinHash S-curve P(candidate) =
+    1 − (1 − t^r)^b for the PRODUCTION constants — the coarse banding
+    (b = MINHASH_K/ROWS_PER_BAND bands of r = ROWS_PER_BAND rows) and the
+    fine re-band (r = FINE_ROWS_PER_BAND) — evaluated at jaccard t = 5%..
+    95% in 5% steps. This is the table that justifies (k, r) choices
+    before a corpus run: where each curve crosses ~50% is its effective
+    similarity threshold (Leskovec et al., MMDS ch.3 — public).
+
+    INTEGER-EXACT fixed point (the oracle-determinism rule: no float pow,
+    whose last-ulp rounding could differ across engines — here not even
+    exact-double POW is used, only bigint multiply/div): with Q = 1e6 and
+    t = pct/100, s = (Q · pct^r) div 100^r (pct^r ≤ 95^6 ≈ 7.4e11 and
+    Q·pct^r ≈ 7.4e17 both fit bigint), then miss-all-bands folds one band
+    at a time, acc ← (acc · (Q − s)) div Q — bounded by Q at every step.
+    The oracle unrolls the identical fold (same Python loop builds both
+    sides). Input is a generated 19-row frame; sf_dir is unused (the curve
+    depends only on the constants) but kept for the registry signature."""
+    q = LSH_CURVE_Q
+    out = spark.range(1, 20).select((F.col("id") * 5).cast("bigint").alias("pct"))
+    for tag, r in (("coarse", ROWS_PER_BAND), ("fine", FINE_ROWS_PER_BAND)):
+        b = MINHASH_K // r
+        mul = " * ".join(["pct"] * r)
+        out = out.withColumn(
+            f"__s", F.expr(f"CAST(({q} * ({mul})) DIV {100 ** r} AS BIGINT)")
+        )
+        out = out.withColumn(f"__m", F.lit(q).cast("bigint"))
+        for _ in range(b):
+            out = out.withColumn("__m", F.expr(f"(__m * ({q} - __s)) DIV {q}"))
+        out = out.withColumn(
+            f"p_cand_{tag}_q", F.expr(f"CAST({q} - __m AS BIGINT)")
+        ).drop("__s", "__m")
+    return out.select("pct", "p_cand_coarse_q", "p_cand_fine_q").orderBy("pct")
     """foreachBatch form of merge_components_artifact: a STREAM of new
     verified near-dup edges (doc_a, doc_b) continuously maintains the
     persisted component mapping — the governed dedup table stays current
@@ -1335,6 +1372,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_components": dedup_components,
     "dedup_components_incremental": dedup_components_incremental,
+    "lsh_sensitivity_curve": lsh_sensitivity_curve,
     "dedup_rep_select": dedup_rep_select,
     "dedup_bloom_prefilter": dedup_bloom_prefilter,
     "web_domain_dup_rate": web_domain_dup_rate,
@@ -2218,3 +2256,28 @@ ORACLE["substr_cut_plan"] = f"""
 # the incremental maintenance path must equal the from-scratch closure —
 # its oracle IS dedup_components' recursive-CTE oracle, verbatim
 ORACLE["dedup_components_incremental"] = ORACLE["dedup_components"]
+
+
+def _lsh_curve_oracle() -> str:
+    """Unrolls the IDENTICAL integer fold as lsh_sensitivity_curve (same
+    constants, same per-band acc·(Q−s) div Q steps) — the two sides are
+    generated from one loop shape, so the lockstep is structural."""
+    q = LSH_CURVE_Q
+    cols = []
+    for tag, r in (("coarse", ROWS_PER_BAND), ("fine", FINE_ROWS_PER_BAND)):
+        b = MINHASH_K // r
+        mul = " * ".join(["pct"] * r)
+        s = f"(({q} * ({mul})) // {100 ** r})"
+        acc = str(q)
+        for _ in range(b):
+            acc = f"(({acc} * ({q} - {s})) // {q})"
+        cols.append(f"CAST({q} - {acc} AS BIGINT) AS p_cand_{tag}_q")
+    return f"""
+        SELECT CAST(x * 5 AS BIGINT) AS pct,
+               {", ".join(cols)}
+        FROM generate_series(1, 19) t(x)
+        ORDER BY pct
+    """
+
+
+ORACLE["lsh_sensitivity_curve"] = _lsh_curve_oracle()

@@ -543,3 +543,36 @@ def test_substr_randomized_corpus_matches_oracle(spark, tmp_path):
         got = [tuple(r) for r in fn(spark, sf).collect()]
         want = con.sql(ORACLE[key]).fetchall()
         assert got == want and len(got) > 10, (key, len(got))
+
+
+def test_lsh_sensitivity_curve_matches_theory(spark):
+    """The integer S-curve must agree with float theory within fixed-point
+    error and be strictly monotone: P = 1-(1-t^r)^b at the production
+    (r, b) pairs, crossover of the coarse curve near (1-(1/2)^(1/b))^(1/r)
+    ~ 0.54 — the number that says 'the coarse banding is a ~0.5-jaccard
+    candidate net', which is why the j >= 0.9 verify keeps precision."""
+    from gmall_flink_spark.queries.llm_dedup import (
+        FINE_ROWS_PER_BAND,
+        LSH_CURVE_Q,
+        MINHASH_K,
+        ROWS_PER_BAND,
+        lsh_sensitivity_curve,
+    )
+
+    rows = {
+        r["pct"]: (r["p_cand_coarse_q"], r["p_cand_fine_q"])
+        for r in lsh_sensitivity_curve(spark, "unused").collect()
+    }
+    assert len(rows) == 19
+    prev = (-1, -1)
+    for pct in sorted(rows):
+        t = pct / 100
+        for got, r in ((rows[pct][0], ROWS_PER_BAND), (rows[pct][1], FINE_ROWS_PER_BAND)):
+            b = MINHASH_K // r
+            want = (1 - (1 - t**r) ** b) * LSH_CURVE_Q
+            # per-band integer floor loses < b units of Q each fold
+            assert abs(got - want) <= 4 * b + 2, (pct, r, got, want)
+        assert rows[pct] > prev, "curve not strictly monotone"
+        prev = rows[pct]
+    # coarse curve crosses 50% between 50% and 55% jaccard (theory 0.542)
+    assert rows[50][0] < LSH_CURVE_Q // 2 < rows[55][0]
