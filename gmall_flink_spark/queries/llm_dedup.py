@@ -155,6 +155,14 @@ def _lsh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: content stamp), and the j-threshold lives in exactly one place.
 _VERIFIED: dict[tuple, DataFrame] = {}
 
+#: exact-jaccard verify threshold j >= VERIFY_J_NUM/VERIFY_J_DEN for the
+#: LSH-candidate pair graph — hoisted out of _verified_pairs' body so the
+#: artifact stamp hashes it as a CONSTANT (ADVICE r11 / VERDICT r11 task 3):
+#: the `WHERE 10 * inter >= 9 * uni` clauses in the oracle SQL mirror this
+#: ratio — changing it means changing both sides and re-running the sweep.
+VERIFY_J_NUM = 9
+VERIFY_J_DEN = 10
+
 
 def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.sources.tables import memo_key
@@ -163,11 +171,11 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
         cands = _lsh_cands(spark, sf_dir)
-        # ratio=(9, 10) is the lossless length prune for the j >= 0.9
+        # ratio=(NUM, DEN) is the lossless length prune for the j >= NUM/DEN
         # threshold below — identical verified output, fewer unit joins
-        jac = jaccard_pairs(units, cands, ratio=(9, 10))
+        jac = jaccard_pairs(units, cands, ratio=(VERIFY_J_NUM, VERIFY_J_DEN))
         _VERIFIED[key] = (
-            jac.where(10 * F.col("inter") >= 9 * F.col("uni"))
+            jac.where(VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni"))
             .select("doc_a", "doc_b", "inter", "uni")
             .localCheckpoint(eager=True)
         )
@@ -251,7 +259,16 @@ def _components_stamp(sf_dir: str) -> str:
         data = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         data = "0:0"
-    consts = repr((MINHASH_K, ROWS_PER_BAND, FINE_ROWS_PER_BAND, LSH_MAX_BUCKET))
+    consts = repr(
+        (
+            MINHASH_K,
+            ROWS_PER_BAND,
+            FINE_ROWS_PER_BAND,
+            LSH_MAX_BUCKET,
+            VERIFY_J_NUM,
+            VERIFY_J_DEN,
+        )
+    )
     producers = "".join(
         inspect.getsource(fn)
         for fn in (_doc_toks, _doc_units, _minhash_mx, _lsh_cands, _verified_pairs)
@@ -438,6 +455,9 @@ def lsh_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"p_cand_{tag}_q", F.expr(f"CAST({q} - __m AS BIGINT)")
         ).drop("__s", "__m")
     return out.select("pct", "p_cand_coarse_q", "p_cand_fine_q").orderBy("pct")
+
+
+def components_writer(path: str, n_buckets: int = COMPONENTS_N_BUCKETS):
     """foreachBatch form of merge_components_artifact: a STREAM of new
     verified near-dup edges (doc_a, doc_b) continuously maintains the
     persisted component mapping — the governed dedup table stays current

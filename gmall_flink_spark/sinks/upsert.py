@@ -128,7 +128,18 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
     re-publishes the same checkpoint-deterministic content — so a crash
     at ANY point (mid-stage, mid-move, before the marker) converges to
     exactly one copy at rest. The lineage marker stays as the fast path
-    that skips fully-published batches without re-staging them."""
+    that skips fully-published batches without re-staging them.
+
+    Exactly-once at rest holds ONLY under this module's single-writer
+    discipline plus one compactor contract (ADVICE r11): before its
+    first publish, a new lineage ANNOUNCES itself in the marker (batch
+    -1), so ``compact_topics`` can never mistake the live lineage's
+    not-yet-marked batches for a dead query's — compacting those would
+    strand the replay scrub (the merged file no longer carries the
+    batch tag) and the re-publish would land a second copy. Files of a
+    lineage the marker does NOT name are compacted as dead; run the
+    compactor only while the writer is stopped or between its batches
+    (same single-writer assumption as the MERGE sinks)."""
     import glob as _glob
     import os
     import shutil
@@ -145,6 +156,14 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
         if batch_id <= last_merged_batch(base_path, qid):
             return
         _heal_topic_asides(base_path, topic_col)
+        if last_merged_batch(base_path, qid) == -1:
+            os.makedirs(base_path, exist_ok=True)  # first write creates the sink
+            # lineage ANNOUNCE (ADVICE r11): claim the marker with batch -1
+            # BEFORE the first publish, so a compactor running in the
+            # crash window between publish and the real marker write sees
+            # this lineage as live (unpublished passthrough), never dead.
+            # One extra marker write per lineage, not per batch.
+            record_merged_batch(base_path, -1, qid)
         tag = f"pub-{qid or 'nolineage'}-{batch_id}"
         # scrub a partial publish of this very batch (crash mid-move /
         # crash between full publish and marker) — the re-publish below
@@ -216,32 +235,49 @@ def compact_topics(
 
     from gmall_flink_spark.sinks._bucketed import _LAST_BATCH
 
-    lineage, hi = "nolineage", -1
+    lineage, hi, have_marker = "nolineage", -1, False
     marker = os.path.join(base_path, _LAST_BATCH)
     if os.path.exists(marker):
         with open(marker) as fh:
             lines = fh.read().splitlines()
         if len(lines) >= 2:
-            lineage, hi = (lines[0] or "nolineage"), int(lines[1])
+            lineage, hi, have_marker = (lines[0] or "nolineage"), int(lines[1]), True
         elif len(lines) == 1:
-            hi = int(lines[0])
+            hi, have_marker = int(lines[0]), True
 
     def published(name: str) -> bool:
-        for prefix in ("pub-", "compact-"):
-            if name.startswith(prefix):
-                stem = name[len(prefix) : -len(".parquet")]
-                parts = stem.rsplit("-", 2)
-                if len(parts) != 3:
-                    return False
-                if parts[0] != lineage:
-                    # a DEAD lineage (the marker records only the latest):
-                    # its query can never replay here again, so its files
-                    # are safely compactable — without this, one checkpoint
-                    # reset would freeze every older file out of
-                    # compaction forever and the growth would return
-                    return True
-                return int(parts[1]) <= hi
-        return False
+        if name.startswith("compact-"):
+            # compacted output is at rest by construction: the replay
+            # scrub only targets pub-* tags, so re-merging is always safe
+            return True
+        if not name.startswith("pub-"):
+            return False
+        if not have_marker:
+            # no marker at all (ADVICE r11 medium): a crash between a
+            # lineage's first publish and its marker write would make the
+            # live lineage's files look dead — treat NOTHING as published
+            # rather than compact files a replay scrub still needs.
+            # (The writer's lineage-announce makes this window unreachable
+            # going forward; this is the defense for pre-announce dirs.)
+            return False
+        stem = name[len("pub-") : -len(".parquet")]
+        parts = stem.rsplit("-", 2)
+        if len(parts) != 3:
+            return False
+        if parts[0] != lineage:
+            # a DEAD lineage (the marker records only the latest, and the
+            # live one announces itself before its first publish): its
+            # query can never replay here again, so its files are safely
+            # compactable — without this, one checkpoint reset would
+            # freeze every older file out of compaction forever
+            return True
+        try:
+            return int(parts[1]) <= hi
+        except ValueError:
+            # stray file matching the lineage but with a non-numeric batch
+            # segment (ADVICE r11 low): treat as unpublished passthrough
+            # instead of aborting the whole compaction mid-scan
+            return False
 
     # heal crashed prior compactions FIRST (an aside is itself named
     # `<topic>.__old__`, so the main loop below must skip those names)

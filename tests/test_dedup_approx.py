@@ -116,6 +116,44 @@ def test_components_artifact_persists_and_invalidates(spark, tmp_path):
     assert {d for d, _ in refreshed} < {d for d, _ in first}
 
 
+def test_components_stamp_covers_every_producer_layer(tmp_path, monkeypatch):
+    """VERDICT r11 task 3 pin: the artifact stamp must move when ANY
+    layer the mapping derives from changes — the verify threshold
+    (hoisted into VERIFY_J_NUM/DEN constants), a producer function's
+    source (_verified_pairs et al.), and the tokenize rule — so six
+    consumer queries can never read a stale cross-session mapping."""
+    from gmall_flink_spark.queries import llm_dedup as qd
+
+    sf = str(tmp_path)  # no parquet needed: the stamp falls back to "0:0"
+    base = qd._components_stamp(sf)
+    assert qd._components_stamp(sf) == base  # deterministic
+
+    # 1) verify-threshold constant: the exact edit ADVICE r11 named
+    monkeypatch.setattr(qd, "VERIFY_J_NUM", 8)
+    assert qd._components_stamp(sf) != base
+    monkeypatch.undo()
+    assert qd._components_stamp(sf) == base
+
+    # 2) producer-function source: simulate an edited _verified_pairs
+    def _edited_verified_pairs(spark, sf_dir):
+        return None  # different source text is all the stamp sees
+
+    monkeypatch.setattr(qd, "_verified_pairs", _edited_verified_pairs)
+    assert qd._components_stamp(sf) != base
+    monkeypatch.undo()
+
+    # 3) tokenize rule: a re-sourced tokenizer must invalidate too
+    import gmall_flink_spark.functions.text as ftext
+
+    def _edited_tokenize(col):
+        return col
+
+    monkeypatch.setattr(ftext, "tokenize", _edited_tokenize)
+    assert qd._components_stamp(sf) != base
+    monkeypatch.undo()
+    assert qd._components_stamp(sf) == base
+
+
 def test_merge_components_equals_full_rebuild(spark):
     """Incremental component maintenance (VERDICT r10 task 2): split the
     real verified near-dup pair graph into a v1 slice and a delta slice

@@ -294,6 +294,128 @@ def test_topic_router_compaction_preserves_content_and_replay(spark):
     assert compact_topics(spark, out, max_files=2) == {}
 
 
+def test_compact_topics_no_marker_treats_nothing_as_published(spark):
+    """ADVICE r11 medium: with NO marker file, a live lineage's unmarked
+    pub files must pass through the compactor untouched (previously they
+    were misclassified as a dead lineage and merged, stranding the replay
+    scrub — the restarted query then re-published a second copy)."""
+    import glob
+
+    from gmall_flink_spark.sinks._bucketed import _LAST_BATCH
+    from gmall_flink_spark.sinks.upsert import compact_topics, topic_router
+
+    out = os.path.join(TMP, "routed_nomarker")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    writer = topic_router(out)
+    df = spark.createDataFrame(
+        [(i, "t0") for i in range(12)], "id int, sink_table string"
+    )
+    for b in range(4):
+        writer(df.withColumn("id", df.id + b * 100), b)
+    once = rows(spark.read.parquet(out))
+    # simulate the crash window: batches published, marker lost entirely
+    os.remove(os.path.join(out, _LAST_BATCH))
+    pubs_before = sorted(
+        glob.glob(os.path.join(out, "sink_table=t0", "pub-*.parquet"))
+    )
+
+    assert compact_topics(spark, out, max_files=1) == {}  # nothing eligible
+    assert (
+        sorted(glob.glob(os.path.join(out, "sink_table=t0", "pub-*.parquet")))
+        == pubs_before
+    )
+
+    # the replay scrub still finds its tags: re-delivery lands exactly once
+    for b in range(4):
+        writer(df.withColumn("id", df.id + b * 100), b)
+    assert rows(spark.read.parquet(out)) == once
+
+
+def test_compact_topics_announce_protects_new_lineage(spark):
+    """The residual window ADVICE r11's no-marker rule alone cannot close:
+    an OLD marker names lineage L1; a fresh-checkpoint restart (L2)
+    publishes its first batch and crashes BEFORE its marker write. The
+    lineage-announce (topic_router records L2/-1 before publishing) must
+    make the compactor see L2's files as live passthrough — L1's files
+    stay compactable as genuinely dead."""
+    import glob
+
+    from gmall_flink_spark.sinks._bucketed import _LAST_BATCH
+    from gmall_flink_spark.sinks.upsert import compact_topics, topic_router
+
+    out = os.path.join(TMP, "routed_announce")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    df = spark.createDataFrame(
+        [(i, "t0") for i in range(12)], "id int, sink_table string"
+    )
+    sc = spark.sparkContext
+    writer = topic_router(out)
+    try:
+        sc.setLocalProperty("sql.streaming.queryId", "L1")
+        for b in range(3):
+            writer(df.withColumn("id", df.id + b * 100), b)
+        once_l1 = rows(spark.read.parquet(out))
+
+        # fresh checkpoint: new lineage L2 publishes batch 0, crashes
+        # before record_merged_batch — the announce leaves the marker at
+        # (L2, -1), which is exactly what we restore after the completed
+        # test write (it recorded (L2, 0))
+        sc.setLocalProperty("sql.streaming.queryId", "L2")
+        writer(df.withColumn("id", df.id + 900), 0)
+        after_l2 = rows(spark.read.parquet(out))
+        with open(os.path.join(out, _LAST_BATCH), "w") as fh:
+            fh.write("L2\n-1")  # the announce is all the crash left behind
+
+        compact_topics(spark, out, max_files=1)
+        # L2's unmarked pub files survived; only dead L1 was merged
+        l2_pubs = glob.glob(os.path.join(out, "sink_table=t0", "pub-L2-*.parquet"))
+        assert l2_pubs, "live lineage's unmarked files were compacted"
+        assert not glob.glob(
+            os.path.join(out, "sink_table=t0", "pub-L1-*.parquet")
+        ), "dead lineage should have been compacted"
+        assert rows(spark.read.parquet(out)) == after_l2
+
+        # L2 replays its batch: scrub finds its tags, lands exactly once
+        writer(df.withColumn("id", df.id + 900), 0)
+        assert rows(spark.read.parquet(out)) == after_l2
+        assert sorted(after_l2) != sorted(once_l1)  # L2 rows really there
+    finally:
+        sc.setLocalProperty("sql.streaming.queryId", None)
+
+
+def test_compact_topics_survives_unparseable_filename(spark):
+    """ADVICE r11 low: a stray parquet whose name matches the lineage but
+    has a non-numeric batch segment must be treated as unpublished
+    passthrough, not abort the compaction with ValueError."""
+    import glob
+
+    from gmall_flink_spark.sinks.upsert import compact_topics, topic_router
+
+    out = os.path.join(TMP, "routed_strayfile")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    writer = topic_router(out)
+    df = spark.createDataFrame(
+        [(i, "t0") for i in range(12)], "id int, sink_table string"
+    )
+    for b in range(4):
+        writer(df.withColumn("id", df.id + b * 100), b)
+    # lineage is '' -> tag prefix 'pub-nolineage-'; craft a stray file
+    # with a non-numeric batch segment under the SAME lineage
+    tdir = os.path.join(out, "sink_table=t0")
+    donor = sorted(glob.glob(os.path.join(tdir, "pub-*.parquet")))[0]
+    stray = os.path.join(tdir, "pub-nolineage-notanumber-00000.parquet")
+    shutil.copyfile(donor, stray)
+    before = rows(spark.read.parquet(out))
+
+    stats = compact_topics(spark, out, max_files=2)  # must not raise
+    assert stats  # the real published files did compact
+    assert os.path.exists(stray)  # stray passed through untouched
+    assert rows(spark.read.parquet(out)) == before
+
+
 def test_components_writer_stream_equals_rebuild(spark):
     """Continuously maintained near-dup clustering: verified pair edges
     replayed in 3 micro-batches through components_writer (contracted-
