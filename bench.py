@@ -311,6 +311,10 @@ HEADLINE = [
     # map-only full-corpus encode)
     "llm_unigram_train",
     "llm_unigram_encode",
+    # round 12 additions: tokenizer losslessness audits (decode +
+    # round-trip identity for both tokenizer families)
+    "llm_bpe_roundtrip",
+    "llm_unigram_roundtrip",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -206,13 +206,16 @@ def _bpe_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     if key not in _BPE_STATE:
         docs = table(spark, sf_dir, "documents")
         toked = docs.select(
+            "doc_id",
             "source",
             "lang",
             F.size(tokenize("text")).cast("bigint").alias("n0"),
             tokenize("text").alias("l"),
         )
+        # doc_id rides along so llm_bpe_roundtrip can join the encoded
+        # corpus back to the originals; the trainer never reads carry cols
         _BPE_STATE[key] = bpe_train_state(
-            toked, "l", rounds=BPE_TRAIN_ROUNDS, carry=("source", "lang", "n0")
+            toked, "l", rounds=BPE_TRAIN_ROUNDS, carry=("doc_id", "source", "lang", "n0")
         )
     return _BPE_STATE[key]
 
@@ -442,6 +445,108 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_encode_stats(docs, collect_costs(v), "source").orderBy("source")
 
 
+def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer LOSSLESSNESS audit, the governance check shipped next to
+    every production tokenizer: DECODE the BPE-encoded corpus (merged
+    tokens split back on the JOIN byte, sequence separators back to
+    spaces) and verify decode(encode(text)) equals the whitespace-
+    normalized original for EVERY document. Reports per-source doc_ct and
+    roundtrip_ok_ct.
+
+    The oracle is INDEPENDENT of the tokenizer by design: losslessness
+    means ok_ct must equal doc_ct, so the oracle simply counts documents
+    per source — any encode that drops/reorders a token, or any decode
+    that mis-handles the delimiter invariant, surfaces as ok_ct < doc_ct
+    and a hash mismatch. (Contract: corpus text never contains the SEP/
+    JOIN control bytes — guaranteed by whitespace tokenization; llm/bpe.py
+    module doc.)
+
+    Scale: decode is three map-side string ops over the trainer's
+    terminal checkpoint + one doc_id equi-join back to the corpus and a
+    source-key aggregate — no new corpus-sized shuffle beyond the join."""
+    from gmall_flink_spark.llm.bpe import BPE_JOIN, BPE_SEP
+
+    _, enc = _bpe_state(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", tokenize("text")).alias("orig")
+    )
+    dec = enc.select(
+        "doc_id",
+        "source",
+        F.when(F.length("s") <= 2, F.lit("")).otherwise(
+            F.replace(
+                F.replace(
+                    F.expr("substring(s, 2, length(s) - 2)"),
+                    F.lit(BPE_SEP + BPE_SEP),
+                    F.lit(" "),
+                ),
+                F.lit(BPE_JOIN),
+                F.lit(" "),
+            )
+        ).alias("decoded"),
+    )
+    return (
+        dec.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_ct"),
+            F.sum((F.col("decoded") == F.col("orig")).cast("bigint")).alias(
+                "roundtrip_ok_ct"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def llm_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer losslessness audit (the segmentation twin of
+    llm_bpe_roundtrip): a Viterbi path is only a valid SEGMENTATION if its
+    pieces concatenate back to the word — verify that for every in-cap
+    distinct word of the corpus, weighted by occurrences. Reports per
+    source: word occurrences, distinct words, and the ok counts for both.
+
+    Oracle independence, same design as the BPE audit: validity means the
+    ok columns must equal the totals, so the oracle counts in-cap words
+    per source straight off the documents table (the tokenize + length-cap
+    rule mirrored in SQL) and never touches the DP. A DP bug that emits a
+    path whose pieces don't re-spell the word is caught by construction.
+
+    Scale: dictionary-encode posture as llm_unigram_encode — the DP runs
+    once per DISTINCT word; the audit adds one map-side string compare."""
+    from gmall_flink_spark.llm.unigram import (
+        UNIGRAM_MAX_WORD_LEN,
+        USEP,
+        collect_costs,
+        with_viterbi,
+    )
+
+    costs = collect_costs(_unigram_vocab(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(tokenize("text")).alias("word"))
+        .where(F.length("word") <= UNIGRAM_MAX_WORD_LEN)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    seg = with_viterbi(wc.select("word").distinct(), "word", costs).select(
+        "word",
+        (F.replace(F.col("st")["path"], F.lit(USEP), F.lit("")) == F.col("word"))
+        .cast("bigint")
+        .alias("ok"),
+    )
+    return (
+        wc.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("word_occ_ct"),
+            F.count(F.lit(1)).alias("distinct_word_ct"),
+            F.sum(F.col("occ") * F.col("ok")).cast("bigint").alias("roundtrip_ok_occ"),
+            F.sum("ok").cast("bigint").alias("roundtrip_ok_distinct"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "web_domain_pagerank": web_domain_pagerank,
     "llm_dsir_weights": llm_dsir_weights,
@@ -457,6 +562,8 @@ QUERIES = {
     "llm_corpus_build": llm_corpus_build,
     "llm_unigram_train": llm_unigram_train,
     "llm_unigram_encode": llm_unigram_encode,
+    "llm_bpe_roundtrip": llm_bpe_roundtrip,
+    "llm_unigram_roundtrip": llm_unigram_roundtrip,
 }
 
 _MD5H = "('0x' || substr(md5('0|' || {key}), 1, 15))::BIGINT"
@@ -820,6 +927,9 @@ def _unigram_encode_oracle() -> str:
     )
 
 
+# mirrored constant for the unigram-roundtrip oracle's in-cap word rule
+from gmall_flink_spark.llm.unigram import UNIGRAM_MAX_WORD_LEN as _UNI_MAX_WORD
+
 ORACLE = {
     "web_domain_pagerank": _pagerank_oracle(),
     "llm_bpe_train": _bpe_train_oracle(),
@@ -829,6 +939,30 @@ ORACLE = {
     "llm_bpe_fertility_sampled": _bpe_fertility_sampled_oracle(),
     "llm_unigram_train": _unigram_train_oracle(),
     "llm_unigram_encode": _unigram_encode_oracle(),
+    # losslessness audits: the oracle is DELIBERATELY tokenizer-free —
+    # round-trip identity means the ok columns must equal the totals, so
+    # the expected frame is computable straight off documents; any engine
+    # encode/decode defect breaks the equality and hash-mismatches
+    "llm_bpe_roundtrip": """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(COUNT(*) AS BIGINT) AS roundtrip_ok_ct
+    FROM documents GROUP BY source ORDER BY source""",
+    "llm_unigram_roundtrip": f"""
+    WITH w AS (
+      SELECT source, t.word AS word
+      FROM (SELECT source,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents) d,
+           UNNEST(d.toks) AS t(word)
+      WHERE length(t.word) <= {_UNI_MAX_WORD}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS word_occ_ct,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_word_ct,
+           CAST(COUNT(*) AS BIGINT) AS roundtrip_ok_occ,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS roundtrip_ok_distinct
+    FROM w GROUP BY source ORDER BY source""",
     "llm_corpus_build": f"""
     WITH {_CLEAN_FLAGGED},
     kept AS (

@@ -93,22 +93,39 @@ def run_available_now(
     per run keeps invocations independent (W11: in production the
     checkpoint is stable and provides exactly-once recovery).
 
-    ``state_store`` ('rocksdb' | 'hdfs', see session.STATE_STORE_PROVIDERS)
-    pins the state store provider for THIS query and restores the session
-    conf after — the provider class is read at query start and recorded in
-    the fresh checkpoint, so per-run pinning is sound. 'rocksdb' is the
-    100×-state posture: keyed state lives off-heap on local disk instead
-    of on the executor heap."""
+    ``state_store`` ('rocksdb' | 'rocksdb_changelog' | 'hdfs', see
+    session.STATE_STORE_PROVIDERS) pins the state store provider for THIS
+    query and restores the session conf after — the provider class is
+    read at query start and recorded in the fresh checkpoint, so per-run
+    pinning is sound. 'rocksdb' is the 100×-state posture: keyed state
+    lives off-heap on local disk instead of on the executor heap.
+    'rocksdb_changelog' additionally enables RocksDB changelog
+    checkpointing (public Spark conf
+    spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled):
+    per-commit checkpoint cost becomes ∝ the batch's state DELTA instead
+    of the state snapshot — the knob that matters when keyed state is
+    large but per-batch churn is small (exactly the D4/D6/join-buffer
+    shape at 100× keys)."""
     from gmall_flink_spark.session import STATE_STORE_PROVIDERS
 
     name = f"q{uuid.uuid4().hex[:12]}"
     ckpt = os.path.join(_STREAM_TMP, "ckpt", name)
     spark = sdf.sparkSession
     _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-    prior_provider = None
+    _CHANGELOG_KEY = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    )
+    prior_provider = prior_changelog = None
+    changelog = state_store == "rocksdb_changelog"
     if state_store is not None:
         prior_provider = spark.conf.get(_PROVIDER_KEY, None)
-        spark.conf.set(_PROVIDER_KEY, STATE_STORE_PROVIDERS[state_store])
+        spark.conf.set(
+            _PROVIDER_KEY,
+            STATE_STORE_PROVIDERS["rocksdb" if changelog else state_store],
+        )
+        if changelog:
+            prior_changelog = spark.conf.get(_CHANGELOG_KEY, None)
+            spark.conf.set(_CHANGELOG_KEY, "true")
 
     def _await(q) -> None:
         # awaitTermination(timeout) returns False WITHOUT stopping a query
@@ -134,3 +151,8 @@ def run_available_now(
                 spark.conf.unset(_PROVIDER_KEY)
             else:
                 spark.conf.set(_PROVIDER_KEY, prior_provider)
+            if changelog:
+                if prior_changelog is None:
+                    spark.conf.unset(_CHANGELOG_KEY)
+                else:
+                    spark.conf.set(_CHANGELOG_KEY, prior_changelog)

@@ -567,13 +567,17 @@ def test_interval_join_stream_equals_batch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
-@pytest.mark.parametrize("state_store", [None, "rocksdb"])
+@pytest.mark.parametrize("state_store", [None, "rocksdb", "rocksdb_changelog"])
 def test_returning_flags_stream_matches_batch(spark, events_slices, state_store):
     """D6: 7-day returning-user flags — streaming state machine equals the
     batch lag() twin under in-order replay. The 'rocksdb' variant (VERDICT
     r10 task 1) proves the CUSTOM applyInPandasWithState operator family
     runs identically under RocksDBStateStoreProvider — the off-heap state
-    posture the per-user last-active-day map needs at 100× keys."""
+    posture the per-user last-active-day map needs at 100× keys. The
+    'rocksdb_changelog' variant additionally enables changelog
+    checkpointing (checkpoint cost ∝ per-batch state delta, not snapshot
+    — the large-state/small-churn knob), asserting the answer is
+    provider- AND checkpoint-mode-invariant."""
     from gmall_flink_spark.operators.dedup import returning_flags
     from gmall_flink_spark.streaming.stateful import returning_flags_stream
 
@@ -820,6 +824,75 @@ def test_stateful_resume_across_restart(spark, events_slices):
         shutil.copy(f, src)
     run_phase()
 
+    got = spark.read.parquet(sink)
+    batch = first_per_day(ev, "user_id")
+    assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
+
+
+def test_stateful_resume_rocksdb_changelog(spark, events_slices):
+    """W11 under RocksDB CHANGELOG checkpointing: the restart path is
+    where the mode differs from snapshot checkpointing — state is
+    reconstructed by REPLAYING .changelog files over the last uploaded
+    snapshot, so a stop/restart across it is the real proof. Same
+    stop-halfway/restart shape as test_stateful_resume_across_restart,
+    with the provider + changelog conf pinned for both phases; also
+    asserts .changelog files actually appeared in the checkpoint (the
+    mode was active, not silently ignored by the provider)."""
+    import glob as _glob
+
+    from gmall_flink_spark.session import STATE_STORE_PROVIDERS
+
+    src = os.path.join(TMP, "clog_resume_src")
+    sink = os.path.join(TMP, "clog_resume_sink")
+    ckpt = os.path.join(TMP, "clog_resume_ckpt")
+    for d in (src, sink, ckpt):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(src)
+    ev = table(spark, SF, "events")
+    slices = sorted(_glob.glob(os.path.join(events_slices, "slice-*.parquet")))
+
+    _PK = "spark.sql.streaming.stateStore.providerClass"
+    _CK = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prior_p, prior_c = spark.conf.get(_PK, None), spark.conf.get(_CK, None)
+    spark.conf.set(_PK, STATE_STORE_PROVIDERS["rocksdb"])
+    spark.conf.set(_CK, "true")
+    try:
+
+        def run_phase():
+            sdf = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                first_per_day_stream(sdf, "user_id")
+                .select("user_id", "cur_date")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        for f in slices[:2]:
+            shutil.copy(f, src)
+        run_phase()
+        for f in slices[2:]:
+            shutil.copy(f, src)
+        run_phase()
+    finally:
+        for key, prior in ((_PK, prior_p), (_CK, prior_c)):
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    changelogs = _glob.glob(
+        os.path.join(ckpt, "state", "**", "*.changelog"), recursive=True
+    )
+    assert changelogs, "changelog checkpointing produced no .changelog files"
     got = spark.read.parquet(sink)
     batch = first_per_day(ev, "user_id")
     assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
@@ -2219,7 +2292,7 @@ def test_display_item_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
-@pytest.mark.parametrize("state_store", [None, "rocksdb"])
+@pytest.mark.parametrize("state_store", [None, "rocksdb", "rocksdb_changelog"])
 def test_order_uu_window_pipeline_end_to_end(spark, state_store):
     """DwsTradeOrderWindow fed by the DWD wide join IN THE SAME QUERY —
     five chained stateful operators (detail dedup, three stream-stream
