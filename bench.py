@@ -312,9 +312,11 @@ HEADLINE = [
     "llm_unigram_train",
     "llm_unigram_encode",
     # round 12 additions: tokenizer losslessness audits (decode +
-    # round-trip identity for both tokenizer families)
+    # round-trip identity for both tokenizer families), span-level
+    # contamination scrub
     "llm_bpe_roundtrip",
     "llm_unigram_roundtrip",
+    "llm_decontaminate_scrub",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -18,6 +18,7 @@ from gmall_flink_spark.llm.corpus import (
     quantize_i8_sum,
     topk_per_group,
 )
+from gmall_flink_spark.llm.dedup import word_shingles
 from gmall_flink_spark.llm.similarity import prep, with_norm
 from gmall_flink_spark.sources.tables import table
 
@@ -33,6 +34,80 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
     corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
     return decontaminate_overlap(corpus, bench, n=NGRAM_N).orderBy("doc_id")
+
+
+def llm_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level contamination SCRUB report — the removal step after
+    llm_decontaminate's doc-level detection (the GPT-3 appendix-C style
+    scrub: instead of dropping a contaminated document, remove exactly
+    the token positions covered by any benchmark-matching NGRAM_N-gram
+    and keep the rest). Per source: corpus docs, docs hit, token totals
+    before/after, tokens removed, and a position checksum (sum of removed
+    1-based token positions) that pins WHICH spans were cut, not just how
+    many tokens — two different span layouts with equal counts cannot
+    both match the oracle.
+
+    Scale: the benchmark's distinct shingle set is broadcast (eval sets
+    are small by definition); the corpus side is one map pass producing
+    positional shingles (posexplode over a transform — no shuffle until
+    the per-source aggregate); covered-position dedup is bounded by
+    hit-span volume, not the corpus. Overlapping hits merge via the
+    DISTINCT on (doc, position) — the interval-union semantics of the
+    substring-dedup family, reused at the contamination boundary."""
+    from gmall_flink_spark.functions.text import tokenize
+
+    n = NGRAM_N
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    bench_sh = (
+        word_shingles(bench, n=n).select("shingle").distinct()
+    )
+    toked = docs.where(F.col("doc_id") % BENCH_MOD != 0).select(
+        "source", "doc_id", tokenize("text").alias("toks")
+    )
+    # (1-based start, shingle) pairs; docs shorter than n emit none
+    starts = toked.select(
+        "source",
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                "ELSE array() END"
+            )
+        ).alias("pos0", "shingle"),
+    )
+    covered = (
+        starts.join(F.broadcast(bench_sh), "shingle")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos0 + 1, pos0 + {n})")).alias("p"),
+        )
+        .distinct()
+    )
+    rem = covered.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("doc_hit_ct"),
+        F.count(F.lit(1)).alias("tok_removed"),
+        F.sum("p").cast("bigint").alias("removed_pos_ck"),
+    )
+    base = toked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_ct"),
+        F.sum(F.size("toks")).cast("bigint").alias("tok_total"),
+    )
+    j = base.join(rem, "source", "left")
+    return j.select(
+        "source",
+        "doc_ct",
+        F.coalesce("doc_hit_ct", F.lit(0)).cast("bigint").alias("doc_hit_ct"),
+        "tok_total",
+        F.coalesce("tok_removed", F.lit(0)).cast("bigint").alias("tok_removed"),
+        F.coalesce("removed_pos_ck", F.lit(0)).cast("bigint").alias("removed_pos_ck"),
+        (F.col("tok_total") - F.coalesce("tok_removed", F.lit(0)))
+        .cast("bigint")
+        .alias("tok_after"),
+    ).orderBy("source")
 
 
 def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -936,6 +1011,7 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "llm_temperature_mix": llm_temperature_mix,
     "llm_decontaminate": llm_decontaminate,
+    "llm_decontaminate_scrub": llm_decontaminate_scrub,
     "llm_token_budget": llm_token_budget,
     "llm_source_mix": llm_source_mix,
     "llm_hash_sample": llm_hash_sample,
@@ -1032,6 +1108,58 @@ ORACLE = {
         FROM totals JOIN hits USING (doc_id)
         ORDER BY doc_id
     """,
+    # span scrub: positional shingles (the engine's 1-based covered range
+    # sequence(pos0+1, pos0+n) ≡ range(i+1, i+n+1) over the 0-based list-
+    # comprehension index i), interval union via DISTINCT (source, doc, p)
+    "llm_decontaminate_scrub": f"""
+        WITH toked AS (
+            SELECT source, doc_id, {{_toks}} AS toks
+            FROM documents WHERE doc_id % {BENCH_MOD} != 0
+        ),
+        bsh AS (
+            SELECT DISTINCT shingle FROM (
+                SELECT unnest([array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ')
+                               for i in range(0, len(toks) - {NGRAM_N} + 1)]) AS shingle
+                FROM (SELECT {{_toks}} AS toks FROM documents
+                      WHERE doc_id % {BENCH_MOD} = 0) b
+            )
+        ),
+        starts AS (
+            SELECT source, doc_id, i
+            FROM (
+                SELECT source, doc_id,
+                       unnest([{{'i': i, 'sh': array_to_string(toks[i + 1 : i + {NGRAM_N}], ' ')}}
+                               for i in range(0, len(toks) - {NGRAM_N} + 1)], recursive := true)
+                FROM toked
+            )
+            WHERE sh IN (SELECT shingle FROM bsh)
+        ),
+        cov AS (
+            SELECT DISTINCT source, doc_id, p FROM (
+                SELECT source, doc_id, unnest(range(i + 1, i + {NGRAM_N} + 1)) AS p
+                FROM starts
+            )
+        ),
+        base AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_ct,
+                   CAST(SUM(len(toks)) AS BIGINT) AS tok_total
+            FROM toked GROUP BY source
+        ),
+        rem AS (
+            SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_hit_ct,
+                   CAST(COUNT(*) AS BIGINT) AS tok_removed,
+                   CAST(SUM(p) AS BIGINT) AS removed_pos_ck
+            FROM cov GROUP BY source
+        )
+        SELECT b.source, b.doc_ct,
+               CAST(COALESCE(r.doc_hit_ct, 0) AS BIGINT) AS doc_hit_ct,
+               b.tok_total,
+               CAST(COALESCE(r.tok_removed, 0) AS BIGINT) AS tok_removed,
+               CAST(COALESCE(r.removed_pos_ck, 0) AS BIGINT) AS removed_pos_ck,
+               CAST(b.tok_total - COALESCE(r.tok_removed, 0) AS BIGINT) AS tok_after
+        FROM base b LEFT JOIN rem r USING (source)
+        ORDER BY source
+    """.replace("{_toks}", _TOKS),
     "llm_source_mix": f"""
         SELECT source, COUNT(*) AS total_ct,
                CAST(SUM(CASE WHEN

@@ -46,12 +46,45 @@ def _build_version(build) -> str:
     return hashlib.md5(src.encode()).hexdigest()[:10]
 
 
+def _data_stamp(sf_dir: str) -> str:
+    """Content stamp of the SOURCE TABLES a synthesizer reads: every
+    parquet file under ``sf_dir`` as (relpath, mtime_ns, size). The code
+    stamp alone cannot see a data change — the r12 sf1 spot-sweep caught
+    exactly that: the round-11 scaled dir was rebuilt from symlinked to
+    id-distinct replicas, but the cached topics (built from the symlink
+    era) kept serving, so every CDC query answered for the OLD corpus
+    while the oracle read the new one. Stamping the data closes the whole
+    class: a rebuilt/regenerated sf_dir can never serve a stale topic.
+
+    Conservative by design (any table file change invalidates every topic
+    of that sf_dir) — over-invalidation costs one rebuild; staleness costs
+    a wrong answer. The walk follows symlinks, and relpath participates so
+    '10 symlinked copies' and '1 file' stamp differently."""
+    import hashlib
+
+    ents = []
+    for d, _, names in os.walk(sf_dir, followlinks=True):
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(d, n)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            ents.append(f"{os.path.relpath(p, sf_dir)}:{st.st_mtime_ns}:{st.st_size}")
+    return hashlib.md5("|".join(sorted(ents)).encode()).hexdigest()[:10]
+
+
 def materialized(
     spark: SparkSession, sf_dir: str, name: str, build, n_files: int = 16
 ) -> DataFrame:
     """Return the cached parquet for (sf_dir, name), building it on first
     use. Concurrency-safe: built under a unique tmp dir, atomically renamed;
-    losers of the race clean up and read the winner's copy.
+    losers of the race clean up and read the winner's copy. The cache key
+    carries BOTH a code stamp (_build_version) and a data stamp
+    (_data_stamp) — either a synthesizer edit or a source-table rewrite
+    produces a fresh directory, never a stale serve.
 
     ``n_files`` spreads the cache over that many parquet files: the
     synthesis plans produce 1-2 output partitions, and a 1-2-file bronze
@@ -60,7 +93,9 @@ def materialized(
     files for scan parallelism is the landing-step's job — at cluster scale
     the same knob is the writer's target file size."""
     key = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(CACHE_ROOT, key, f"{name}-{_build_version(build)}")
+    path = os.path.join(
+        CACHE_ROOT, key, f"{name}-{_build_version(build)}-{_data_stamp(sf_dir)}"
+    )
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.__build_{uuid.uuid4().hex[:8]}__"

@@ -87,3 +87,35 @@ def test_zorder_handles_non_numeric_columns(spark, tmp_path):
     # both dimensions contribute: keys restricted to one code still vary by date
     one_code = keyed.where(F.col("code") == "cc_001")
     assert one_code.select("_zkey").distinct().count() > 1
+
+
+def test_materialized_cache_invalidates_on_data_rewrite(spark, tmp_path):
+    """The synth-topic cache must version on DATA, not just builder code
+    (r12 sf1 lesson: a rebuilt scaled dir kept serving topics cached from
+    its previous contents — every CDC query answered for the old corpus).
+    Rewriting a source table under sf_dir must produce a fresh cache dir
+    whose content reflects the new data; the unchanged dir keeps serving
+    the same cache path (no spurious rebuilds)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.sources.materialize import materialized
+
+    sf = str(tmp_path)
+    spark.range(0, 5).write.parquet(f"{sf}/orders.parquet")
+
+    def build():
+        return spark.read.parquet(f"{sf}/orders.parquet").withColumn(
+            "v", F.col("id") * 2
+        )
+
+    first = sorted(r["v"] for r in materialized(spark, sf, "t", build).collect())
+    assert first == [0, 2, 4, 6, 8]
+    again = sorted(r["v"] for r in materialized(spark, sf, "t", build).collect())
+    assert again == first  # same stamp -> same cache, no rebuild surprise
+
+    time.sleep(0.05)  # distinct mtime for the rewrite
+    spark.range(10, 13).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    refreshed = sorted(r["v"] for r in materialized(spark, sf, "t", build).collect())
+    assert refreshed == [20, 22, 24], refreshed  # new data, never the stale topic

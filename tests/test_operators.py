@@ -509,6 +509,48 @@ def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
 
 
+def test_decontaminate_scrub_merges_overlapping_spans(spark, tmp_path):
+    """The scrub's interval-union semantics, exercised deliberately (the
+    gate testdata has exactly one 5-token hit, so overlap merging is
+    never stressed there): a corpus doc containing TWO overlapping
+    benchmark 5-grams must have their covered positions UNIONed (6
+    tokens, not 10), a clean doc contributes zero, and a doc shorter
+    than the shingle width must not crash the position enumeration.
+    Engine and oracle agree on counts AND the position checksum."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_pipeline import (
+        ORACLE,
+        llm_decontaminate_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc_id 0: the benchmark slice (doc_id % 97 == 0)
+            (0, "a b c d e f", "en", "s0", 11),
+            # two overlapping hits: "a b c d e" @2..6, "b c d e f" @3..7
+            (1, "x a b c d e f y", "en", "s0", 15),
+            (2, "clean words only here now more", "en", "s0", 30),
+            (3, "too short", "en", "s1", 9),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in llm_decontaminate_scrub(spark, sf).collect()]
+    # s0: 2 corpus docs, 1 hit, 14 tokens, union covers positions 2..7
+    # (sum 27); s1: untouched short doc
+    assert got == [
+        ("s0", 2, 1, 14, 6, 27, 8),
+        ("s1", 1, 0, 2, 0, 0, 2),
+    ], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["llm_decontaminate_scrub"]).fetchall()
+
+
 def test_phash_media_matches_jvm_simhash(spark):
     """The Arrow-batched Python phash kernel must be bit-identical to the
     JVM simhash over the same decoded content — the correctness question a
