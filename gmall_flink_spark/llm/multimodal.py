@@ -1038,3 +1038,347 @@ def image_channel_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(cols)
 
     return df.select("media_id", "payload").mapInPandas(run, CHANNEL_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# JPEG / JFIF metadata (ITU-T T.81 / JFIF 1.02) — the image column's
+# second real container format next to PNG: a marker-segment walk that
+# reads SOF frame headers (dimensions, precision, component count,
+# per-component sampling factors -> chroma subsampling class), the JFIF
+# APP0 density fields, and scans entropy-coded data (0xFF00 stuffing,
+# RST markers) through to EOI. Same generative-oracle posture as the
+# MP4 walk above: the DuckDB twin re-derives every value from doc_id
+# formulas, never the bytes, so parity proves the segment walk ran.
+# --------------------------------------------------------------------------
+
+#: corrupt-image rule of image_jpeg_table: every 29th image id is
+#: truncated mid-segment (the parser must dead-letter it); mirrored by
+#: the oracle
+JPEG_CORRUPT_MOD = 29
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: FF <marker> <2-byte big-endian length> <body>
+    where length counts itself plus the body (T.81 §B.1.1.4)."""
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def jpeg_bytes(
+    width: int,
+    height: int,
+    ncomp: int,
+    progressive: bool,
+    xdensity: int,
+    ydensity: int,
+    scan: bytes = b"",
+    subsample_420: bool = False,
+) -> bytes:
+    """Minimal VALID JFIF file: SOI, APP0(JFIF density fields), DQT, a
+    SOF0 (baseline) or SOF2 (progressive) frame header with real
+    per-component sampling factors, DHT, SOS + entropy-coded ``scan``
+    bytes (caller must not include 0xFF), EOI. Exactly the segments a
+    metadata pass reads — the same honesty level as the PNG/MP4
+    synthesizers above (no decodable image data; the frame header and
+    density fields are the contract)."""
+    app0 = _jpeg_seg(
+        0xE0,
+        b"JFIF\x00"
+        + bytes([1, 2])  # version 1.02
+        + b"\x00"  # units: aspect-ratio only
+        + int(xdensity).to_bytes(2, "big")
+        + int(ydensity).to_bytes(2, "big")
+        + b"\x00\x00",  # no thumbnail
+    )
+    dqt = _jpeg_seg(0xDB, bytes([0]) + bytes((i * 3) % 255 + 1 for i in range(64)))
+    comps = b""
+    for i in range(ncomp):
+        if ncomp >= 3 and i == 0 and subsample_420:
+            hv = 0x22  # luma 2x2 vs chroma 1x1 -> 4:2:0
+        else:
+            hv = 0x11
+        comps += bytes([i + 1, hv, 0])
+    sof = _jpeg_seg(
+        0xC2 if progressive else 0xC0,
+        bytes([8])  # sample precision
+        + int(height).to_bytes(2, "big")
+        + int(width).to_bytes(2, "big")
+        + bytes([ncomp])
+        + comps,
+    )
+    dht = _jpeg_seg(0xC4, bytes([0x00]) + bytes(16))  # empty code-length table
+    sos = _jpeg_seg(
+        0xDA,
+        bytes([ncomp])
+        + b"".join(bytes([i + 1, 0]) for i in range(ncomp))
+        + bytes([0, 63, 0]),  # spectral selection / approximation
+    )
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def parse_jpeg(data: bytes) -> tuple[int, int, int, int, str, int, int]:
+    """REAL JPEG marker-segment walk (stdlib only): verify SOI, iterate
+    FF-marker segments with big-endian lengths, read SOF0/1/2 frame
+    headers (precision, height, width, components + sampling factors),
+    the JFIF APP0 density pair, then scan the entropy-coded stream after
+    SOS — honoring 0xFF00 byte stuffing and RST0-7 restart markers
+    (T.81 §B.1.1.5) — through to EOI. Returns
+    (width, height, ncomp, progressive, subsampling, xdensity, ydensity)
+    where subsampling is 'gray' (1 component), '444' (all factors 1x1),
+    '420' (luma 2x2 over 1x1 chroma), or 'other'. Raises on any
+    malformed structure (bad SOI, lost marker sync, segment overrun,
+    truncated scan, missing SOF) — the dead-letter contract: a corrupt
+    blob becomes an error row, never a dead task."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    width = height = ncomp = progressive = None
+    sampling: list[tuple[int, int]] = []
+    xdens = ydens = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated marker")
+        if data[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        while data[pos + 1] == 0xFF:  # fill bytes before a marker (§B.1.1.2)
+            pos += 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated fill run")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated segment length")
+        seg_len = int.from_bytes(data[pos : pos + 2], "big")
+        if seg_len < 2 or pos + seg_len > len(data):
+            raise ValueError("bad segment length")
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            sampling = [
+                (body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F)
+                for i in range(ncomp)
+            ]
+            progressive = 1 if marker == 0xC2 else 0
+        elif marker == 0xE0 and body[:5] == b"JFIF\x00":
+            if len(body) < 12:
+                raise ValueError("truncated JFIF APP0")
+            xdens = int.from_bytes(body[8:10], "big")
+            ydens = int.from_bytes(body[10:12], "big")
+        elif marker == 0xDA:  # SOS: entropy-coded data follows
+            while True:
+                if pos + 1 >= len(data):
+                    raise ValueError("truncated scan")
+                if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+                    0xD0 <= data[pos + 1] <= 0xD7
+                ):
+                    break  # a real marker ends the scan
+                pos += 1
+    if width is None or ncomp is None:
+        raise ValueError("no SOF frame header")
+    if ncomp == 1:
+        sub = "gray"
+    elif all(hv == (1, 1) for hv in sampling):
+        sub = "444"
+    elif sampling[0] == (2, 2) and all(hv == (1, 1) for hv in sampling[1:]):
+        sub = "420"
+    else:
+        sub = "other"
+    return int(width), int(height), int(ncomp), int(progressive), sub, xdens, ydens
+
+
+def image_jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize genuinely PARSEABLE minimal JFIF payloads for the image
+    slice (doc_id % 3 == 0), deterministic from doc_id:
+
+      width       = (id % 200) + 16
+      height      = (id % 120) + 16
+      ncomp       = 1 if id % 5 == 0 else 3
+      progressive = id % 7 == 0                       (SOF2 vs SOF0)
+      subsampling = 'gray' | '420' (3-comp, id even) | '444' (3-comp, odd)
+      xdensity    = (id % 97) + 1,  ydensity = (id % 89) + 1
+      scan bytes  = (id*31 + i*7) % 255 for i in range((id % 40) + 4)
+                    (mod 255 keeps 0xFF out of the entropy stream)
+      id % JPEG_CORRUPT_MOD == 0 -> payload truncated to 6 bytes (SOI +
+          a cut APP0 header) — the dead-letter path
+
+    Same generative-oracle trick as video_mp4_table: the DuckDB twin
+    re-derives every value from these formulas, never from the bytes.
+    Closure is self-contained (workers have no repo on PYTHONPATH)."""
+    from gmall_flink_spark.sources.tables import spread
+
+    ids = spread(
+        table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).where(F.col("doc_id") % 3 == 0)
+    corrupt_mod = JPEG_CORRUPT_MOD
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def seg(marker: int, body: bytes) -> bytes:
+            # inline twin of module-level _jpeg_seg (parity pinned by test)
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        def jpeg(w, h, nc, prog, xd, yd, scan, sub420):
+            app0 = seg(
+                0xE0,
+                b"JFIF\x00" + bytes([1, 2]) + b"\x00"
+                + xd.to_bytes(2, "big") + yd.to_bytes(2, "big") + b"\x00\x00",
+            )
+            dqt = seg(0xDB, bytes([0]) + bytes((i * 3) % 255 + 1 for i in range(64)))
+            comps = b""
+            for i in range(nc):
+                hv = 0x22 if (nc >= 3 and i == 0 and sub420) else 0x11
+                comps += bytes([i + 1, hv, 0])
+            sof = seg(
+                0xC2 if prog else 0xC0,
+                bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([nc]) + comps,
+            )
+            dht = seg(0xC4, bytes([0x00]) + bytes(16))
+            sos = seg(
+                0xDA,
+                bytes([nc]) + b"".join(bytes([i + 1, 0]) for i in range(nc))
+                + bytes([0, 63, 0]),
+            )
+            return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w, h = (mid % 200) + 16, (mid % 120) + 16
+                nc = 1 if mid % 5 == 0 else 3
+                prog = mid % 7 == 0
+                xd, yd = (mid % 97) + 1, (mid % 89) + 1
+                scan = bytes((mid * 31 + i * 7) % 255 for i in range((mid % 40) + 4))
+                data = jpeg(w, h, nc, prog, xd, yd, scan, sub420=(mid % 2 == 0))
+                if mid % corrupt_mod == 0:
+                    data = data[:6]
+                payloads.append(data)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    return ids.mapInPandas(run, "media_id long, payload binary")
+
+
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ncomp", IntegerType()),
+        StructField("progressive", IntegerType()),
+        StructField("subsampling", StringType()),
+        StructField("xdensity", IntegerType()),
+        StructField("ydensity", IntegerType()),
+    ]
+)
+
+
+def jpeg_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG metadata extraction over (media_id, payload):
+    marker-walk each blob (inline twin of module-level parse_jpeg), emit
+    (ok, width, height, ncomp, progressive, subsampling, densities); a
+    malformed file yields ok=0 with NULL fields — dead-letter, never a
+    dead task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def parse(data: bytes):
+            if len(data) < 4 or data[0:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG (bad SOI)")
+            pos = 2
+            width = height = ncomp = progressive = None
+            sampling = []
+            xdens = ydens = 0
+            while True:
+                if pos + 2 > len(data):
+                    raise ValueError("truncated marker")
+                if data[pos] != 0xFF:
+                    raise ValueError("marker sync lost")
+                while data[pos + 1] == 0xFF:
+                    pos += 1
+                    if pos + 2 > len(data):
+                        raise ValueError("truncated fill run")
+                marker = data[pos + 1]
+                pos += 2
+                if marker == 0xD9:
+                    break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    continue
+                if pos + 2 > len(data):
+                    raise ValueError("truncated segment length")
+                seg_len = int.from_bytes(data[pos : pos + 2], "big")
+                if seg_len < 2 or pos + seg_len > len(data):
+                    raise ValueError("bad segment length")
+                body = data[pos + 2 : pos + seg_len]
+                pos += seg_len
+                if marker in (0xC0, 0xC1, 0xC2):
+                    if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                        raise ValueError("truncated SOF")
+                    height = int.from_bytes(body[1:3], "big")
+                    width = int.from_bytes(body[3:5], "big")
+                    ncomp = body[5]
+                    sampling = [
+                        (body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F)
+                        for i in range(ncomp)
+                    ]
+                    progressive = 1 if marker == 0xC2 else 0
+                elif marker == 0xE0 and body[:5] == b"JFIF\x00":
+                    if len(body) < 12:
+                        raise ValueError("truncated JFIF APP0")
+                    xdens = int.from_bytes(body[8:10], "big")
+                    ydens = int.from_bytes(body[10:12], "big")
+                elif marker == 0xDA:
+                    while True:
+                        if pos + 1 >= len(data):
+                            raise ValueError("truncated scan")
+                        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+                            0xD0 <= data[pos + 1] <= 0xD7
+                        ):
+                            break
+                        pos += 1
+            if width is None or ncomp is None:
+                raise ValueError("no SOF frame header")
+            if ncomp == 1:
+                sub = "gray"
+            elif all(hv == (1, 1) for hv in sampling):
+                sub = "444"
+            elif sampling[0] == (2, 2) and all(hv == (1, 1) for hv in sampling[1:]):
+                sub = "420"
+            else:
+                sub = "other"
+            return width, height, ncomp, progressive, sub, xdens, ydens
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, nc, prog, sub, xd, yd = parse(bytes(payload))
+                    rows.append((int(mid), 1, w, h, nc, prog, sub, xd, yd))
+                except Exception:
+                    rows.append(
+                        (int(mid), 0, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": [r[0] for r in rows],
+                    "ok": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "ncomp": pd.array([r[4] for r in rows], dtype="Int32"),
+                    "progressive": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "subsampling": [r[6] for r in rows],
+                    "xdensity": pd.array([r[7] for r in rows], dtype="Int32"),
+                    "ydensity": pd.array([r[8] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, JPEG_META_SCHEMA)

@@ -1066,3 +1066,274 @@ ORACLE = {
     FROM s GROUP BY shard ORDER BY shard
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer family (llm/wordpiece.py) — the third tokenizer next
+# to BPE (frequency-scored merges) and unigram-LM (likelihood pruning):
+# likelihood-SCORED merges + greedy longest-match-first encode (Schuster &
+# Nakajima 2012, the BERT tokenizer). Trained on the full in-cap DISTINCT
+# word frame (the dictionary posture: trainer cost scales with distinct
+# words, not occurrences — word frequencies ride along as weights).
+# ---------------------------------------------------------------------------
+
+#: session memo of the trained WordPiece state — (merge table, vocab dict)
+_WP_STATE: dict[tuple, tuple[DataFrame, dict]] = {}
+
+
+def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize("text")).alias("word"))
+        .where(F.length("word") <= WP_MAX_WORD_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+    )
+
+
+def _wp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    from gmall_flink_spark.llm.wordpiece import (
+        WP_TRAIN_ROUNDS,
+        collect_vocab,
+        wordpiece_train_state,
+    )
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _WP_STATE)
+    if key not in _WP_STATE:
+        words = _wp_words(spark, sf_dir).localCheckpoint(eager=True)
+        merges, _ = wordpiece_train_state(words, WP_TRAIN_ROUNDS)
+        merges = merges.localCheckpoint(eager=True)
+        _WP_STATE[key] = (merges, collect_vocab(words, merges))
+    return _WP_STATE[key]
+
+
+def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (llm/wordpiece.py): BPE's merge loop
+    with the LIKELIHOOD pair score — each round merges the (a, b)
+    maximizing pair_ct / (cnt_a · cnt_b) over frequency-weighted
+    character sequences of the corpus' distinct words, and the merged
+    token is the plain substring a||b. Output = the ordered merge table
+    with the score's three integer inputs per round (the artifact a
+    WordPiece trainer ships, plus the evidence to audit each pick).
+
+    Scale: per round two bounded-key shuffles (weighted bigram + unigram
+    counts over the distinct-word dictionary), two broadcast joins, a
+    TakeOrdered top-1, and a map-only replace over checkpointed strings."""
+    return _wp_state(spark, sf_dir)[0].orderBy("round")
+
+
+def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL corpus encoded with the trained WordPiece vocab by greedy
+    LONGEST-MATCH-FIRST segmentation (the BERT encode rule — genuinely
+    different from BPE merge-order application and from unigram minimal-
+    cost Viterbi): per source, in-cap word occurrences, UNK occurrences
+    (a position with no matching piece voids the whole word), ok
+    occurrences, pieces and chars over ok words, fertility x100, and
+    roundtrip_ok — the engine-side losslessness proof
+    (concat(pieces) == word, reconstructed from the DP's path string; the
+    oracle derives ok counts from its own greedy walk, so an engine DP
+    that puts wrong pieces on the path hash-mismatches even with correct
+    counts).
+
+    DICTIONARY-ENCODE posture (llm/unigram.py lesson): the greedy DP runs
+    once per DISTINCT word, occurrence counts join back; the vocab is the
+    bounded collected artifact bound as a map literal — encode itself is
+    a zero-shuffle map pass, the 100 TB posture."""
+    from gmall_flink_spark.llm.bpe import BPE_SEP
+    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, with_greedy_pieces
+
+    _, vocab = _wp_state(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(tokenize("text")).alias("word"))
+        .where(F.length("word") <= WP_MAX_WORD_LEN)
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+    )
+    seg = with_greedy_pieces(
+        wc.select("word").distinct(), "word", vocab
+    ).select(
+        "word",
+        F.col("wp")["ok"].cast("bigint").alias("ok"),
+        F.col("wp")["pct"].alias("pct"),
+        (
+            F.replace(F.col("wp")["path"], F.lit(BPE_SEP), F.lit(""))
+            == F.col("word")
+        ).cast("bigint").alias("rt"),
+    )
+    j = wc.join(seg, "word")
+    ok_occ = F.sum(F.col("occ") * F.col("ok")).cast("bigint")
+    piece_ct = F.sum(F.col("occ") * F.col("pct") * F.col("ok")).cast("bigint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("occ").cast("bigint").alias("word_ct"),
+            F.sum(F.col("occ") * (F.lit(1) - F.col("ok"))).cast("bigint").alias("unk_ct"),
+            ok_occ.alias("ok_ct"),
+            piece_ct.alias("piece_ct"),
+            F.sum(F.col("occ") * F.length("word") * F.col("ok"))
+            .cast("bigint")
+            .alias("char_ct"),
+            F.sum(F.col("occ") * F.col("ok") * F.col("rt"))
+            .cast("bigint")
+            .alias("roundtrip_ok"),
+            F.when(ok_occ == 0, F.lit(0).cast("bigint"))
+            .otherwise(F.expr(
+                "CAST((100 * sum(occ * pct * ok)) DIV sum(occ * ok) AS BIGINT)"
+            ))
+            .alias("fertility_x100"),
+        )
+        .orderBy("source")
+    )
+
+
+def _wp_rounds_cte() -> str:
+    """Unrolled K-round WordPiece trainer CTE chain (mirrors
+    llm/wordpiece.py): per round, frequency-weighted unigram and bigram
+    counts over the char-sequence strings, the deterministic top-1 by the
+    double-division likelihood score (exact-integer operands — module
+    docstring), and the plain-concat replace rewrite.
+
+    Every per-round CTE is MATERIALIZED: wt/wu/wd are each referenced
+    2-3 times per level and DuckDB's default inlining re-expands the
+    whole upstream chain per reference -- measured ~3^K blowup (256 s
+    at sf0.01); materialization makes the unroll linear."""
+    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, WP_TRAIN_ROUNDS
+
+    parts = [f"""
+    WITH wpw AS MATERIALIZED (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) <= {WP_MAX_WORD_LEN}
+      GROUP BY w),
+    wd1 AS MATERIALIZED (
+      SELECT word, wcount,
+             {_BPE_S} || array_to_string(
+                 [substring(word, i, 1) for i in range(1, length(word) + 1)],
+                 {_BPE_S}||{_BPE_S}) || {_BPE_S} AS s
+      FROM wpw)"""]
+    for i in range(1, WP_TRAIN_ROUNDS + 1):
+        parts.append(f"""
+    wt{i} AS MATERIALIZED (SELECT wcount,
+                     string_split(substr(s, 2, length(s) - 2),
+                                  {_BPE_S}||{_BPE_S}) AS l
+              FROM wd{i}),
+    wu{i} AS MATERIALIZED (SELECT t, CAST(SUM(wcount) AS BIGINT) AS cnt
+              FROM (SELECT wcount, unnest(l) AS t FROM wt{i})
+              GROUP BY t),
+    wp{i} AS MATERIALIZED (
+      SELECT a, b, pair_ct, ua.cnt AS cnt_a, ub.cnt AS cnt_b
+      FROM (
+        SELECT a, b, CAST(SUM(wcount) AS BIGINT) AS pair_ct
+        FROM (SELECT wcount, u.p['a'] AS a, u.p['b'] AS b
+              FROM wt{i},
+                   LATERAL unnest([{{'a': l[j], 'b': l[j + 1]}}
+                                   for j in range(1, len(l))]) AS u(p))
+        GROUP BY a, b) pc
+      JOIN wu{i} ua ON pc.a = ua.t
+      JOIN wu{i} ub ON pc.b = ub.t
+      ORDER BY CAST(pair_ct AS DOUBLE) /
+                   (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)) DESC,
+               pair_ct DESC, a, b
+      LIMIT 1),
+    wd{i + 1} AS MATERIALIZED (
+      -- LEFT JOIN + CASE mirrors the engine's empty-top early stop
+      SELECT word, wcount,
+             CASE WHEN a IS NULL THEN s
+                  ELSE replace(s,
+                       {_BPE_S} || a || {_BPE_S}||{_BPE_S} || b || {_BPE_S},
+                       {_BPE_S} || a || b || {_BPE_S}) END AS s
+      FROM wd{i} LEFT JOIN wp{i} ON TRUE)""")
+    return ",".join(parts)
+
+
+def _wp_train_oracle() -> str:
+    from gmall_flink_spark.llm.wordpiece import WP_TRAIN_ROUNDS
+
+    rounds_sel = "\n    UNION ALL ".join(
+        f"SELECT {i} AS round, a AS pair_a, b AS pair_b, pair_ct, cnt_a, cnt_b"
+        f" FROM wp{i}"
+        for i in range(1, WP_TRAIN_ROUNDS + 1)
+    )
+    return _wp_rounds_cte() + f"\n    {rounds_sel}\n    ORDER BY round"
+
+
+def _wp_encode_oracle() -> str:
+    """Greedy longest-match-first walk, unrolled one CTE level per
+    consumed piece (WP_MAX_WORD_LEN levels) over the DISTINCT in-cap
+    words; vocab = training alphabet ∪ the K merge products. An
+    independent implementation of the same greedy contract — the engine
+    unrolls column expressions, the oracle unrolls CTEs with IN-subquery
+    membership probes."""
+    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, WP_TRAIN_ROUNDS
+
+    vocab_sel = "\n      UNION ".join(
+        f"SELECT a || b AS piece FROM wp{i}"
+        for i in range(1, WP_TRAIN_ROUNDS + 1)
+    )
+    levels = []
+    step_case = "CASE\n" + "\n".join(
+        f"            WHEN length(word) - pos + 1 >= {l} AND"
+        f" substring(word, pos, {l}) IN (SELECT piece FROM wvocab)"
+        f" THEN {l}"
+        for l in range(WP_MAX_WORD_LEN, 0, -1)
+    ) + "\n          END"
+    for k in range(1, WP_MAX_WORD_LEN + 1):
+        levels.append(f"""
+    wg{k} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN ok = 0 OR pos > length(word) THEN pos
+                  ELSE pos + coalesce(step, 0) END AS pos,
+             CASE WHEN ok = 0 THEN 0
+                  WHEN pos > length(word) THEN ok
+                  WHEN step IS NULL THEN 0 ELSE 1 END AS ok,
+             CASE WHEN ok = 0 OR pos > length(word) OR step IS NULL THEN pct
+                  ELSE pct + 1 END AS pct
+      FROM (SELECT word, pos, ok, pct,
+                   {step_case} AS step
+            FROM wg{k - 1}))""")
+    return (
+        _wp_rounds_cte()
+        + f""",
+    wvocab AS MATERIALIZED (
+      SELECT DISTINCT substring(word, i, 1) AS piece
+      FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM wpw)
+      UNION
+      {vocab_sel}),
+    fw AS (
+      SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS occ
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
+      WHERE length(w) <= {WP_MAX_WORD_LEN}
+      GROUP BY source, w),
+    wg0 AS (SELECT DISTINCT word, 1 AS pos, 1 AS ok, CAST(0 AS BIGINT) AS pct
+            FROM fw),
+    {",".join(levels)},
+    wseg AS (
+      SELECT word,
+             CASE WHEN ok = 1 AND pos > length(word) THEN 1 ELSE 0 END AS ok,
+             pct
+      FROM wg{WP_MAX_WORD_LEN})
+    SELECT f.source,
+           CAST(SUM(occ) AS BIGINT) AS word_ct,
+           CAST(SUM(occ * (1 - s.ok)) AS BIGINT) AS unk_ct,
+           CAST(SUM(occ * s.ok) AS BIGINT) AS ok_ct,
+           CAST(SUM(occ * s.pct * s.ok) AS BIGINT) AS piece_ct,
+           CAST(SUM(occ * length(f.word) * s.ok) AS BIGINT) AS char_ct,
+           -- greedy pieces concat back to the word by construction; the
+           -- engine reconstructs from its path string independently
+           CAST(SUM(occ * s.ok) AS BIGINT) AS roundtrip_ok,
+           CAST(CASE WHEN SUM(occ * s.ok) = 0 THEN 0
+                     ELSE (100 * SUM(occ * s.pct * s.ok)) // SUM(occ * s.ok)
+                END AS BIGINT) AS fertility_x100
+    FROM fw f JOIN wseg s USING (word)
+    GROUP BY f.source ORDER BY f.source"""
+    )
+
+
+QUERIES["llm_wordpiece_train"] = llm_wordpiece_train
+QUERIES["llm_wordpiece_encode"] = llm_wordpiece_encode
+ORACLE["llm_wordpiece_train"] = _wp_train_oracle()
+ORACLE["llm_wordpiece_encode"] = _wp_encode_oracle()

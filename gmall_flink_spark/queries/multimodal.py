@@ -448,3 +448,67 @@ ORACLE["media_phash_pairs"] = f"""
            CAST(SUM(b_id) AS BIGINT) AS b_id_sum
     FROM verified GROUP BY kind, hamming ORDER BY kind, hamming
 """
+
+
+def media_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG/JFIF metadata proof (the image column's second container
+    format next to PNG): synthesize minimal valid JFIF files for the
+    image slice (llm/multimodal.image_jpeg_table — SOI/APP0/DQT/SOF/DHT/
+    SOS/EOI with correct segment lengths), marker-walk each blob
+    (jpeg_meta: SOF frame header, sampling factors -> subsampling class,
+    JFIF densities, entropy-scan to EOI), and aggregate per
+    (ok, progressive, ncomp, subsampling). Every 29th image is truncated
+    mid-segment and must land in the ok=0 dead-letter row. The oracle
+    re-derives every value from the GENERATIVE doc_id formulas, never
+    the bytes — green parity proves the segment walk actually read the
+    SOF and APP0 fields (the media_video_meta pattern, ITU-T T.81)."""
+    from gmall_flink_spark.llm.multimodal import image_jpeg_table, jpeg_meta
+
+    m = jpeg_meta(image_jpeg_table(spark, sf_dir))
+    return (
+        m.groupBy("ok", "progressive", "ncomp", "subsampling")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("img_ct"),
+            F.sum("width").cast("bigint").alias("w_sum"),
+            F.sum("height").cast("bigint").alias("h_sum"),
+            F.sum("xdensity").cast("bigint").alias("xdens_sum"),
+            F.sum("ydensity").cast("bigint").alias("ydens_sum"),
+        )
+        .orderBy("ok", "progressive", "ncomp", "subsampling")
+    )
+
+
+QUERIES["media_jpeg_meta"] = media_jpeg_meta
+
+# mirrors llm/multimodal.image_jpeg_table's generative formulas (incl.
+# the %29 corrupt-truncation rule) — never the bytes
+ORACLE["media_jpeg_meta"] = """
+    WITH img AS (
+        SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0
+    ),
+    meta AS (
+        SELECT id,
+               (id % 29 = 0) AS corrupt,
+               (id % 200) + 16 AS w,
+               (id % 120) + 16 AS h,
+               CASE WHEN id % 5 = 0 THEN 1 ELSE 3 END AS nc,
+               CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END AS prog,
+               CASE WHEN id % 5 = 0 THEN 'gray'
+                    WHEN id % 2 = 0 THEN '420' ELSE '444' END AS sub,
+               (id % 97) + 1 AS xd,
+               (id % 89) + 1 AS yd
+        FROM img
+    )
+    SELECT CAST(CASE WHEN corrupt THEN 0 ELSE 1 END AS INTEGER) AS ok,
+           CASE WHEN corrupt THEN NULL ELSE CAST(prog AS INTEGER) END AS progressive,
+           CASE WHEN corrupt THEN NULL ELSE CAST(nc AS INTEGER) END AS ncomp,
+           CASE WHEN corrupt THEN NULL ELSE sub END AS subsampling,
+           CAST(COUNT(*) AS BIGINT) AS img_ct,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE w END) AS BIGINT) AS w_sum,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE h END) AS BIGINT) AS h_sum,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE xd END) AS BIGINT) AS xdens_sum,
+           CAST(SUM(CASE WHEN corrupt THEN NULL ELSE yd END) AS BIGINT) AS ydens_sum
+    FROM meta
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1, 2, 3, 4
+"""

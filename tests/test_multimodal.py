@@ -312,3 +312,104 @@ def test_video_meta_matches_generative_formulas(spark):
         assert r["codecs"] == ",".join(
             names[(mid // 3 + i) % 3] for i in range(mid % 2 + 1)
         )
+
+
+def test_jpeg_roundtrip_and_corrupt():
+    """jpeg_bytes -> parse_jpeg roundtrip (module-level pair; the inline
+    mapInPandas twins mirror these byte-for-byte): dimensions, component
+    count, progressive flag, subsampling class, and JFIF densities come
+    back out of the segments; truncation, a lost marker sync, and a
+    missing SOF raise (the dead-letter contract). Entropy-scan handling
+    covers T.81 §B.1.1.5: 0xFF00 stuffing and RST0-7 restart markers
+    pass through, fill bytes before a marker are consumed."""
+    import pytest
+
+    from gmall_flink_spark.llm.multimodal import jpeg_bytes, parse_jpeg
+
+    data = jpeg_bytes(640, 480, 3, True, 72, 96, b"abc", subsample_420=True)
+    assert parse_jpeg(data) == (640, 480, 3, 1, "420", 72, 96)
+    assert parse_jpeg(jpeg_bytes(17, 9, 3, False, 1, 2)) == (
+        17, 9, 3, 0, "444", 1, 2,
+    )
+    assert parse_jpeg(jpeg_bytes(5, 5, 1, False, 300, 300))[2:5] == (1, 0, "gray")
+
+    with pytest.raises(ValueError):
+        parse_jpeg(data[:6])  # truncated mid-APP0
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x00" + data[1:])  # bad SOI
+    with pytest.raises(ValueError):
+        parse_jpeg(data[:-1])  # scan never reaches EOI
+    with pytest.raises(ValueError):
+        # SOI + APP0 only: well-formed segments but no SOF frame header
+        parse_jpeg(data[: 2 + 2 + 18] + b"\xff\xd9")
+
+    # stuffed 0xFF00 and an RST marker inside the entropy stream survive;
+    # fill bytes (repeated 0xFF) before a marker are consumed
+    scan = b"\xff\x00" + bytes([0xFF, 0xD3]) + b"xy"
+    assert parse_jpeg(jpeg_bytes(10, 11, 3, False, 4, 5, scan))[:2] == (10, 11)
+    filled = data[:2] + b"\xff" + data[2:]
+    assert parse_jpeg(filled) == (640, 480, 3, 1, "420", 72, 96)
+
+
+def test_jpeg_meta_matches_generative_formulas(spark):
+    """image_jpeg_table -> jpeg_meta end-to-end: per-image metadata equals
+    the generative formulas, and exactly the %JPEG_CORRUPT_MOD images
+    dead-letter (ok=0, NULL fields)."""
+    from gmall_flink_spark.llm.multimodal import (
+        JPEG_CORRUPT_MOD,
+        image_jpeg_table,
+        jpeg_meta,
+    )
+
+    rows = {
+        r["media_id"]: r
+        for r in jpeg_meta(image_jpeg_table(spark, SF)).limit(60).collect()
+    }
+    assert rows, "no image rows emitted"
+    for mid, r in rows.items():
+        assert mid % 3 == 0
+        if mid % JPEG_CORRUPT_MOD == 0:
+            assert r["ok"] == 0 and r["width"] is None and r["subsampling"] is None
+            continue
+        assert r["ok"] == 1
+        assert r["width"] == (mid % 200) + 16 and r["height"] == (mid % 120) + 16
+        nc = 1 if mid % 5 == 0 else 3
+        assert r["ncomp"] == nc
+        assert r["progressive"] == (1 if mid % 7 == 0 else 0)
+        assert r["subsampling"] == (
+            "gray" if nc == 1 else ("420" if mid % 2 == 0 else "444")
+        )
+        assert r["xdensity"] == (mid % 97) + 1 and r["ydensity"] == (mid % 89) + 1
+
+
+def test_jpeg_inline_twin_parity(spark):
+    """The mapInPandas closures inside image_jpeg_table/jpeg_meta are
+    inline twins of module-level jpeg_bytes/parse_jpeg — pin byte-for-byte
+    synthesis parity and field-for-field parse parity on the same ids."""
+    from gmall_flink_spark.llm.multimodal import (
+        image_jpeg_table,
+        jpeg_bytes,
+        parse_jpeg,
+    )
+
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in image_jpeg_table(spark, SF).limit(40).collect()
+    }
+    assert got
+    for mid, payload in got.items():
+        expect = jpeg_bytes(
+            (mid % 200) + 16,
+            (mid % 120) + 16,
+            1 if mid % 5 == 0 else 3,
+            mid % 7 == 0,
+            (mid % 97) + 1,
+            (mid % 89) + 1,
+            bytes((mid * 31 + i * 7) % 255 for i in range((mid % 40) + 4)),
+            subsample_420=(mid % 2 == 0),
+        )
+        if mid % 29 == 0:
+            expect = expect[:6]
+        assert payload == expect, f"synthesis twin drift at id {mid}"
+        if mid % 29 != 0:
+            parse_jpeg(payload)  # module parser accepts the worker's bytes

@@ -1291,3 +1291,120 @@ def test_hard_negatives_probed_positive_out_of_probe_reach(spark):
     near2 = hard_negatives_probed(assigned_l, anchors, cents, nprobe=2, k=2).collect()
     # centroid vectors are corpus members too: vec 0 (label 0) outranks 22
     assert [(r["neighbor_id"], r["rk"]) for r in near2] == [(0, 1), (22, 2)], near2
+
+
+def test_wordpiece_train_matches_python_reference(spark):
+    """llm/wordpiece: the likelihood-scored merge trainer against a
+    plain-Python reference implementing the identical contract — per
+    round, weighted bigram/unigram counts, winner = max of
+    pair_ct/(cnt_a*cnt_b) with (score desc, pair_ct desc, a, b)
+    tie-break, merged token = plain concat a||b. The corpus is engineered
+    so the likelihood pick DIFFERS from BPE's raw-frequency pick in
+    round 1 (the family's distinguishing behavior)."""
+    from gmall_flink_spark.llm.wordpiece import wordpiece_train_state
+
+    words = {"table": 10, "tablet": 5, "tab": 3, "able": 2, "bet": 4}
+    ROUNDS = 4
+
+    def py_train(words, rounds):
+        seqs = {w: [list(w), c] for w, c in words.items()}
+        merges = []
+        for rnd in range(1, rounds + 1):
+            singles, pairs = {}, {}
+            for toks, c in seqs.values():
+                for t in toks:
+                    singles[t] = singles.get(t, 0) + c
+                for a, b in zip(toks, toks[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            best = min(
+                pairs.items(),
+                key=lambda kv: (
+                    -(kv[1] / (singles[kv[0][0]] * singles[kv[0][1]])),
+                    -kv[1],
+                    kv[0],
+                ),
+            )
+            (a, b), pct = best
+            merges.append((rnd, a, b, pct, singles[a], singles[b]))
+            for v in seqs.values():
+                toks, out, i = v[0], [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                v[0] = out
+        return merges
+
+    expected = py_train(words, ROUNDS)
+    df = spark.createDataFrame(list(words.items()), "word string, wcount bigint")
+    merges, _ = wordpiece_train_state(df, rounds=ROUNDS)
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["pair_ct"], r["cnt_a"], r["cnt_b"])
+        for r in merges.orderBy("round").collect()
+    ]
+    assert got == expected
+    # the distinguishing behavior: round 1 merges the LIKELIHOOD winner
+    # ('l','e': 17/(17*21)), not BPE's raw-frequency winner ('a','b': 20)
+    assert (got[0][1], got[0][2]) == ("l", "e")
+    freq_winner = ("a", "b")
+    assert (got[0][1], got[0][2]) != freq_winner
+
+
+def test_wordpiece_greedy_longest_match_and_unk(spark):
+    """with_greedy_pieces edge semantics: longest-match-first wins over
+    any shorter prefix, a position with no matching piece voids the WHOLE
+    word (the BERT [UNK] contract — even if a prior prefix matched), and
+    the path string reconstructs the word exactly for ok words."""
+    from gmall_flink_spark.llm.bpe import BPE_SEP
+    from gmall_flink_spark.llm.wordpiece import with_greedy_pieces
+
+    vocab = {p: len(p) for p in ["a", "b", "t", "e", "ab", "abl", "le", "tab"]}
+    df = spark.createDataFrame(
+        [("table",), ("ablet",), ("abz",), ("tab",)], "word string"
+    )
+    got = {
+        r["word"]: (r["wp"]["ok"], r["wp"]["pct"], r["wp"]["path"])
+        for r in with_greedy_pieces(df, "word", vocab).collect()
+    }
+    S = BPE_SEP
+    # 'table': greedy takes 'tab' (len 3) then 'le' — NOT 't'+'abl'+'e'
+    assert got["table"] == (1, 2, f"{S}tab{S}le")
+    # 'ablet': 'abl' + 'e' + 't' (longest first at each position)
+    assert got["ablet"] == (1, 3, f"{S}abl{S}e{S}t")
+    # 'abz': 'ab' matches but 'z' has no piece -> whole word UNK
+    assert got["abz"] == (0, 1, f"{S}ab")
+    # exact whole-word piece
+    assert got["tab"] == (1, 1, f"{S}tab")
+    # roundtrip contract for ok words
+    for w, (ok, _, path) in got.items():
+        if ok:
+            assert path.replace(S, "") == w
+
+
+def test_three_tokenizer_families_diverge(spark):
+    """The same corpus segments DIFFERENTLY under the three families —
+    BPE merge-order application, WordPiece greedy longest-match, unigram
+    minimal-cost Viterbi — pinning that the families are genuinely
+    distinct algorithms, not renamings. Corpus engineered so 'abcd'
+    splits three ways."""
+    from gmall_flink_spark.llm.bpe import BPE_SEP
+    from gmall_flink_spark.llm.unigram import with_viterbi
+    from gmall_flink_spark.llm.wordpiece import with_greedy_pieces
+
+    df = spark.createDataFrame([("abcd",)], "word string")
+    S = BPE_SEP
+
+    # WordPiece greedy with vocab {abc, d, ab, cd, a, b, c}: abc+d
+    wp_vocab = {p: len(p) for p in ["abc", "d", "ab", "cd", "a", "b", "c"]}
+    wp = with_greedy_pieces(df, "word", wp_vocab).collect()[0]["wp"]
+    assert wp["path"] == f"{S}abc{S}d"
+
+    # unigram Viterbi with costs making ab+cd cheaper than abc+d
+    uni_costs = {"abc": 5, "d": 5, "ab": 2, "cd": 2, "a": 9, "b": 9, "c": 9}
+    st = with_viterbi(df, "word", uni_costs).collect()[0]["st"]
+    assert st["path"] == f"{S}ab{S}cd"
