@@ -317,6 +317,12 @@ HEADLINE = [
     "llm_bpe_roundtrip",
     "llm_unigram_roundtrip",
     "llm_decontaminate_scrub",
+    # round 12 continuation: JPEG marker-walk metadata, WordPiece
+    # tokenizer family (likelihood merges + greedy longest-match encode)
+    "media_jpeg_meta",
+    "llm_wordpiece_train",
+    "llm_wordpiece_encode",
+    "llm_curriculum_order",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

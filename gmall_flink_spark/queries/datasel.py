@@ -1337,3 +1337,106 @@ QUERIES["llm_wordpiece_train"] = llm_wordpiece_train
 QUERIES["llm_wordpiece_encode"] = llm_wordpiece_encode
 ORACLE["llm_wordpiece_train"] = _wp_train_oracle()
 ORACLE["llm_wordpiece_encode"] = _wp_encode_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering — the training-ORDER governance artifact next to the
+# training-SET ones (llm_corpus_build decides WHAT trains, llm_shard_manifest
+# decides WHERE it lives; this decides WHEN it is seen).
+# ---------------------------------------------------------------------------
+
+#: curriculum stages (quality quartiles, low -> high: the decay-phase
+#: anneal recipe — the highest-quality stage lands at the END of training)
+CURRICULUM_STAGES = 4
+
+
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CURRICULUM manifest: every doc gets the shared
+    integer quality score (queries/text.doc_quality_scores — the one
+    scoring contract, SQL twin SCORED_DOCS_SQL), docs are staged into
+    CURRICULUM_STAGES per-source quality quartiles (ntile over the total
+    order score, doc_id — low first, so the highest-quality quartile
+    anneals at the end of training), and WITHIN each stage the training
+    position is a seed-free hash shuffle (portable md5 hash, the
+    llm_shard_manifest identity) — deterministic like everything a
+    reproducible run ships, but uncorrelated with doc_id/source order.
+    One row per (source, stage): docs, tokens, first/last doc in
+    training order, and an order checksum sum(pos · (doc_id mod 997))
+    that pins the exact permutation — two orders with equal counts
+    cannot both pass.
+
+    Scale: both windows are keyed by source (ntile) and (source, stage)
+    (row_number) — no global sort; the checksum aggregate is one
+    bounded-key shuffle. An exact global interleave would need a total
+    order; the per-source manifest is what a sharded writer consumes."""
+    from pyspark.sql import Window
+
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.text import doc_quality_scores
+
+    docs = table(spark, sf_dir, "documents")
+    scored = doc_quality_scores(docs).join(
+        docs.select(
+            "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_toks")
+        ),
+        "doc_id",
+    )
+    ws = Window.partitionBy("source").orderBy("score", "doc_id")
+    staged = scored.withColumn(
+        "stage", F.ntile(CURRICULUM_STAGES).over(ws)
+    )
+    wp = Window.partitionBy("source", "stage").orderBy(
+        md5_long(F.col("doc_id").cast("string")), "doc_id"
+    )
+    pos = staged.withColumn("pos", F.row_number().over(wp).cast("bigint"))
+    return (
+        pos.groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_ct"),
+            F.sum("n_toks").cast("bigint").alias("token_ct"),
+            F.min("score").cast("bigint").alias("score_min"),
+            F.max("score").cast("bigint").alias("score_max"),
+            F.min_by("doc_id", "pos").alias("first_doc"),
+            F.max_by("doc_id", "pos").alias("last_doc"),
+            F.sum(F.col("pos") * (F.col("doc_id") % SHARD_CK_MOD))
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
+def _curriculum_oracle() -> str:
+    from gmall_flink_spark.queries.text import SCORED_DOCS_SQL
+
+    return f"""
+    WITH scored AS ({SCORED_DOCS_SQL}),
+    tok AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_toks
+            FROM documents),
+    st AS (
+        SELECT s.source, s.doc_id, s.score, t.n_toks,
+               ntile({CURRICULUM_STAGES}) OVER (
+                   PARTITION BY s.source ORDER BY s.score, s.doc_id
+               ) AS stage
+        FROM scored s JOIN tok t USING (doc_id)),
+    po AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source, stage
+                   ORDER BY {_MD5H.format(key="CAST(doc_id AS VARCHAR)")},
+                            doc_id) AS BIGINT) AS pos
+        FROM st)
+    SELECT source, stage,
+           CAST(COUNT(*) AS BIGINT) AS doc_ct,
+           CAST(SUM(n_toks) AS BIGINT) AS token_ct,
+           CAST(MIN(score) AS BIGINT) AS score_min,
+           CAST(MAX(score) AS BIGINT) AS score_max,
+           arg_min(doc_id, pos) AS first_doc,
+           arg_max(doc_id, pos) AS last_doc,
+           CAST(SUM(pos * (doc_id % {SHARD_CK_MOD})) AS BIGINT)
+               AS order_checksum
+    FROM po GROUP BY source, stage ORDER BY source, stage
+    """
+
+
+QUERIES["llm_curriculum_order"] = llm_curriculum_order
+ORACLE["llm_curriculum_order"] = _curriculum_oracle()

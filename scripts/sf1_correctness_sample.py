@@ -59,6 +59,8 @@ SAMPLE = [
     "log_split_counts",        # 5-way log split conditional aggregate
     "text_quality",            # quality battery
     "sim_ivf_topk",            # IVF ANN (embeddings 1x — see module doc)
+    "media_jpeg_meta",         # r12: JPEG marker walk, 10x image ids
+    "llm_wordpiece_encode",    # r12: greedy WordPiece over 10x salted words
 ]
 
 

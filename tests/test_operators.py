@@ -1408,3 +1408,93 @@ def test_three_tokenizer_families_diverge(spark):
     uni_costs = {"abc": 5, "d": 5, "ab": 2, "cd": 2, "a": 9, "b": 9, "c": 9}
     st = with_viterbi(df, "word", uni_costs).collect()[0]["st"]
     assert st["path"] == f"{S}ab{S}cd"
+
+
+def test_curriculum_order_checksum_pins_permutation(spark, tmp_path):
+    """llm_curriculum_order's order_checksum must distinguish two
+    orderings with identical (doc_ct, token_ct) — i.e. it pins the exact
+    permutation, not just membership. Verified by recomputing the
+    checksum from a hand-built position map and asserting that reversing
+    the within-stage order changes it."""
+    from gmall_flink_spark.functions.text import md5_long
+    from gmall_flink_spark.queries.datasel import (
+        SHARD_CK_MOD,
+        llm_curriculum_order,
+    )
+
+    rows = [
+        # one source, 8 docs with doc_id-varying text lengths so scores
+        # differ and every stage is populated
+        (i, " ".join(["tok"] * (i + 2)) + " the a", "en", "s0", 10)
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    sf = str(tmp_path)
+    got = {
+        (r["source"], r["stage"]): r
+        for r in llm_curriculum_order(spark, sf).collect()
+    }
+    assert got, "no curriculum rows"
+    # recompute one stage's checksum by hand from the engine's own
+    # ordering contract (portable md5 hash, then doc_id)
+    h = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", md5_long(F.col("doc_id").cast("string")).alias("h")
+        ).collect()
+    }
+    for (src, stage), r in got.items():
+        # collect the stage's members from first/last + count is not
+        # enough; instead verify: reversing the order flips the checksum
+        # unless the stage is a singleton
+        if r["doc_ct"] >= 2:
+            # forward checksum equals sum(pos * (id % MOD)) under h-order
+            # (engine contract); reversed differs as long as the weights
+            # aren't all equal — guaranteed here since doc_id % MOD are
+            # distinct in 1..8
+            assert r["order_checksum"] is not None
+    # cross-check full permutation on the one source: rebuild positions
+    scored = {i: None for i in range(1, 9)}
+    # quality score = engine formula: (10000*stop) div n + (10000*dist) div n
+    for i in range(1, 9):
+        toks = (["tok"] * (i + 2)) + ["the", "a"]
+        n = len(toks)
+        stop = sum(1 for t in toks if t in ("the", "a"))
+        dist = len(set(toks))
+        scored[i] = (10000 * stop) // n + (10000 * dist) // n
+    order = sorted(scored, key=lambda i: (scored[i], i))
+    k = 4
+    n = len(order)
+    sizes = [n // k + (1 if j < n % k else 0) for j in range(k)]
+    stages, at = {}, 0
+    for j, sz in enumerate(sizes, start=1):
+        for i in order[at : at + sz]:
+            stages[i] = j
+        at += sz
+    expect = {}
+    for j in range(1, k + 1):
+        members = sorted(
+            (i for i in stages if stages[i] == j), key=lambda i: (h[i], i)
+        )
+        ck = sum(pos * (i % SHARD_CK_MOD) for pos, i in enumerate(members, 1))
+        expect[("s0", j)] = (len(members), ck)
+    for key, (ct, ck) in expect.items():
+        assert got[key]["doc_ct"] == ct, key
+        assert got[key]["order_checksum"] == ck, key
+        rev = sum(
+            pos * (i % SHARD_CK_MOD)
+            for pos, i in enumerate(
+                sorted(
+                    (i for i in stages if stages[i] == key[1]),
+                    key=lambda i: (h[i], i),
+                    reverse=True,
+                ),
+                1,
+            )
+        )
+        if ct >= 2:
+            assert ck != rev, "checksum does not pin the permutation"

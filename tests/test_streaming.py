@@ -476,6 +476,44 @@ def test_streaming_trained_unigram_equals_batch(spark):
     assert got == want and got
 
 
+def test_streaming_trained_wordpiece_equals_batch(spark):
+    """WordPiece training over a STREAM: like the unigram twin above, the
+    frequency-weighted distinct-word frame is the trainer's sufficient
+    statistic, so maintaining it through the rollup sink per micro-batch
+    and training on the final state must equal the batch trainer
+    bit-for-bit — same merges, same likelihood-score inputs per round."""
+    from gmall_flink_spark.queries.datasel import _wp_words
+    from gmall_flink_spark.llm.wordpiece import (
+        WP_MAX_WORD_LEN,
+        wordpiece_train_state,
+    )
+    from gmall_flink_spark.sinks.rollup import read_state, rollup_writer
+    from gmall_flink_spark.functions.text import tokenize
+
+    docs = table(spark, SF, "documents")
+    slices = os.path.join(TMP, "wordpiece_slices")
+    split_into_files(docs, 3, "doc_id", slices)
+    state = os.path.join(TMP, "wordpiece_wordcounts")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+
+    def batch_counts(b):
+        return (
+            b.select(F.explode(tokenize("text")).alias("word"))
+            .where(F.length("word") <= WP_MAX_WORD_LEN)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w_ct"))
+        )
+
+    writer = rollup_writer(state, ["word"], batch_counts)
+    run_available_now(stream_from(spark, slices, docs), foreach_batch=writer)
+
+    streamed = read_state(spark, state).withColumnRenamed("w_ct", "wcount")
+    got = rows(wordpiece_train_state(streamed)[0])
+    want = rows(wordpiece_train_state(_wp_words(spark, SF))[0])
+    assert got == want and got
+
+
 def test_compact_topics_heals_crashed_swap(spark):
     """compact_topics crash window: a crash between the move-aside and the
     install leaves `<topic>.__old__` present and the live dir missing; the
