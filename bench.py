@@ -323,6 +323,7 @@ HEADLINE = [
     "llm_wordpiece_train",
     "llm_wordpiece_encode",
     "llm_curriculum_order",
+    "llm_bpe_compression_curve",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -625,7 +625,7 @@ def _bpe_rounds_cte(where: str = "TRUE") -> str:
     aggregate the terminal state d{K+1}. ``where`` restricts the TRAINING
     corpus (the sampled-trainer twin pins its hash-sample rule here)."""
     parts = [f"""
-    WITH d1 AS (
+    WITH d1 AS MATERIALIZED (
         SELECT source, lang, len({_TOKS}) AS n0,
                {_BPE_S} || array_to_string({_TOKS}, {_BPE_S}||{_BPE_S})
                    || {_BPE_S} AS s
@@ -633,7 +633,7 @@ def _bpe_rounds_cte(where: str = "TRUE") -> str:
     )"""]
     for i in range(1, BPE_TRAIN_ROUNDS + 1):
         parts.append(f"""
-    p{i} AS (
+    p{i} AS MATERIALIZED (
         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_ct
         FROM (
             SELECT u.p['a'] AS a, u.p['b'] AS b
@@ -644,7 +644,7 @@ def _bpe_rounds_cte(where: str = "TRUE") -> str:
         ) GROUP BY a, b ORDER BY pair_ct DESC, a, b LIMIT 1
     )""")
         parts.append(f"""
-    d{i + 1} AS (
+    d{i + 1} AS MATERIALIZED (
         -- LEFT JOIN + CASE mirrors the engine's empty-top early stop
         -- (llm/bpe.py): a round with no remaining bigram leaves the
         -- corpus untouched instead of wiping it to zero rows.
@@ -1440,3 +1440,109 @@ def _curriculum_oracle() -> str:
 
 QUERIES["llm_curriculum_order"] = llm_curriculum_order
 ORACLE["llm_curriculum_order"] = _curriculum_oracle()
+
+
+def llm_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ROUND-BUDGET planning curve (the PLAN-step pattern of
+    lsh_sensitivity_curve, applied to BPE): corpus token count after each
+    merge-round prefix 0..K, with cumulative and per-round merged
+    occurrences and the compression ratio in basis points — the table
+    that answers "how many merge rounds does THIS corpus need" before
+    committing to a 100 TB encode. Per-round merged counts are measured
+    by re-encoding, not read from the trainer's pair_ct — greedy
+    non-overlapping application merges FEWER occurrences than the pair
+    count when matches overlap (the 'a a a' case), so the curve is a
+    genuinely different statistic from the merge table.
+
+    Scale: the merge list is the K-row collected artifact; each curve
+    point is one map-only prefix re-encode + a global sum (K+1 passes —
+    at corpus scale run the curve on the trainer's hash sample; the
+    full-corpus form here matches the oracle's corpus exactly)."""
+    from gmall_flink_spark.llm.bpe import bpe_apply_merges, seq_token_count
+
+    merges_df, _ = _bpe_state(spark, sf_dir)
+    mrows = [
+        (r["pair_a"], r["pair_b"]) for r in merges_df.orderBy("round").collect()
+    ]
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        tokenize("text").alias("l"),
+        F.size(tokenize("text")).cast("bigint").alias("n0"),
+    )
+    frames = [
+        toked.agg(F.sum("n0").alias("tok_ct")).select(
+            F.lit(0).alias("round"), F.col("tok_ct").cast("bigint").alias("tok_ct")
+        )
+    ]
+    for i in range(1, len(mrows) + 1):
+        enc = bpe_apply_merges(toked, "l", mrows[:i])
+        frames.append(
+            enc.agg(F.sum(seq_token_count("s")).alias("tok_ct")).select(
+                F.lit(i).alias("round"),
+                F.col("tok_ct").cast("bigint").alias("tok_ct"),
+            )
+        )
+    curve = frames[0]
+    for f in frames[1:]:
+        curve = curve.unionByName(f)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("round")  # 7-row frame: the unpartitioned window is bounded
+    tok0 = F.first("tok_ct").over(
+        Window.orderBy("round").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        curve.withColumn("tok0", tok0)
+        .withColumn(
+            "merged_ct", (F.col("tok0") - F.col("tok_ct")).cast("bigint")
+        )
+        .withColumn(
+            "round_merged_ct",
+            F.coalesce(
+                F.lag("tok_ct").over(w) - F.col("tok_ct"), F.lit(0)
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "ratio_bp",
+            F.when(F.col("tok0") == 0, F.lit(10000).cast("bigint")).otherwise(
+                F.expr("CAST((10000 * tok_ct) DIV tok0 AS BIGINT)")
+            ),
+        )
+        .drop("tok0")
+        .orderBy("round")
+    )
+
+
+def _bpe_curve_oracle() -> str:
+    counts = []
+    for i in range(0, BPE_TRAIN_ROUNDS + 1):
+        counts.append(f"""
+    c{i} AS (
+        SELECT CAST({i} AS INTEGER) AS round,
+               CAST(SUM(CASE WHEN length(s) <= 2 THEN 0
+                        ELSE len(string_split(substr(s, 2, length(s) - 2),
+                                              {_BPE_S}||{_BPE_S})) END)
+                    AS BIGINT) AS tok_ct
+        FROM d{i + 1})""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM c{i}" for i in range(0, BPE_TRAIN_ROUNDS + 1)
+    )
+    return (
+        _bpe_rounds_cte()
+        + ","
+        + ",".join(counts)
+        + f""",
+    curve AS ({union})
+    SELECT round, tok_ct,
+           CAST((SELECT tok_ct FROM c0) - tok_ct AS BIGINT) AS merged_ct,
+           CAST(COALESCE(LAG(tok_ct) OVER (ORDER BY round) - tok_ct, 0)
+                AS BIGINT) AS round_merged_ct,
+           CAST(CASE WHEN (SELECT tok_ct FROM c0) = 0 THEN 10000
+                     ELSE (10000 * tok_ct) // (SELECT tok_ct FROM c0)
+                END AS BIGINT) AS ratio_bp
+    FROM curve ORDER BY round"""
+    )
+
+
+QUERIES["llm_bpe_compression_curve"] = llm_bpe_compression_curve
+ORACLE["llm_bpe_compression_curve"] = _bpe_curve_oracle()
