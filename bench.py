@@ -324,6 +324,7 @@ HEADLINE = [
     "llm_wordpiece_encode",
     "llm_curriculum_order",
     "llm_bpe_compression_curve",
+    "sim_sq_recall_audit",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -1189,3 +1189,110 @@ ORACLE["sim_label_drift"] = f"""
     FULL JOIN (SELECT * FROM sides WHERE half = 1) b ON a.label = b.label
     ORDER BY label
 """
+
+
+def sim_sq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) index-quality audit — recall@5 of
+    integer-dot search over round(127·x/‖x‖) codes vs exact float cosine,
+    per query (the missing member of the recall-audit family next to
+    lsh / simhash / IVF: llm_embed_quantize checksums the CODES, this
+    measures what the codes COST in ranking quality — the number an
+    operator reads before switching the fleet to 8-bit vectors, a 4x
+    memory/bandwidth cut). The quantized side is ALL-INTEGER arithmetic
+    (products ≤ 127²·dim « 2⁵³), so its ranking is bit-identical across
+    engines with no rounding guard; the float truth side reuses the
+    shared brute-force contract.
+
+    Scale: queries broadcast; both sides are one scan over the corpus
+    (truth is sampled-ground-truth methodology, same as the IVF audit);
+    the int8 codes are what a deployed store would hold, computed here
+    map-side from the same scan."""
+    emb = with_norm(prep(table(spark, sf_dir, "embeddings")))
+    q127 = F.lit(127).cast("double")
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("vec"),
+            lambda x: F.round(q127 * x / F.col("norm")).cast("bigint"),
+        ).alias("qv"),
+    )
+    queries = qz.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv")
+    )
+    zero = F.lit(0).cast("bigint")
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("qv"), lambda a, b: a * b),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qz.join(F.broadcast(queries), F.col("q_id") != F.col("vec_id"))
+        .withColumn("qdot", qdot)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    quant = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("hit"))
+    )
+    truth = brute_force_topk(
+        emb, emb.where(F.col("vec_id") < N_QUERIES), k=5
+    ).select("q_id", "neighbor_id")
+    flagged = truth.join(quant, ["q_id", "neighbor_id"], "left")
+    return (
+        flagged.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("true_ct"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hit_ct"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("miss_ct"),
+            F.sum("neighbor_id").alias("neighbor_id_sum"),
+        )
+        .orderBy("q_id")
+    )
+
+
+QUERIES["sim_sq_recall_audit"] = sim_sq_recall_audit
+
+ORACLE["sim_sq_recall_audit"] = f"""
+    WITH n AS ({_NORMED}),
+    qz AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(127.0 * x / norm) AS BIGINT))
+                   AS qv
+        FROM n
+    ),
+    qq AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz
+           WHERE vec_id < {N_QUERIES}),
+    quant AS (
+        SELECT q_id, neighbor_id, 1 AS hit FROM (
+            SELECT qq.q_id, z.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY qq.q_id
+                       ORDER BY list_dot_product(qq.q_qv, z.qv) DESC, z.vec_id
+                   ) AS rk
+            FROM qq JOIN qz z ON z.vec_id != qq.q_id
+        ) WHERE rk <= 5
+    ),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, norm AS q_norm
+          FROM ({_NORMED}) WHERE vec_id < {N_QUERIES}),
+    truth AS (
+        SELECT q_id, neighbor_id FROM (
+            SELECT q_id, nn.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY round(list_dot_product(q_vec, nn.v)
+                                      / (q_norm * nn.norm), 6) DESC, nn.vec_id
+                   ) AS rk
+            FROM q JOIN ({_NORMED}) nn ON nn.vec_id != q.q_id
+        ) WHERE rk <= 5
+    )
+    SELECT t.q_id,
+           CAST(COUNT(*) AS BIGINT) AS true_ct,
+           CAST(SUM(COALESCE(p.hit, 0)) AS BIGINT) AS hit_ct,
+           CAST(SUM(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS miss_ct,
+           CAST(SUM(t.neighbor_id) AS BIGINT) AS neighbor_id_sum
+    FROM truth t LEFT JOIN quant p
+      ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
+    GROUP BY t.q_id ORDER BY t.q_id
+"""
