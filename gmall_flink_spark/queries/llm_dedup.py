@@ -1514,6 +1514,97 @@ _SHINGLES3 = f"""
 
 _SAMPLE_UNITS = f"SELECT * FROM ({_UNITS}) WHERE doc_id % {AUDIT_MOD} = 0"
 
+# Shared verified-pair -> closure CTE body for the components oracles,
+# restructured for SCALE (the sf1 spot-sweep lesson): the original form
+# computed _jaccard over ALL pairs sharing any shingle and then filtered
+# to candidates — quadratic in docs-per-shingle (hours + tens of GB at
+# ~sf1); this form counts intersections ONLY for candidate pairs (the
+# same restriction the engine applies) and MATERIALIZEs every
+# multiply-referenced stage so DuckDB's default CTE inlining cannot
+# re-expand the minhash chain per reference (the _wp_rounds_cte lesson).
+# Candidate pairs with zero shared shingles drop out of `inter`; they
+# could never pass the 9/10 verify, so `edges` is unchanged.
+_COMP_CTES = f"""
+        units AS MATERIALIZED ({_UNITS}),
+        sigs AS MATERIALIZED (
+            SELECT doc_id, seed,
+                   MIN(((2 * seed + 1) * h + seed * seed + 7) % {_P}) AS mh
+            FROM (SELECT doc_id, {_BASE} AS h FROM units) u,
+                 (SELECT unnest(range({MINHASH_K})) AS seed) s
+            GROUP BY doc_id, seed
+        ),
+        bands AS MATERIALIZED (
+            SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+                   string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
+            FROM sigs GROUP BY doc_id, band
+        ),
+        bstats AS MATERIALIZED (
+            SELECT band, band_sig, COUNT(*) AS n FROM bands GROUP BY 1, 2
+        ),
+        refined AS MATERIALIZED (
+            SELECT DISTINCT m.doc_id FROM bands m
+            JOIN bstats k ON m.band = k.band AND m.band_sig = k.band_sig
+            WHERE k.n > {LSH_MAX_BUCKET}
+        ),
+        fine_r AS MATERIALIZED (
+            SELECT f.doc_id, f.band, f.band_sig FROM (
+                SELECT doc_id, seed // {FINE_ROWS_PER_BAND} AS band,
+                       string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
+                FROM sigs GROUP BY doc_id, band
+            ) f JOIN refined r ON f.doc_id = r.doc_id
+        ),
+        fstats AS MATERIALIZED (
+            SELECT band, band_sig, COUNT(*) AS n FROM fine_r GROUP BY 1, 2
+        ),
+        cands AS MATERIALIZED (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b
+                  ON a.band = b.band AND a.band_sig = b.band_sig
+                 AND a.doc_id < b.doc_id
+                JOIN bstats k
+                  ON a.band = k.band AND a.band_sig = k.band_sig
+                WHERE k.n <= {LSH_MAX_BUCKET}
+                UNION ALL
+                SELECT fa.doc_id AS doc_a, fb.doc_id AS doc_b
+                FROM fine_r fa
+                JOIN fine_r fb
+                  ON fa.band = fb.band AND fa.band_sig = fb.band_sig
+                 AND fa.doc_id < fb.doc_id
+                JOIN fstats k
+                  ON fa.band = k.band AND fa.band_sig = k.band_sig
+                WHERE k.n <= {LSH_MAX_BUCKET}
+            )
+        ),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS n FROM units GROUP BY doc_id
+        ),
+        inter AS MATERIALIZED (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+            FROM cands c
+            JOIN units a ON a.doc_id = c.doc_a
+            JOIN units b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ),
+        edges AS MATERIALIZED (
+            SELECT i.doc_a, i.doc_b
+            FROM inter i
+            JOIN sizes sa ON i.doc_a = sa.doc_id
+            JOIN sizes sb ON i.doc_b = sb.doc_id
+            WHERE 10 * i.inter >= 9 * (sa.n + sb.n - i.inter)
+        ),
+        sym AS (
+            SELECT doc_a AS s, doc_b AS d FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        )"""
+
 from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN as _ST, SPLIT_VAL as _SV
 
 ORACLE = {
@@ -1711,45 +1802,13 @@ ORACLE = {
     """,
     "dedup_components": f"""
         WITH RECURSIVE
-        cands AS ({_CANDS}),
-        jac AS ({_jaccard(_UNITS)}),
-        edges AS (
-            SELECT j.doc_a, j.doc_b
-            FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-            WHERE 10 * j.inter >= 9 * j.uni
-        ),
-        sym AS (
-            SELECT doc_a AS s, doc_b AS d FROM edges
-            UNION ALL SELECT doc_b, doc_a FROM edges
-        ),
-        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
-        reach(doc_id, r) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
-        )
+        {_COMP_CTES}
         SELECT doc_id, MIN(r) AS component
         FROM reach GROUP BY doc_id ORDER BY doc_id
     """,
     "dedup_rep_select": f"""
         WITH RECURSIVE
-        cands AS ({_CANDS}),
-        jac AS ({_jaccard(_UNITS)}),
-        edges AS (
-            SELECT j.doc_a, j.doc_b
-            FROM jac j JOIN cands c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-            WHERE 10 * j.inter >= 9 * j.uni
-        ),
-        sym AS (
-            SELECT doc_a AS s, doc_b AS d FROM edges
-            UNION ALL SELECT doc_b, doc_a FROM edges
-        ),
-        nodes AS (SELECT DISTINCT s AS doc_id FROM sym),
-        reach(doc_id, r) AS (
-            SELECT doc_id, doc_id FROM nodes
-            UNION
-            SELECT reach.doc_id, sym.d FROM reach JOIN sym ON reach.r = sym.s
-        ),
+        {_COMP_CTES},
         comp AS (SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id),
         scored AS ({SCORED_DOCS_SQL}),
         ranked AS (
