@@ -781,7 +781,7 @@ def _bpe_fertility_sampled_oracle() -> str:
 def _uni_ranked(src: str, out: str) -> str:
     """rank = row_number over (cnt desc, piece asc); cost_q =
     length(bin(rank)) — mirrors llm/unigram.ranked."""
-    return f"""{out} AS (
+    return f"""{out} AS MATERIALIZED (
       SELECT piece, cnt,
              CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS BIGINT) AS rank,
              CAST(length(printf('%b',
@@ -795,7 +795,7 @@ def _uni_edges(words: str, vocab: str, out: str) -> str:
     from gmall_flink_spark.llm.unigram import UNIGRAM_MAX_PIECE, UNIGRAM_UNK_COST
 
     lens = ",".join(str(i) for i in range(1, UNIGRAM_MAX_PIECE + 1))
-    return f"""{out} AS (
+    return f"""{out} AS MATERIALIZED (
       SELECT x.word, x.i - 1 AS s_pos, x.i - 1 + length(v.piece) AS e_pos,
              v.piece, v.cost_q AS cost
       FROM (SELECT p.word, p.i, substring(p.word, p.i, ll.l) AS sub
@@ -824,7 +824,7 @@ def _uni_best(words: str, edges: str, out: str) -> str:
       SELECT s.word, e.e_pos, s.cost + e.cost, s.pct + 1,
              s.path || chr(31) || e.piece
       FROM seg_{out} s JOIN {edges} e ON e.word = s.word AND e.s_pos = s.pos),
-    {out} AS (
+    {out} AS MATERIALIZED (
       SELECT word, cost, pct, path FROM (
         SELECT word, cost, pct, path,
                ROW_NUMBER() OVER (PARTITION BY word
@@ -839,13 +839,13 @@ def _uni_mstep(words: str, best: str, out: str) -> str:
     M-step of llm/unigram.unigram_train."""
     from gmall_flink_spark.llm.unigram import UNIGRAM_KEEP_MULTI
 
-    return f"""cnt_{out} AS (
+    return f"""cnt_{out} AS MATERIALIZED (
       SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt
       FROM (SELECT word, unnest(string_split(substring(path, 2), chr(31))) AS piece
             FROM {best}) q
       JOIN {words} USING (word)
       GROUP BY piece),
-    {out} AS (
+    {out} AS MATERIALIZED (
       SELECT c.piece, CAST(COALESCE(k.cnt, 0) AS BIGINT) AS cnt
       FROM uchars c LEFT JOIN cnt_{out} k USING (piece)
       UNION ALL
@@ -863,12 +863,12 @@ def _uni_train_cte() -> str:
     )
 
     return f"""WITH RECURSIVE
-    uwords AS (
+    uwords AS MATERIALIZED (
       SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
       FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE {_BPE_SAMPLE_WHERE})
       WHERE length(w) <= {UNIGRAM_MAX_WORD_LEN}
       GROUP BY w),
-    useed AS (
+    useed AS MATERIALIZED (
       SELECT sub AS piece, CAST(SUM(wcount) AS BIGINT) AS cnt
       FROM (SELECT p.word, p.wcount, substring(p.word, p.i, ll.l) AS sub
             FROM (SELECT word, wcount, unnest(range(1, length(word) + 1)) AS i
@@ -876,8 +876,8 @@ def _uni_train_cte() -> str:
                  (SELECT unnest([1,2,3,4]) AS l) ll
             WHERE p.i + ll.l - 1 <= length(p.word)) x
       GROUP BY sub),
-    uchars AS (SELECT piece FROM useed WHERE length(piece) = 1),
-    uvocab0 AS (
+    uchars AS MATERIALIZED (SELECT piece FROM useed WHERE length(piece) = 1),
+    uvocab0 AS MATERIALIZED (
       SELECT piece, cnt FROM useed WHERE length(piece) = 1
       UNION ALL
       SELECT piece, cnt FROM (
