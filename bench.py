@@ -325,6 +325,8 @@ HEADLINE = [
     "llm_curriculum_order",
     "llm_bpe_compression_curve",
     "sim_sq_recall_audit",
+    "lsh_bucket_cap_plan",
+    "minhash_est_accuracy",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -2360,3 +2360,202 @@ def _lsh_curve_oracle() -> str:
 
 
 ORACLE["lsh_sensitivity_curve"] = _lsh_curve_oracle()
+
+
+#: candidate bucket caps the plan table evaluates (the production value
+#: LSH_MAX_BUCKET sits mid-grid so the operator sees both directions)
+LSH_CAP_GRID = (10, 25, 50, 100, 200)
+
+
+def lsh_bucket_cap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-cap PLANNING table — the measured-data complement to
+    lsh_sensitivity_curve (which is pure theory): from the ACTUAL coarse
+    band-bucket size distribution of this corpus, what each candidate cap
+    in LSH_CAP_GRID would cost and drop. Per cap: total buckets, buckets
+    over the cap (sent to fine re-banding), doc slots inside over-cap
+    buckets (the re-banding workload), the all-pairs candidate volume the
+    sub-cap buckets generate (Σ n·(n−1)/2 — THE number that explodes when
+    a cap is too loose), and the largest bucket. Together with the
+    S-curve this is how LSH_MAX_BUCKET is chosen before a 100 TB run:
+    theory gives the jaccard net, this gives the join volume at each cap.
+
+    Scale: reads the memoized signature matrix (one shuffle, shared with
+    every banding consumer); bucket sizes are one bounded-key aggregate;
+    the cap grid is a 5-row broadcast crossJoin over the bucket-size
+    frame — bytes, not data."""
+    from gmall_flink_spark.llm.dedup import matrix_bands
+
+    bands = matrix_bands(_minhash_mx(spark, sf_dir), ROWS_PER_BAND)
+    sizes = bands.groupBy("band", "band_sig").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    caps = spark.createDataFrame([(c,) for c in LSH_CAP_GRID], "cap int")
+    over = F.col("n") > F.col("cap")
+    return (
+        sizes.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("bucket_ct"),
+            F.sum(over.cast("bigint")).cast("bigint").alias("over_bucket_ct"),
+            F.sum(F.when(over, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("over_doc_slots"),
+            # integer div, not /: n·(n−1) is always even, and float
+            # division would lose exactness past 2^53 at corpus scale
+            F.sum(
+                F.when(~over, F.expr("(n * (n - 1)) DIV 2")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("subcap_pair_ct"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+        )
+        .orderBy("cap")
+    )
+
+
+QUERIES["lsh_bucket_cap_plan"] = lsh_bucket_cap_plan
+
+ORACLE["lsh_bucket_cap_plan"] = f"""
+    WITH units AS MATERIALIZED ({_UNITS}),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, seed,
+               MIN(((2 * seed + 1) * h + seed * seed + 7) % {_P}) AS mh
+        FROM (SELECT doc_id, {_BASE} AS h FROM units) u,
+             (SELECT unnest(range({MINHASH_K})) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY seed) AS band_sig
+        FROM sigs GROUP BY doc_id, band
+    ),
+    bstats AS MATERIALIZED (
+        SELECT band, band_sig, CAST(COUNT(*) AS BIGINT) AS n
+        FROM bands GROUP BY 1, 2
+    ),
+    caps AS (SELECT unnest([{", ".join(str(c) for c in LSH_CAP_GRID)}]) AS cap)
+    SELECT CAST(cap AS INTEGER) AS cap,
+           CAST(COUNT(*) AS BIGINT) AS bucket_ct,
+           CAST(SUM(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS over_bucket_ct,
+           CAST(SUM(CASE WHEN n > cap THEN n ELSE 0 END) AS BIGINT)
+               AS over_doc_slots,
+           CAST(SUM(CASE WHEN n <= cap THEN n * (n - 1) // 2 ELSE 0 END)
+                AS BIGINT) AS subcap_pair_ct,
+           CAST(MAX(n) AS BIGINT) AS max_bucket
+    FROM bstats CROSS JOIN caps
+    GROUP BY cap ORDER BY cap
+"""
+
+
+#: estimator-audit sample: 1-in-AUDIT_MOD² docs (the dedup_cross_source
+#: precedent) so the ALL-pairs exact jaccard ground truth stays bounded
+#: (~C(n/16, 2) pairs) at every SF the query runs at
+MINHASH_EST_MOD = AUDIT_MOD * AUDIT_MOD
+
+
+def minhash_est_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR accuracy audit — the third leg of the dedup
+    audit stool: the recall audits score the candidate NET
+    (lsh_recall_audit) and the sensitivity curve scores the THEORY
+    (lsh_sensitivity_curve); this scores the ESTIMATE itself — for every
+    pair of sampled docs sharing a shingle, how many of the K minhash
+    seeds agree vs the pair's exact jaccard. Rows are exact-jaccard
+    deciles ((10·inter) DIV uni) carrying pair counts, total matched
+    seeds (expected value = jaccard·K per pair), and exact inter/uni
+    sums — the table that says whether K=MINHASH_K seeds give enough
+    resolution at the 9/10 verify threshold before trusting the banded
+    index at corpus scale.
+
+    Scale: ground truth is ALL-pairs on the 1-in-MINHASH_EST_MOD sample
+    only (bounded by construction — the dedup_cross_source scope rule);
+    signatures come from the shared memoized matrix, filtered to the
+    sample before the self-join."""
+    sampled = F.pmod(F.col("doc_id"), F.lit(MINHASH_EST_MOD)) == 0
+    units = _doc_units(spark, sf_dir).where(sampled)
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = units.alias("ua"), units.alias("ub")
+    inter = (
+        a.join(
+            b,
+            (F.col("ua.shingle") == F.col("ub.shingle"))
+            & (F.col("ua.doc_id") < F.col("ub.doc_id")),
+        )
+        .groupBy(
+            F.col("ua.doc_id").alias("doc_a"), F.col("ub.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "inter", (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"))
+    )
+    mx = _minhash_mx(spark, sf_dir).where(sampled)
+    ma = mx.select(F.col("doc_id").alias("doc_a"), *[F.col(f"_m{s}").alias(f"a{s}") for s in range(MINHASH_K)])
+    mb = mx.select(F.col("doc_id").alias("doc_b"), *[F.col(f"_m{s}").alias(f"b{s}") for s in range(MINHASH_K)])
+    matched = None
+    for s in range(MINHASH_K):
+        term = (F.col(f"a{s}") == F.col(f"b{s}")).cast("bigint")
+        matched = term if matched is None else matched + term
+    return (
+        jac.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("inter", "uni", matched.alias("matched"))
+        .groupBy(F.expr("(10 * inter) DIV uni").cast("bigint").alias("jac_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pair_ct"),
+            F.sum("matched").cast("bigint").alias("matched_sum"),
+            F.sum("inter").cast("bigint").alias("inter_sum"),
+            F.sum("uni").cast("bigint").alias("uni_sum"),
+        )
+        .orderBy("jac_decile")
+    )
+
+
+QUERIES["minhash_est_accuracy"] = minhash_est_accuracy
+
+ORACLE["minhash_est_accuracy"] = f"""
+    WITH units AS MATERIALIZED (
+        SELECT * FROM ({_UNITS}) WHERE doc_id % {MINHASH_EST_MOD} = 0
+    ),
+    sizes AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM units GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM units a JOIN units b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS MATERIALIZED (
+        SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS uni
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, seed,
+               MIN(((2 * seed + 1) * h + seed * seed + 7) % {_P}) AS mh
+        FROM (SELECT doc_id, {_BASE} AS h FROM units) u,
+             (SELECT unnest(range({MINHASH_K})) AS seed) s
+        GROUP BY doc_id, seed
+    ),
+    matched AS MATERIALIZED (
+        SELECT j.doc_a, j.doc_b,
+               CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS matched
+        FROM jac j
+        JOIN sigs sa ON sa.doc_id = j.doc_a
+        JOIN sigs sb ON sb.doc_id = j.doc_b AND sb.seed = sa.seed
+        GROUP BY 1, 2
+    )
+    SELECT CAST((10 * j.inter) // j.uni AS BIGINT) AS jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS pair_ct,
+           CAST(SUM(m.matched) AS BIGINT) AS matched_sum,
+           CAST(SUM(j.inter) AS BIGINT) AS inter_sum,
+           CAST(SUM(j.uni) AS BIGINT) AS uni_sum
+    FROM jac j JOIN matched m ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b
+    GROUP BY 1 ORDER BY 1
+"""

@@ -614,3 +614,37 @@ def test_lsh_sensitivity_curve_matches_theory(spark):
         prev = rows[pct]
     # coarse curve crosses 50% between 50% and 55% jaccard (theory 0.542)
     assert rows[50][0] < LSH_CURVE_Q // 2 < rows[55][0]
+
+
+def test_lsh_bucket_cap_plan_accounting(spark, tmp_path):
+    """lsh_bucket_cap_plan's per-cap accounting on a hand-built corpus:
+    identical docs land in one bucket per band, so bucket sizes are
+    known; over/under splits and the sub-cap pair volume must match the
+    closed-form Σ n·(n−1)/2."""
+    from gmall_flink_spark.queries.llm_dedup import (
+        LSH_CAP_GRID,
+        lsh_bucket_cap_plan,
+    )
+
+    # 7 identical docs + 2 identical docs + 1 unique -> per band: buckets
+    # of size 7, 2, 1 (tokens chosen to be distinct across groups)
+    rows = (
+        [(i, "alpha beta gamma", "en", "s0", 10) for i in range(7)]
+        + [(i, "delta epsilon", "en", "s0", 10) for i in range(7, 9)]
+        + [(9, "zeta eta theta iota", "en", "s0", 10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["cap"]: r for r in lsh_bucket_cap_plan(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(LSH_CAP_GRID)
+    # 4 bands x 3 buckets each
+    for cap, r in got.items():
+        assert r["bucket_ct"] == 12
+        assert r["max_bucket"] == 7
+        if cap >= 10:  # all buckets sub-cap: pairs = 4 bands x (21 + 1 + 0)
+            assert r["over_bucket_ct"] == 0 and r["over_doc_slots"] == 0
+            assert r["subcap_pair_ct"] == 4 * (21 + 1)
