@@ -119,3 +119,35 @@ def test_materialized_cache_invalidates_on_data_rewrite(spark, tmp_path):
     spark.range(10, 13).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
     refreshed = sorted(r["v"] for r in materialized(spark, sf, "t", build).collect())
     assert refreshed == [20, 22, 24], refreshed  # new data, never the stale topic
+
+
+def test_data_stamp_memoized_no_walk_on_hit(spark, tmp_path, monkeypatch):
+    """_data_stamp is on every materialized() access path, so it must not
+    re-walk all parquet files when the dir is unchanged (VERDICT r12 task
+    6): second call with an unchanged dir serves the memo without os.walk;
+    a rewrite busts the memo AND changes the stamp (staleness safety from
+    test_materialized_cache_invalidates_on_data_rewrite is preserved)."""
+    import os
+    import time
+
+    from gmall_flink_spark.sources import materialize as M
+
+    sf = str(tmp_path)
+    spark.range(0, 5).write.parquet(f"{sf}/orders.parquet")
+
+    M._STAMP_MEMO.clear()
+    first = M._data_stamp(sf)
+
+    walks = []
+    real_walk = os.walk
+    monkeypatch.setattr(
+        M.os, "walk", lambda *a, **k: walks.append(a) or real_walk(*a, **k)
+    )
+    assert M._data_stamp(sf) == first
+    assert walks == [], "cache-hit access still paid the O(files) walk"
+
+    time.sleep(0.05)  # distinct mtime for the rewrite
+    spark.range(10, 13).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    assert M._data_stamp(sf) != first, "rewrite must change the stamp"
+    assert len(walks) == 1  # exactly one re-walk, then memoized again
+    assert M._data_stamp(sf) != first and len(walks) == 1
