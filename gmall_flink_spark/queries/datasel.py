@@ -1524,8 +1524,16 @@ def _bpe_curve_oracle() -> str:
                                               {_BPE_S}||{_BPE_S})) END)
                     AS BIGINT) AS tok_ct
         FROM d{i + 1})""")
+    # the engine emits one curve point per LEARNED merge (+round 0); when
+    # the trainer early-stops (no bigram left), rounds past the stop have
+    # an empty p{i} — gate them out of the union so the row counts match
+    # on degenerate/tiny corpora (ADVICE r12)
     union = "\n        UNION ALL ".join(
-        f"SELECT * FROM c{i}" for i in range(0, BPE_TRAIN_ROUNDS + 1)
+        ["SELECT * FROM c0"]
+        + [
+            f"SELECT * FROM c{i} WHERE EXISTS (SELECT 1 FROM p{i})"
+            for i in range(1, BPE_TRAIN_ROUNDS + 1)
+        ]
     )
     return (
         _bpe_rounds_cte()

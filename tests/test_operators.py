@@ -509,6 +509,34 @@ def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
 
 
+def test_bpe_compression_curve_early_stop_parity(spark, tmp_path):
+    """When the BPE trainer early-stops (no bigram left before
+    BPE_TRAIN_ROUNDS), the compression curve emits one point per LEARNED
+    merge plus round 0 — and the oracle must collapse its extra rounds
+    the same way instead of padding to BPE_TRAIN_ROUNDS+1 rows (ADVICE
+    r12: the train oracle handled this, the curve oracle did not).
+    Corpus: one 2-token doc — exactly one learnable merge, then the
+    corpus is single-token and round 2's pair table is empty."""
+    import duckdb
+
+    from gmall_flink_spark.queries.datasel import ORACLE, llm_bpe_compression_curve
+
+    docs = spark.createDataFrame(
+        [(0, "x y", "en", "s0", 3)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = [tuple(r) for r in llm_bpe_compression_curve(spark, sf).collect()]
+    # (round, tok_ct, merged_ct, round_merged_ct, ratio_bp): 2 rows only
+    assert got == [(0, 2, 0, 0, 10000), (1, 1, 1, 1, 5000)], got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert got == con.sql(ORACLE["llm_bpe_compression_curve"]).fetchall()
+
+
 def test_decontaminate_scrub_merges_overlapping_spans(spark, tmp_path):
     """The scrub's interval-union semantics, exercised deliberately (the
     gate testdata has exactly one 5-token hit, so overlap merging is
@@ -1392,7 +1420,9 @@ def test_three_tokenizer_families_diverge(spark):
     minimal-cost Viterbi — pinning that the families are genuinely
     distinct algorithms, not renamings. Corpus engineered so 'abcd'
     splits three ways."""
-    from gmall_flink_spark.llm.bpe import BPE_SEP
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.bpe import BPE_JOIN, BPE_SEP, bpe_apply_merges
     from gmall_flink_spark.llm.unigram import with_viterbi
     from gmall_flink_spark.llm.wordpiece import with_greedy_pieces
 
@@ -1408,6 +1438,17 @@ def test_three_tokenizer_families_diverge(spark):
     uni_costs = {"abc": 5, "d": 5, "ab": 2, "cd": 2, "a": 9, "b": 9, "c": 9}
     st = with_viterbi(df, "word", uni_costs).collect()[0]["st"]
     assert st["path"] == f"{S}ab{S}cd"
+
+    # BPE merge-ORDER application with the single learned merge (b, c):
+    # a + bc + d — the third split (neither greedy's abc+d nor Viterbi's
+    # ab+cd), because BPE replays merges in training order instead of
+    # consulting a vocab at encode time (ADVICE r12)
+    chars = df.select(
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .alias("l")
+    )
+    s = bpe_apply_merges(chars, "l", [("b", "c")]).collect()[0]["s"]
+    assert s == f"{S}a{S}{S}b{BPE_JOIN}c{S}{S}d{S}", repr(s)
 
 
 def test_curriculum_order_checksum_pins_permutation(spark, tmp_path):
