@@ -1094,9 +1094,16 @@ def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
+    """(merge table, vocab dict) memo. Training words = in-cap words whose
+    every char is inside the LIMITED alphabet (llm/wordpiece.py: the
+    limit_alphabet contract — a word containing a dropped char could
+    never contribute an emittable piece); the vocab alphabet is that
+    limited set, so encode-side words carrying a dropped char dead-end
+    to UNK in the parity gate (ADVICE r12)."""
     from gmall_flink_spark.llm.wordpiece import (
         WP_TRAIN_ROUNDS,
         collect_vocab,
+        limited_alphabet,
         wordpiece_train_state,
     )
     from gmall_flink_spark.sources.tables import memo_key
@@ -1104,9 +1111,13 @@ def _wp_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, dict]:
     key = memo_key(spark, sf_dir, "documents", _WP_STATE)
     if key not in _WP_STATE:
         words = _wp_words(spark, sf_dir).localCheckpoint(eager=True)
-        merges, _ = wordpiece_train_state(words, WP_TRAIN_ROUNDS)
+        alpha = limited_alphabet(words)
+        train_words = words.where(
+            F.length(F.translate(F.col("word"), "".join(alpha), "")) == 0
+        )
+        merges, _ = wordpiece_train_state(train_words, WP_TRAIN_ROUNDS)
         merges = merges.localCheckpoint(eager=True)
-        _WP_STATE[key] = (merges, collect_vocab(words, merges))
+        _WP_STATE[key] = (merges, collect_vocab(alpha, merges))
     return _WP_STATE[key]
 
 
@@ -1114,14 +1125,17 @@ def llm_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WordPiece tokenizer TRAINING (llm/wordpiece.py): BPE's merge loop
     with the LIKELIHOOD pair score — each round merges the (a, b)
     maximizing pair_ct / (cnt_a · cnt_b) over frequency-weighted
-    character sequences of the corpus' distinct words, and the merged
-    token is the plain substring a||b. Output = the ordered merge table
-    with the score's three integer inputs per round (the artifact a
-    WordPiece trainer ships, plus the evidence to audit each pick).
+    character sequences of the corpus' alphabet-clean distinct words,
+    ranked by EXACT integer cross-multiplication (never floating
+    division — module docstring), and the merged token is the plain
+    substring a||b. Output = the ordered merge table with the score's
+    three integer inputs per round (the artifact a WordPiece trainer
+    ships, plus the evidence to audit each pick).
 
     Scale: per round two bounded-key shuffles (weighted bigram + unigram
-    counts over the distinct-word dictionary), two broadcast joins, a
-    TakeOrdered top-1, and a map-only replace over checkpointed strings."""
+    counts over the distinct-word dictionary), two broadcast joins, the
+    exact tournament reduce over the bounded pairs table, and a map-only
+    replace over checkpointed strings."""
     return _wp_state(spark, sf_dir)[0].orderBy("round")
 
 
@@ -1129,9 +1143,11 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL corpus encoded with the trained WordPiece vocab by greedy
     LONGEST-MATCH-FIRST segmentation (the BERT encode rule — genuinely
     different from BPE merge-order application and from unigram minimal-
-    cost Viterbi): per source, in-cap word occurrences, UNK occurrences
-    (a position with no matching piece voids the whole word), ok
-    occurrences, pieces and chars over ok words, fertility x100, and
+    cost Viterbi): per source, ALL word occurrences, UNK occurrences
+    (a position with no matching piece voids the whole word — live in
+    the gate via the limited alphabet — and over-cap words count as UNK
+    by the representation-limit contract, llm/wordpiece.py docstring),
+    ok occurrences, pieces and chars over ok words, fertility x100, and
     roundtrip_ok — the engine-side losslessness proof
     (concat(pieces) == word, reconstructed from the DP's path string; the
     oracle derives ok counts from its own greedy walk, so an engine DP
@@ -1139,9 +1155,10 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts).
 
     DICTIONARY-ENCODE posture (llm/unigram.py lesson): the greedy DP runs
-    once per DISTINCT word, occurrence counts join back; the vocab is the
-    bounded collected artifact bound as a map literal — encode itself is
-    a zero-shuffle map pass, the 100 TB posture."""
+    once per DISTINCT in-cap word, occurrence counts LEFT-join back
+    (over-cap words miss and coalesce to UNK); the vocab is the bounded
+    collected artifact bound as a map literal — encode itself is a
+    zero-shuffle map pass, the 100 TB posture."""
     from gmall_flink_spark.llm.bpe import BPE_SEP
     from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, with_greedy_pieces
 
@@ -1149,12 +1166,15 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select("source", F.explode(tokenize("text")).alias("word"))
-        .where(F.length("word") <= WP_MAX_WORD_LEN)
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
     )
     seg = with_greedy_pieces(
-        wc.select("word").distinct(), "word", vocab
+        wc.select("word")
+        .where(F.length("word") <= WP_MAX_WORD_LEN)
+        .distinct(),
+        "word",
+        vocab,
     ).select(
         "word",
         F.col("wp")["ok"].cast("bigint").alias("ok"),
@@ -1164,7 +1184,14 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("word")
         ).cast("bigint").alias("rt"),
     )
-    j = wc.join(seg, "word")
+    j = wc.join(seg, "word", "left").select(
+        "source",
+        "occ",
+        "word",
+        F.coalesce("ok", F.lit(0).cast("bigint")).alias("ok"),
+        F.coalesce("pct", F.lit(0).cast("bigint")).alias("pct"),
+        F.coalesce("rt", F.lit(0).cast("bigint")).alias("rt"),
+    )
     ok_occ = F.sum(F.col("occ") * F.col("ok")).cast("bigint")
     piece_ct = F.sum(F.col("occ") * F.col("pct") * F.col("ok")).cast("bigint")
     return (
@@ -1192,16 +1219,26 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _wp_rounds_cte() -> str:
     """Unrolled K-round WordPiece trainer CTE chain (mirrors
-    llm/wordpiece.py): per round, frequency-weighted unigram and bigram
-    counts over the char-sequence strings, the deterministic top-1 by the
-    double-division likelihood score (exact-integer operands — module
-    docstring), and the plain-concat replace rewrite.
+    llm/wordpiece.py): the limited alphabet (top WP_ALPHABET_LIMIT chars
+    by weighted count, char-asc tie-break), alphabet-clean training
+    words, then per round frequency-weighted unigram and bigram counts
+    over the char-sequence strings, the deterministic top-1 by EXACT
+    INT128 cross-multiplication (NOT EXISTS anti-join — a rational max
+    has no overflow-safe scalar sort key; the engine's twin is the
+    arbitrary-precision tournament reduce), and the plain-concat replace
+    rewrite.
 
-    Every per-round CTE is MATERIALIZED: wt/wu/wd are each referenced
+    Every per-round CTE is MATERIALIZED: wt/wu/wps/wd are each referenced
     2-3 times per level and DuckDB's default inlining re-expands the
     whole upstream chain per reference -- measured ~3^K blowup (256 s
-    at sf0.01); materialization makes the unroll linear."""
-    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, WP_TRAIN_ROUNDS
+    at sf0.01); materialization makes the unroll linear. The anti-join
+    is quadratic in DISTINCT BIGRAM TYPES (bounded by the alphabet², a
+    few thousand) — never corpus-sized."""
+    from gmall_flink_spark.llm.wordpiece import (
+        WP_ALPHABET_LIMIT,
+        WP_MAX_WORD_LEN,
+        WP_TRAIN_ROUNDS,
+    )
 
     parts = [f"""
     WITH wpw AS MATERIALIZED (
@@ -1209,12 +1246,25 @@ def _wp_rounds_cte() -> str:
       FROM (SELECT unnest({_TOKS}) AS w FROM documents)
       WHERE length(w) <= {WP_MAX_WORD_LEN}
       GROUP BY w),
+    walpha AS MATERIALIZED (
+      SELECT c FROM (
+        SELECT c, SUM(wcount) AS cnt
+        FROM (SELECT unnest([substring(word, i, 1)
+                             for i in range(1, length(word) + 1)]) AS c,
+                     wcount
+              FROM wpw)
+        GROUP BY c ORDER BY cnt DESC, c LIMIT {WP_ALPHABET_LIMIT})),
+    wtr AS MATERIALIZED (
+      -- alphabet-clean training words: no char outside walpha
+      SELECT word, wcount FROM wpw
+      WHERE length(translate(word,
+                (SELECT string_agg(c, '' ORDER BY c) FROM walpha), '')) = 0),
     wd1 AS MATERIALIZED (
       SELECT word, wcount,
              {_BPE_S} || array_to_string(
                  [substring(word, i, 1) for i in range(1, length(word) + 1)],
                  {_BPE_S}||{_BPE_S}) || {_BPE_S} AS s
-      FROM wpw)"""]
+      FROM wtr)"""]
     for i in range(1, WP_TRAIN_ROUNDS + 1):
         parts.append(f"""
     wt{i} AS MATERIALIZED (SELECT wcount,
@@ -1224,7 +1274,7 @@ def _wp_rounds_cte() -> str:
     wu{i} AS MATERIALIZED (SELECT t, CAST(SUM(wcount) AS BIGINT) AS cnt
               FROM (SELECT wcount, unnest(l) AS t FROM wt{i})
               GROUP BY t),
-    wp{i} AS MATERIALIZED (
+    wps{i} AS MATERIALIZED (
       SELECT a, b, pair_ct, ua.cnt AS cnt_a, ub.cnt AS cnt_b
       FROM (
         SELECT a, b, CAST(SUM(wcount) AS BIGINT) AS pair_ct
@@ -1234,10 +1284,15 @@ def _wp_rounds_cte() -> str:
                                    for j in range(1, len(l))]) AS u(p))
         GROUP BY a, b) pc
       JOIN wu{i} ua ON pc.a = ua.t
-      JOIN wu{i} ub ON pc.b = ub.t
-      ORDER BY CAST(pair_ct AS DOUBLE) /
-                   (CAST(ua.cnt AS DOUBLE) * CAST(ub.cnt AS DOUBLE)) DESC,
-               pair_ct DESC, a, b
+      JOIN wu{i} ub ON pc.b = ub.t),
+    wp{i} AS MATERIALIZED (
+      SELECT a, b, pair_ct, cnt_a, cnt_b
+      FROM wps{i} s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM wps{i} t
+        WHERE CAST(t.pair_ct AS HUGEINT) * s.cnt_a * s.cnt_b
+            > CAST(s.pair_ct AS HUGEINT) * t.cnt_a * t.cnt_b)
+      ORDER BY pair_ct DESC, a, b
       LIMIT 1),
     wd{i + 1} AS MATERIALIZED (
       -- LEFT JOIN + CASE mirrors the engine's empty-top early stop
@@ -1264,10 +1319,11 @@ def _wp_train_oracle() -> str:
 def _wp_encode_oracle() -> str:
     """Greedy longest-match-first walk, unrolled one CTE level per
     consumed piece (WP_MAX_WORD_LEN levels) over the DISTINCT in-cap
-    words; vocab = training alphabet ∪ the K merge products. An
-    independent implementation of the same greedy contract — the engine
-    unrolls column expressions, the oracle unrolls CTEs with IN-subquery
-    membership probes."""
+    words; vocab = the LIMITED alphabet ∪ the K merge products. Words
+    over the cap never reach the walk — they LEFT-join back as UNK (the
+    representation-limit contract). An independent implementation of the
+    same greedy contract — the engine unrolls column expressions, the
+    oracle unrolls CTEs with IN-subquery membership probes."""
     from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, WP_TRAIN_ROUNDS
 
     vocab_sel = "\n      UNION ".join(
@@ -1299,17 +1355,15 @@ def _wp_encode_oracle() -> str:
         _wp_rounds_cte()
         + f""",
     wvocab AS MATERIALIZED (
-      SELECT DISTINCT substring(word, i, 1) AS piece
-      FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM wpw)
+      SELECT c AS piece FROM walpha
       UNION
       {vocab_sel}),
     fw AS (
       SELECT source, w AS word, CAST(COUNT(*) AS BIGINT) AS occ
       FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
-      WHERE length(w) <= {WP_MAX_WORD_LEN}
       GROUP BY source, w),
     wg0 AS (SELECT DISTINCT word, 1 AS pos, 1 AS ok, CAST(0 AS BIGINT) AS pct
-            FROM fw),
+            FROM fw WHERE length(word) <= {WP_MAX_WORD_LEN}),
     {",".join(levels)},
     wseg AS (
       SELECT word,
@@ -1318,17 +1372,19 @@ def _wp_encode_oracle() -> str:
       FROM wg{WP_MAX_WORD_LEN})
     SELECT f.source,
            CAST(SUM(occ) AS BIGINT) AS word_ct,
-           CAST(SUM(occ * (1 - s.ok)) AS BIGINT) AS unk_ct,
-           CAST(SUM(occ * s.ok) AS BIGINT) AS ok_ct,
-           CAST(SUM(occ * s.pct * s.ok) AS BIGINT) AS piece_ct,
-           CAST(SUM(occ * length(f.word) * s.ok) AS BIGINT) AS char_ct,
+           CAST(SUM(occ * (1 - COALESCE(s.ok, 0))) AS BIGINT) AS unk_ct,
+           CAST(SUM(occ * COALESCE(s.ok, 0)) AS BIGINT) AS ok_ct,
+           CAST(SUM(occ * COALESCE(s.pct * s.ok, 0)) AS BIGINT) AS piece_ct,
+           CAST(SUM(occ * length(f.word) * COALESCE(s.ok, 0)) AS BIGINT)
+               AS char_ct,
            -- greedy pieces concat back to the word by construction; the
            -- engine reconstructs from its path string independently
-           CAST(SUM(occ * s.ok) AS BIGINT) AS roundtrip_ok,
-           CAST(CASE WHEN SUM(occ * s.ok) = 0 THEN 0
-                     ELSE (100 * SUM(occ * s.pct * s.ok)) // SUM(occ * s.ok)
+           CAST(SUM(occ * COALESCE(s.ok, 0)) AS BIGINT) AS roundtrip_ok,
+           CAST(CASE WHEN SUM(occ * COALESCE(s.ok, 0)) = 0 THEN 0
+                     ELSE (100 * SUM(occ * COALESCE(s.pct * s.ok, 0)))
+                          // SUM(occ * COALESCE(s.ok, 0))
                 END AS BIGINT) AS fertility_x100
-    FROM fw f JOIN wseg s USING (word)
+    FROM fw f LEFT JOIN wseg s USING (word)
     GROUP BY f.source ORDER BY f.source"""
     )
 
