@@ -432,12 +432,14 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL corpus encoded with the sample-trained unigram vocab
     (llm/unigram.unigram_encode_stats — the collected bounded vocab as a
     map literal, segmentation as a pure map-side expression, zero
-    shuffles before the per-source aggregate): per source, in-cap word
-    count, total pieces, total quantized cost, total chars, and fertility
-    (pieces per word x100). The unigram analogue of
-    llm_bpe_fertility_sampled; out-of-vocab single chars (possible under
-    sampled training) cost UNIGRAM_UNK_COST and are segmentable, unknown
-    multi-char pieces are not."""
+    shuffles before the per-source aggregate): per source, ALL word
+    occurrences, UNK occurrences (over-cap words — the representation-
+    limit contract, llm/unigram.py), total pieces, total quantized cost,
+    total chars over encoded words, and fertility (pieces per encoded
+    word x100). The unigram analogue of llm_bpe_fertility_sampled;
+    out-of-vocab single chars (possible under sampled training) cost
+    UNIGRAM_UNK_COST and are segmentable, unknown multi-char pieces are
+    not."""
     from gmall_flink_spark.llm.unigram import collect_costs, unigram_encode_stats
 
     v = _unigram_vocab(spark, sf_dir)
@@ -503,16 +505,19 @@ def llm_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_bpe_roundtrip): a Viterbi path is only a valid SEGMENTATION if its
     pieces concatenate back to the word — verify that for every in-cap
     distinct word of the corpus, weighted by occurrences. Reports per
-    source: word occurrences, distinct words, and the ok counts for both.
+    source: ALL word occurrences and distinct words (over-cap words are
+    unrepresentable → counted and NOT ok, the representation-limit
+    contract), and the ok counts for both.
 
     Oracle independence, same design as the BPE audit: validity means the
-    ok columns must equal the totals, so the oracle counts in-cap words
-    per source straight off the documents table (the tokenize + length-cap
-    rule mirrored in SQL) and never touches the DP. A DP bug that emits a
-    path whose pieces don't re-spell the word is caught by construction.
+    ok columns must equal the IN-CAP totals, so the oracle counts all
+    words and in-cap words per source straight off the documents table
+    (the tokenize + length-cap rule mirrored in SQL) and never touches
+    the DP. A DP bug that emits a path whose pieces don't re-spell the
+    word is caught by construction.
 
     Scale: dictionary-encode posture as llm_unigram_encode — the DP runs
-    once per DISTINCT word; the audit adds one map-side string compare."""
+    once per DISTINCT in-cap word; the audit adds one map-side compare."""
     from gmall_flink_spark.llm.unigram import (
         UNIGRAM_MAX_WORD_LEN,
         USEP,
@@ -524,18 +529,24 @@ def llm_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     wc = (
         docs.select("source", F.explode(tokenize("text")).alias("word"))
-        .where(F.length("word") <= UNIGRAM_MAX_WORD_LEN)
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
     )
-    seg = with_viterbi(wc.select("word").distinct(), "word", costs).select(
+    seg = with_viterbi(
+        wc.select("word")
+        .where(F.length("word") <= UNIGRAM_MAX_WORD_LEN)
+        .distinct(),
+        "word",
+        costs,
+    ).select(
         "word",
         (F.replace(F.col("st")["path"], F.lit(USEP), F.lit("")) == F.col("word"))
         .cast("bigint")
         .alias("ok"),
     )
     return (
-        wc.join(seg, "word")
+        wc.join(seg, "word", "left")
+        .select("source", "occ", F.coalesce("ok", F.lit(0).cast("bigint")).alias("ok"))
         .groupBy("source")
         .agg(
             F.sum("occ").cast("bigint").alias("word_occ_ct"),
@@ -911,18 +922,25 @@ def _unigram_encode_oracle() -> str:
         + f""",
     fw AS (
       SELECT source, w AS word
-      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)
-      WHERE length(w) <= {UNIGRAM_MAX_WORD_LEN}),
-    dw AS (SELECT DISTINCT word FROM fw),
+      FROM (SELECT source, unnest({_TOKS}) AS w FROM documents)),
+    dw AS (SELECT DISTINCT word FROM fw
+           WHERE length(word) <= {UNIGRAM_MAX_WORD_LEN}),
     {_uni_edges("dw", "v2", "eF")},
     {_uni_best("dw", "eF", "bF")}
     SELECT f.source,
            CAST(COUNT(*) AS BIGINT) AS word_ct,
-           CAST(SUM(b.pct) AS BIGINT) AS piece_ct,
-           CAST(SUM(b.cost) AS BIGINT) AS cost_total,
-           CAST(SUM(length(f.word)) AS BIGINT) AS char_ct,
-           CAST((100 * SUM(b.pct)) // COUNT(*) AS BIGINT) AS fertility_x100
-    FROM fw f JOIN bF b USING (word)
+           -- over-cap words LEFT-join to nothing: counted as UNK, never
+           -- dropped (the representation-limit contract)
+           CAST(SUM(CASE WHEN b.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS unk_ct,
+           CAST(SUM(COALESCE(b.pct, 0)) AS BIGINT) AS piece_ct,
+           CAST(SUM(COALESCE(b.cost, 0)) AS BIGINT) AS cost_total,
+           CAST(SUM(CASE WHEN b.word IS NULL THEN 0 ELSE length(f.word) END)
+                AS BIGINT) AS char_ct,
+           CAST(CASE WHEN COUNT(b.word) = 0 THEN 0
+                     ELSE (100 * SUM(COALESCE(b.pct, 0))) // COUNT(b.word)
+                END AS BIGINT) AS fertility_x100
+    FROM fw f LEFT JOIN bF b USING (word)
     GROUP BY f.source ORDER BY f.source"""
     )
 
@@ -955,13 +973,17 @@ ORACLE = {
                    list_filter(string_split(text, ' '), x -> x != '') AS toks
             FROM documents) d,
            UNNEST(d.toks) AS t(word)
-      WHERE length(t.word) <= {_UNI_MAX_WORD}
     )
+    -- totals count ALL words; ok counts only in-cap ones (over-cap words
+    -- are unrepresentable by contract — counted, never ok)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS word_occ_ct,
            CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_word_ct,
-           CAST(COUNT(*) AS BIGINT) AS roundtrip_ok_occ,
-           CAST(COUNT(DISTINCT word) AS BIGINT) AS roundtrip_ok_distinct
+           CAST(SUM(CASE WHEN length(word) <= {_UNI_MAX_WORD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS roundtrip_ok_occ,
+           CAST(COUNT(DISTINCT CASE WHEN length(word) <= {_UNI_MAX_WORD}
+                                    THEN word END)
+                AS BIGINT) AS roundtrip_ok_distinct
     FROM w GROUP BY source ORDER BY source""",
     "llm_corpus_build": f"""
     WITH {_CLEAN_FLAGGED},

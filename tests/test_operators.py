@@ -1120,6 +1120,56 @@ def test_unigram_viterbi_unknown_chars_and_ties(spark):
     assert got["zq"] == (1, 1, USEP + "zq")
 
 
+def test_unigram_unk_contract_long_words(spark, tmp_path):
+    """Over-cap words (len > UNIGRAM_MAX_WORD_LEN) are COUNTED as UNK in
+    encode stats and as not-ok in the roundtrip audit instead of being
+    silently dropped (VERDICT r12 task 3: the cap is a representation
+    limit, not a coverage limit) — engine and oracle agree on a synthetic
+    corpus that actually contains long words."""
+    import duckdb
+
+    from gmall_flink_spark.queries.datasel import (
+        ORACLE,
+        _UNIGRAM_VOCAB,
+        llm_unigram_encode,
+        llm_unigram_roundtrip,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abc abcd ab abc", "en", "s0", 15),
+            (1, "abc abcdefghi", "en", "s1", 13),      # 9-char word: over cap
+            (2, "abcdefghijkl xy xy", "en", "s2", 18), # 12-char word: over cap
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    _UNIGRAM_VOCAB.clear()
+    try:
+        enc = {r["source"]: r for r in llm_unigram_encode(spark, sf).collect()}
+        assert enc["s1"]["unk_ct"] == 1 and enc["s2"]["unk_ct"] == 1
+        assert enc["s0"]["unk_ct"] == 0
+        assert enc["s1"]["word_ct"] == 2  # the long word is counted
+        rt = {r["source"]: r for r in llm_unigram_roundtrip(spark, sf).collect()}
+        assert rt["s1"]["word_occ_ct"] == 2 and rt["s1"]["roundtrip_ok_occ"] == 1
+        assert rt["s2"]["distinct_word_ct"] == 2
+        assert rt["s2"]["roundtrip_ok_distinct"] == 1
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{sf}/documents.parquet/*.parquet'"
+        )
+        for q, fn in (
+            ("llm_unigram_encode", llm_unigram_encode),
+            ("llm_unigram_roundtrip", llm_unigram_roundtrip),
+        ):
+            got = [tuple(r) for r in fn(spark, sf).collect()]
+            assert got == con.sql(ORACLE[q]).fetchall(), q
+    finally:
+        _UNIGRAM_VOCAB.clear()  # tmp_path vocab must not leak to gate tests
+
+
 def test_nb_classifier_separable_vocab(spark, tmp_path):
     """The quantized NB head must recover a class split when the training
     vocabularies are disjoint, and must honor both declared drop rules:
