@@ -39,12 +39,25 @@ def clean_corpus_writer(
     n_buckets: int = 16,
     totals_path: str | None = None,
     exclude_bench: bool = True,
+    scrub_spans: bool = False,
 ):
     """foreachBatch: filter, decontaminate against the broadcast benchmark
     shingle set, then cross-batch dedup-append on the 8-token-prefix
     fingerprint (first doc_id wins). Survivors carry their token count so
     downstream governance (the epoch card) reads mass, not just
     membership.
+
+    ``scrub_spans`` (VERDICT r12 task 4) switches decontamination from
+    DOC-LEVEL drop to the SPAN-LEVEL scrub (the GPT-3 appendix-C rule the
+    batch llm_decontaminate_scrub reports): hit documents are KEPT, with
+    exactly the token positions covered by a benchmark-matching
+    NGRAM_N-gram removed from their carried token mass — the arithmetic
+    is the shared queries/llm_pipeline.covered_positions kernel, the
+    shingle dictionary broadcast per batch. Dedup identity stays the RAW
+    text fingerprint (scrubbing changes a doc's mass, not which doc it
+    is), so the keep set is unchanged; only ``tok`` reflects the scrub.
+    Stream == batch is pinned by
+    test_streaming_span_scrub_equals_batch_scrub.
 
     ``totals_path`` (optional) additionally maintains the per-source RAW
     ingest counts through the rollup sink — the denominator the epoch
@@ -82,18 +95,36 @@ def clean_corpus_writer(
         if exclude_bench:
             batch_df = batch_df.where(F.col("doc_id") % BENCH_MOD != 0)
         q = quality_keep(batch_df)
-        hits = (
-            word_shingles(q, n=5)
-            .join(F.broadcast(bench), "shingle")
-            .select("doc_id")
-            .distinct()
-        )
-        survivors = q.join(hits, "doc_id", "left_anti").select(
-            "doc_id",
-            "source",
-            fingerprint("text", prefix_tokens=8).alias("fp"),
-            F.size(tokenize("text")).cast("bigint").alias("tok"),
-        )
+        if scrub_spans:
+            from gmall_flink_spark.queries.llm_pipeline import covered_positions
+
+            toked = q.select("doc_id", "source", "text", tokenize("text").alias("toks"))
+            cut = (
+                covered_positions(toked, bench)
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cut"))
+            )
+            survivors = toked.join(cut, "doc_id", "left").select(
+                "doc_id",
+                "source",
+                fingerprint("text", prefix_tokens=8).alias("fp"),
+                (F.size("toks") - F.coalesce("cut", F.lit(0)))
+                .cast("bigint")
+                .alias("tok"),
+            )
+        else:
+            hits = (
+                word_shingles(q, n=5)
+                .join(F.broadcast(bench), "shingle")
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = q.join(hits, "doc_id", "left_anti").select(
+                "doc_id",
+                "source",
+                fingerprint("text", prefix_tokens=8).alias("fp"),
+                F.size(tokenize("text")).cast("bigint").alias("tok"),
+            )
         dedup_append(state_path, survivors, "fp", ["doc_id"], n_buckets)
         if totals_w is not None:
             totals_w(batch_df, batch_id)

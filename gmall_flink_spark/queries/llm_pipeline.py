@@ -36,6 +36,46 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_overlap(corpus, bench, n=NGRAM_N).orderBy("doc_id")
 
 
+def covered_positions(
+    toked: DataFrame,
+    bench_sh: DataFrame,
+    n: int = NGRAM_N,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The span-scrub kernel, shared VERBATIM by the batch report
+    (llm_decontaminate_scrub) and the streaming writer
+    (plans/clean_corpus_stream — VERDICT r12 task 4): over a
+    (carry..., doc_id, toks) frame, the DISTINCT 1-based token positions
+    covered by any benchmark-matching ``n``-gram. Positional shingles via
+    posexplode over a transform (docs shorter than n emit none — no
+    ANSI out-of-bounds); the benchmark shingle dictionary is broadcast
+    (eval sets are small by definition); overlapping hits merge through
+    the DISTINCT — the interval-union semantics of the substring-dedup
+    family. One map pass + a hit-volume-bounded distinct, never a
+    corpus-sized shuffle."""
+    starts = toked.select(
+        *carry,
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(toks) >= {n} THEN "
+                f"transform(sequence(1, size(toks) - {n} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
+                "ELSE array() END"
+            )
+        ).alias("pos0", "shingle"),
+    )
+    return (
+        starts.join(F.broadcast(bench_sh), "shingle")
+        .select(
+            *carry,
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos0 + 1, pos0 + {n})")).alias("p"),
+        )
+        .distinct()
+    )
+
+
 def llm_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN-level contamination SCRUB report — the removal step after
     llm_decontaminate's doc-level detection (the GPT-3 appendix-C style
@@ -65,28 +105,7 @@ def llm_decontaminate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.where(F.col("doc_id") % BENCH_MOD != 0).select(
         "source", "doc_id", tokenize("text").alias("toks")
     )
-    # (1-based start, shingle) pairs; docs shorter than n emit none
-    starts = toked.select(
-        "source",
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(toks) >= {n} THEN "
-                f"transform(sequence(1, size(toks) - {n} + 1), "
-                f"i -> concat_ws(' ', slice(toks, i, {n}))) "
-                "ELSE array() END"
-            )
-        ).alias("pos0", "shingle"),
-    )
-    covered = (
-        starts.join(F.broadcast(bench_sh), "shingle")
-        .select(
-            "source",
-            "doc_id",
-            F.explode(F.expr(f"sequence(pos0 + 1, pos0 + {n})")).alias("p"),
-        )
-        .distinct()
-    )
+    covered = covered_positions(toked, bench_sh, carry=("source",))
     rem = covered.groupBy("source").agg(
         F.countDistinct("doc_id").alias("doc_hit_ct"),
         F.count(F.lit(1)).alias("tok_removed"),

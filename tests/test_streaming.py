@@ -1074,6 +1074,86 @@ def test_streaming_corpus_build_card_equals_batch(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+def test_streaming_span_scrub_equals_batch_scrub(spark):
+    """The SPAN-LEVEL scrub inside the streaming clean-corpus writer
+    (VERDICT r12 task 4): hit documents are kept with exactly the
+    benchmark-covered token positions removed from their carried mass —
+    the arithmetic is the shared covered_positions kernel, so the final
+    dedup-sink state must equal the batch composition (quality → span
+    scrub → keep-first) ROW FOR ROW, token totals included. The shingle
+    dictionary includes n-grams lifted from known quality-kept docs so
+    the scrub provably fires (the gate corpus alone has one marginal
+    hit; a vacuous pass is not accepted)."""
+    from gmall_flink_spark.functions.text import fingerprint, tokenize
+    from gmall_flink_spark.llm.dedup import word_shingles
+    from gmall_flink_spark.operators.dedup import keep_first
+    from gmall_flink_spark.plans.clean_corpus_stream import (
+        clean_corpus_writer,
+        quality_keep,
+    )
+    from gmall_flink_spark.queries.llm_pipeline import (
+        BENCH_MOD,
+        NGRAM_N,
+        covered_positions,
+    )
+    from gmall_flink_spark.sinks.dedup_sink import read_state
+
+    docs = table(spark, SF, "documents")
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    q = quality_keep(corpus)
+
+    # dictionary = the real benchmark slice's shingles + one leading
+    # NGRAM_N-gram lifted from each of three quality-kept docs
+    # (deterministic pick, collected to literals so every stream batch
+    # sees the identical dictionary)
+    lifted = [
+        (r["sh"],)
+        for r in q.select(tokenize("text").alias("toks"))
+        .where(F.size("toks") >= NGRAM_N)
+        .select(F.concat_ws(" ", F.slice("toks", 1, NGRAM_N)).alias("sh"))
+        .orderBy("sh")
+        .limit(3)
+        .collect()
+    ]
+    bench_sh = (
+        word_shingles(docs.where(F.col("doc_id") % BENCH_MOD == 0), n=NGRAM_N)
+        .select("shingle")
+        .unionByName(spark.createDataFrame(lifted, "shingle string"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    slices = os.path.join(TMP, "scrub_slices")
+    split_into_files(docs, 3, "doc_id", slices)  # RAW feed, bench included
+    state = os.path.join(TMP, "scrub_state")
+    if os.path.exists(state):
+        shutil.rmtree(state)
+    run_available_now(
+        stream_from(spark, slices, docs),
+        foreach_batch=clean_corpus_writer(state, bench_sh, scrub_spans=True),
+    )
+    got = rows(read_state(spark, state).select("doc_id", "source", "tok"))
+
+    # batch twin from the same public pieces
+    toked = q.select("doc_id", "source", "text", tokenize("text").alias("toks"))
+    cut = (
+        covered_positions(toked, bench_sh)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cut"))
+    )
+    per_doc = toked.join(cut, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        fingerprint("text", prefix_tokens=8).alias("fp"),
+        (F.size("toks") - F.coalesce("cut", F.lit(0))).cast("bigint").alias("tok"),
+        F.size("toks").cast("bigint").alias("raw_tok"),
+    )
+    want = keep_first(per_doc, ["fp"], ["doc_id"])
+    assert got == rows(want.select("doc_id", "source", "tok")) and got
+    # non-vacuous: kept docs actually lost tokens to the scrub
+    assert want.where(F.col("tok") < F.col("raw_tok")).count() >= 1
+
+
 def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
     """Streaming corpus exact-dedup: replay documents in 3 micro-batches
     through the bucketed seen-fingerprint sink; the final survivor set must
