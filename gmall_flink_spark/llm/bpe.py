@@ -38,6 +38,15 @@ Tie-break contract (mirrored by the SQL twin): most frequent pair
 first, then lexicographically smallest (a, b) AS SEPARATE COLUMNS —
 ordering the joined "a b" string instead would disagree with the tuple
 order once merged tokens contain JOIN (0x1e sorts below space).
+
+Coverage contract (the length-cap question, VERDICT r12 task 3): this
+family has NO word-length cap and therefore no UNK/fallback path — the
+delimited-string form covers every token of every document regardless
+of length (the ``replace`` rewrite is length-oblivious), which is the
+string-form analogue of byte-level BPE's total coverage. The
+representation caps (and their honest UNK accounting) belong to the
+char-level families only: llm/wordpiece.py and llm/unigram.py, whose
+unrolled per-position DPs are what a cap bounds.
 """
 
 from __future__ import annotations

@@ -1417,6 +1417,114 @@ ORACLE["llm_wordpiece_train"] = _wp_train_oracle()
 ORACLE["llm_wordpiece_encode"] = _wp_encode_oracle()
 
 
+def llm_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family tokenizer SELECTION card — the governance artifact an
+    LLM corpus owner reads before committing a 100 TB encode to one
+    tokenizer: for each trained family (BPE merge-up, WordPiece
+    likelihood-merge, unigram-LM prune-down), the corpus-level
+    compression in ONE comparable row — input units (BPE: word tokens
+    before merging; WordPiece/unigram: characters of encodable words),
+    output units (tokens / pieces after encoding), the output/input
+    ratio in basis points, and the shipped artifact's size (BPE: learned
+    merges; WordPiece: limited alphabet + merge products; unigram: final
+    ranked vocab).
+
+    Scale: pure composition — each family's encode aggregate reuses the
+    session-memoized trainer state the family's own queries built (zero
+    new corpus passes beyond the three encode aggregates); artifact
+    sizes are the bounded collected artifacts' row counts. The oracle
+    re-derives each family via its full independent CTE chain scoped
+    inside a derived table (no cross-family name collisions)."""
+    b = llm_bpe_encode(spark, sf_dir).agg(
+        F.sum("tok_before").cast("bigint").alias("input_units"),
+        F.sum("tok_after").cast("bigint").alias("output_units"),
+    )
+    w = llm_wordpiece_encode(spark, sf_dir).agg(
+        F.sum("char_ct").cast("bigint").alias("input_units"),
+        F.sum("piece_ct").cast("bigint").alias("output_units"),
+    )
+    u = llm_unigram_encode(spark, sf_dir).agg(
+        F.sum("char_ct").cast("bigint").alias("input_units"),
+        F.sum("piece_ct").cast("bigint").alias("output_units"),
+    )
+    sizes = {
+        "bpe": _bpe_state(spark, sf_dir)[0].count(),
+        "wordpiece": len(_wp_state(spark, sf_dir)[1]),
+        "unigram": _unigram_vocab(spark, sf_dir).count(),
+    }
+    out = None
+    for fam, agg in (("bpe", b), ("wordpiece", w), ("unigram", u)):
+        row = agg.select(
+            F.lit(fam).alias("family"),
+            "input_units",
+            "output_units",
+            F.when(F.col("input_units") == 0, F.lit(10000).cast("bigint"))
+            .otherwise(F.expr("(10000 * output_units) DIV input_units"))
+            .alias("ratio_bp"),
+            F.lit(sizes[fam]).cast("bigint").alias("artifact_size"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("family")
+
+
+def _wp_vocab_count_cte() -> str:
+    from gmall_flink_spark.llm.wordpiece import WP_TRAIN_ROUNDS
+
+    vocab_sel = "\n      UNION ".join(
+        f"SELECT a || b AS piece FROM wp{i}"
+        for i in range(1, WP_TRAIN_ROUNDS + 1)
+    )
+    return (
+        _wp_rounds_cte()
+        + f""",
+    wvocab AS (SELECT c AS piece FROM walpha UNION {vocab_sel})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wvocab"""
+    )
+
+
+def _tokenizer_compare_oracle() -> str:
+    """Each family's full oracle chain runs scoped inside its own derived
+    table (DuckDB supports WITH inside subqueries), so the three
+    generated CTE chains can never collide on names; artifact sizes come
+    from the train oracles the same way."""
+    bpe_ratio = (
+        "CASE WHEN SUM(tok_before) = 0 THEN 10000 "
+        "ELSE (10000 * SUM(tok_after)) // SUM(tok_before) END"
+    )
+    cw_ratio = (
+        "CASE WHEN SUM(char_ct) = 0 THEN 10000 "
+        "ELSE (10000 * SUM(piece_ct)) // SUM(char_ct) END"
+    )
+    return f"""
+    SELECT 'bpe' AS family,
+           CAST(SUM(tok_before) AS BIGINT) AS input_units,
+           CAST(SUM(tok_after) AS BIGINT) AS output_units,
+           CAST({bpe_ratio} AS BIGINT) AS ratio_bp,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ({_bpe_train_oracle()}) bt) AS artifact_size
+    FROM ({_bpe_encode_oracle()}) be
+    UNION ALL
+    SELECT 'unigram' AS family,
+           CAST(SUM(char_ct) AS BIGINT) AS input_units,
+           CAST(SUM(piece_ct) AS BIGINT) AS output_units,
+           CAST({cw_ratio} AS BIGINT) AS ratio_bp,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM ({_unigram_train_oracle()}) ut) AS artifact_size
+    FROM ({_unigram_encode_oracle()}) ue
+    UNION ALL
+    SELECT 'wordpiece' AS family,
+           CAST(SUM(char_ct) AS BIGINT) AS input_units,
+           CAST(SUM(piece_ct) AS BIGINT) AS output_units,
+           CAST({cw_ratio} AS BIGINT) AS ratio_bp,
+           (SELECT n FROM ({_wp_vocab_count_cte()}) wv) AS artifact_size
+    FROM ({_wp_encode_oracle()}) we
+    ORDER BY family"""
+
+
+QUERIES["llm_tokenizer_compare"] = llm_tokenizer_compare
+ORACLE["llm_tokenizer_compare"] = _tokenizer_compare_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Curriculum ordering — the training-ORDER governance artifact next to the
 # training-SET ones (llm_corpus_build decides WHAT trains, llm_shard_manifest
