@@ -1478,6 +1478,41 @@ def test_wordpiece_exact_score_beats_double(spark):
     assert got == [("aa", "bb")]
 
 
+def test_wordpiece_exact_top_distributed_matches_fraction_max(spark):
+    """exact_top_pair's per-partition tournament reduce against a
+    driver-side Fraction argmax over the same rows, spread across 8
+    partitions — pins that the comparator's total order survives the
+    distributed reduce's arbitrary combination tree (associativity in
+    use, not just on two rows)."""
+    import random
+    from fractions import Fraction
+
+    from gmall_flink_spark.llm.wordpiece import exact_top_pair
+
+    rng = random.Random(13)
+    rows = [
+        (
+            rng.randrange(1, 1 << 28),
+            rng.randrange(1, 1 << 28),
+            rng.randrange(1, 1 << 28),
+            f"a{i % 17}",
+            f"b{i % 13}",
+        )
+        for i in range(200)
+    ]
+    # inject exact ties to exercise the pair_ct/(a,b) tie-break levels
+    rows += [(4, 6, 2, "zz", "zz"), (4, 2, 6, "aa", "zz"), (8, 4, 6, "aa", "ab")]
+    # full tie-break: score desc, pair_ct desc, (a, b) asc
+    want = sorted(
+        rows,
+        key=lambda r: (-Fraction(r[0], r[1] * r[2]), -r[0], r[3], r[4]),
+    )[0]
+    scored = spark.createDataFrame(
+        rows, "pair_ct bigint, cnt_a bigint, cnt_b bigint, a string, b string"
+    ).repartition(8)
+    assert exact_top_pair(scored) == want
+
+
 def test_wordpiece_unk_contract_long_and_dropped(spark, tmp_path):
     """The honest UNK contract (VERDICT r12 task 3 + ADVICE r12): words
     over WP_MAX_WORD_LEN are COUNTED as UNK occurrences (representation
