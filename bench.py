@@ -327,6 +327,10 @@ HEADLINE = [
     "sim_sq_recall_audit",
     "lsh_bucket_cap_plan",
     "minhash_est_accuracy",
+    # round 13 addition: cross-family tokenizer selection card (placed
+    # after the three families so it reads their warm session memos —
+    # its own cost is three encode aggregates)
+    "llm_tokenizer_compare",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as
