@@ -61,6 +61,7 @@ SAMPLE = [
     "sim_ivf_topk",            # IVF ANN (embeddings 1x — see module doc)
     "media_jpeg_meta",         # r12: JPEG marker walk, 10x image ids
     "llm_wordpiece_encode",    # r12: greedy WordPiece over 10x salted words
+    "llm_tokenizer_compare",   # r13: all three trainer oracle chains at 10x
 ]
 
 
