@@ -4,9 +4,12 @@ exact dedup) — the continuous form of queries/llm_pipeline.llm_clean_corpus.
 
 Per micro-batch:
   1. Gopher-rule quality flags drop low-quality docs (stateless, map-side).
-  2. Docs sharing a 5-gram with the benchmark set drop (the benchmark
-     shingle frame is computed once and broadcast into every batch join —
-     at scale a static eval set, not a stream).
+  2. Decontamination against the benchmark shingle set (computed once and
+     broadcast into every batch join — at scale a static eval set, not a
+     stream), in one of two modes: DOC-LEVEL (default — docs sharing a
+     5-gram with the benchmark drop) or SPAN-LEVEL (``scrub_spans=True``
+     — hit docs are kept with the covered token positions cut from their
+     carried mass; the shared covered_positions kernel).
   3. Survivors pass the bucketed seen-fingerprint sink (sinks/dedup_sink):
      the FIRST arrival of each fingerprint is kept forever, later
      duplicates drop — including duplicates of docs that arrived in earlier
