@@ -140,7 +140,9 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
-def clear_session_memos(disk_artifacts: bool = True) -> None:
+def clear_session_memos(
+    disk_artifacts: bool = True, sf_dir: str | None = None
+) -> None:
     """Reset every session-memoized shared stage (winnow fingerprints,
     tokenized docs, LSH candidates, near-dup components, IVF assignment,
     PQ codebooks, ...). Callers that must observe or time a COLD pipeline
@@ -152,7 +154,13 @@ def clear_session_memos(disk_artifacts: bool = True) -> None:
     (the persisted component mapping) while still dropping the in-memory
     memos — the mode for measuring a CONSUMER's cost under the production
     posture, where the artifact exists by construction; the default wipes
-    them too, attributing the full build to whoever runs next."""
+    them too, attributing the full build to whoever runs next.
+
+    ``sf_dir`` scopes the disk wipe to ONE corpus's artifacts. Pass it
+    from any probe/audit that runs alongside other jobs on the host: the
+    unscoped wipe deletes every SF's artifact, and a concurrent reader of
+    another SF's mapping then dies mid-scan with FILE_NOT_EXIST (this
+    raced the r13 sweep against the explain audit)."""
     from gmall_flink_spark.queries.llm_dedup import (
         _COMPONENTS,
         _DOC_TOKS,
@@ -208,5 +216,6 @@ def clear_session_memos(disk_artifacts: bool = True) -> None:
 
     from gmall_flink_spark.sources.materialize import CACHE_ROOT
 
-    for p in glob.glob(_os.path.join(CACHE_ROOT, "*", "neardup_components-*")):
+    key = sf_dir.strip("/").replace("/", "_") if sf_dir else "*"
+    for p in glob.glob(_os.path.join(CACHE_ROOT, key, "neardup_components-*")):
         shutil.rmtree(p, ignore_errors=True)

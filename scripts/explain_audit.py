@@ -106,7 +106,9 @@ def main() -> None:
         # ARTIFACT is wiped only before its producer (dedup_components),
         # whose row then carries the build; every consumer row shows the
         # production posture — a read of the write-once table.
-        clear_session_memos(disk_artifacts=(name == "dedup_components"))
+        clear_session_memos(
+            disk_artifacts=(name == "dedup_components"), sf_dir=sf_dir
+        )
         produced: list[str] = []
         with track_terminal_sort(), track_checkpoints(produced):
             df = queries[name](spark, sf_dir)

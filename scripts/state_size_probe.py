@@ -256,7 +256,10 @@ def main() -> None:
                     )
                 per[provider] = r
             result["probes"][op_name][scale] = per
-        clear_session_memos()
+        # in-memory memos only: the streaming probes never read the
+        # persisted components artifact, and an unscoped disk wipe races
+        # any concurrent job on the host (r13 lesson)
+        clear_session_memos(disk_artifacts=False)
 
     print(json.dumps(result, indent=1))
     spark.stop()

@@ -251,7 +251,9 @@ def main() -> None:
             print(f"# {op_name}/{provider}: {r['sec']}s "
                   f"(wall {round(time.time() - t0)}s)", file=sys.stderr, flush=True)
         result["probes"][op_name] = per
-        clear_session_memos()
+        # in-memory memos only (no disk artifacts in play; unscoped
+        # wipes race concurrent jobs on the host — r13 lesson)
+        clear_session_memos(disk_artifacts=False)
 
     print(json.dumps(result, indent=1))
     spark.stop()
