@@ -103,14 +103,25 @@ def predict_lang(tokens: Column) -> Column:
     return pred
 
 
+def fingerprint_from_tokens(
+    toks: Column | str, prefix_tokens: int | None = None
+) -> Column:
+    """``fingerprint`` over an ALREADY-TOKENIZED array column — for call
+    sites that carry ``tokenize(text)`` anyway (the streaming scrub
+    writer), so the split isn't paid twice per row. Byte-identical to
+    fingerprint(text, ...) by construction: same slice, same join, same
+    md5 — state files keyed by either stay interchangeable."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    if prefix_tokens is not None:
+        c = F.slice(c, 1, prefix_tokens)
+    return F.md5(F.array_join(c, " "))
+
+
 def fingerprint(text: Column | str, prefix_tokens: int | None = None) -> Column:
     """Document fingerprint: md5 over the space-normalized token stream
     (optionally only the first N tokens — prefix fingerprint for clustering
     near-identical heads)."""
-    toks = tokenize(text)
-    if prefix_tokens is not None:
-        toks = F.slice(toks, 1, prefix_tokens)
-    return F.md5(F.array_join(toks, " "))
+    return fingerprint_from_tokens(tokenize(text), prefix_tokens)
 
 
 def char_gram_hashes(text_col: str, k: int) -> Column:

@@ -78,7 +78,7 @@ def clean_corpus_writer(
     relative to the batch twin). Turn it off only when the feed is
     already bench-free AND the id space does not follow the modulo
     convention."""
-    from gmall_flink_spark.queries.llm_pipeline import BENCH_MOD
+    from gmall_flink_spark.queries.llm_pipeline import BENCH_MOD, NGRAM_N
 
     bench = bench_shingles.select("shingle").distinct()
     totals_w = None
@@ -99,9 +99,10 @@ def clean_corpus_writer(
             batch_df = batch_df.where(F.col("doc_id") % BENCH_MOD != 0)
         q = quality_keep(batch_df)
         if scrub_spans:
+            from gmall_flink_spark.functions.text import fingerprint_from_tokens
             from gmall_flink_spark.queries.llm_pipeline import covered_positions
 
-            toked = q.select("doc_id", "source", "text", tokenize("text").alias("toks"))
+            toked = q.select("doc_id", "source", tokenize("text").alias("toks"))
             cut = (
                 covered_positions(toked, bench)
                 .groupBy("doc_id")
@@ -110,14 +111,18 @@ def clean_corpus_writer(
             survivors = toked.join(cut, "doc_id", "left").select(
                 "doc_id",
                 "source",
-                fingerprint("text", prefix_tokens=8).alias("fp"),
+                # same bytes as fingerprint("text", 8), computed off the
+                # toks column already in hand — no second tokenize pass
+                fingerprint_from_tokens("toks", prefix_tokens=8).alias("fp"),
                 (F.size("toks") - F.coalesce("cut", F.lit(0)))
                 .cast("bigint")
                 .alias("tok"),
             )
         else:
             hits = (
-                word_shingles(q, n=5)
+                # n=NGRAM_N, never a literal: the doc-level batch twin
+                # (llm_decontaminate) keys off the same constant
+                word_shingles(q, n=NGRAM_N)
                 .join(F.broadcast(bench), "shingle")
                 .select("doc_id")
                 .distinct()

@@ -1338,6 +1338,18 @@ def _wp_train_oracle() -> str:
     return _wp_rounds_cte() + f"\n    {rounds_sel}\n    ORDER BY round"
 
 
+def _wp_merge_vocab_sel() -> str:
+    """The merge-product half of the WordPiece vocab, as a UNION select —
+    ONE source for both the encode oracle's wvocab and the tokenizer-
+    compare artifact count (a drift here would silently desync the two)."""
+    from gmall_flink_spark.llm.wordpiece import WP_TRAIN_ROUNDS
+
+    return "\n      UNION ".join(
+        f"SELECT a || b AS piece FROM wp{i}"
+        for i in range(1, WP_TRAIN_ROUNDS + 1)
+    )
+
+
 def _wp_encode_oracle() -> str:
     """Greedy longest-match-first walk, unrolled one CTE level per
     consumed piece (WP_MAX_WORD_LEN levels) over the DISTINCT in-cap
@@ -1346,12 +1358,9 @@ def _wp_encode_oracle() -> str:
     representation-limit contract). An independent implementation of the
     same greedy contract — the engine unrolls column expressions, the
     oracle unrolls CTEs with IN-subquery membership probes."""
-    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, WP_TRAIN_ROUNDS
+    from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN
 
-    vocab_sel = "\n      UNION ".join(
-        f"SELECT a || b AS piece FROM wp{i}"
-        for i in range(1, WP_TRAIN_ROUNDS + 1)
-    )
+    vocab_sel = _wp_merge_vocab_sel()
     levels = []
     step_case = "CASE\n" + "\n".join(
         f"            WHEN length(word) - pos + 1 >= {l} AND"
@@ -1468,16 +1477,10 @@ def llm_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wp_vocab_count_cte() -> str:
-    from gmall_flink_spark.llm.wordpiece import WP_TRAIN_ROUNDS
-
-    vocab_sel = "\n      UNION ".join(
-        f"SELECT a || b AS piece FROM wp{i}"
-        for i in range(1, WP_TRAIN_ROUNDS + 1)
-    )
     return (
         _wp_rounds_cte()
         + f""",
-    wvocab AS (SELECT c AS piece FROM walpha UNION {vocab_sel})
+    wvocab AS (SELECT c AS piece FROM walpha UNION {_wp_merge_vocab_sel()})
     SELECT CAST(COUNT(*) AS BIGINT) AS n FROM wvocab"""
     )
 

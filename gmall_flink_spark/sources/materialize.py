@@ -56,12 +56,20 @@ _STAMP_MEMO: dict[str, tuple[tuple, str]] = {}
 
 def _dir_signature(sf_dir: str) -> tuple:
     """Cheap freshness signature: (name, mtime_ns, size) of sf_dir's
-    IMMEDIATE entries plus sf_dir's own stat. Parquet tables under sf_dir
-    are either single files (gate SFs) or flat directories (scaled dirs /
-    spark writers); any rewrite of either — file replaced, part files
-    added/removed, replica unlinked — changes an immediate entry's mtime
-    or size, so a matching signature proves the memoized full stamp is
-    still current. Follows symlinks like the full walk."""
+    entries down to TWO levels (sf_dir itself, its entries, and the files
+    inside first-level table directories), following symlinks like the
+    full walk. Parquet tables under sf_dir are either single files (gate
+    SFs) or flat `<table>.parquet/part-*` directories (spark writers /
+    scaled dirs), so every rewrite shape seen here — file replaced, part
+    file rewritten IN PLACE (same name; only its own mtime moves, the
+    parent dir's does not), parts added/removed, replica unlinked —
+    lands inside the signature and busts the memo.
+
+    Residual (documented, conservative direction unavailable cheaply):
+    layouts nested ≥2 directory levels below sf_dir (e.g. partitionBy
+    output) are outside the signature — this repo's corpora never use
+    them; if one appears, drop the memo (clear _STAMP_MEMO) or extend
+    the depth here."""
     ents = []
     try:
         st = os.stat(sf_dir)
@@ -73,6 +81,19 @@ def _dir_signature(sf_dir: str) -> tuple:
                 except OSError:
                     continue
                 ents.append((e.name, st.st_mtime_ns, st.st_size))
+                if e.is_dir(follow_symlinks=True):
+                    try:
+                        with os.scandir(e.path) as inner:
+                            for f in inner:
+                                try:
+                                    fst = f.stat(follow_symlinks=True)
+                                except OSError:
+                                    continue
+                                ents.append(
+                                    (f"{e.name}/{f.name}", fst.st_mtime_ns, fst.st_size)
+                                )
+                    except OSError:
+                        continue
     except OSError:
         pass
     return tuple(sorted(ents))

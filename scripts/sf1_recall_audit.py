@@ -169,7 +169,6 @@ def main() -> None:
         print(f"agreement: {agreement}", flush=True)
     except Exception:
         agreement["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
-        fails += 1
         print(f"agreement FAILED: {agreement['err']}", flush=True)
 
     out = os.path.join(REPO, "RECALL_SF1_r13.json")
@@ -180,10 +179,15 @@ def main() -> None:
             fh, indent=2,
         )
     n = len(AUDITS)
-    print(f"wrote {out}: {n - fails}/{n} audits green "
+    # agreement status reported separately: fails counts PARITY audits
+    # only, so the evidence line can never misattribute an agreement
+    # error to an audit (review r13)
+    agree_ok = agreement["err"] is None
+    print(f"wrote {out}: {n - fails}/{n} audits green, "
+          f"agreement {'ok' if agree_ok else 'FAILED'} "
           f"in {time.time() - t_start:.0f}s")
     spark.stop()
-    sys.exit(1 if fails else 0)
+    sys.exit(1 if fails or not agree_ok else 0)
 
 
 if __name__ == "__main__":

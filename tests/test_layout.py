@@ -148,6 +148,19 @@ def test_data_stamp_memoized_no_walk_on_hit(spark, tmp_path, monkeypatch):
 
     time.sleep(0.05)  # distinct mtime for the rewrite
     spark.range(10, 13).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
-    assert M._data_stamp(sf) != first, "rewrite must change the stamp"
+    second = M._data_stamp(sf)
+    assert second != first, "rewrite must change the stamp"
     assert len(walks) == 1  # exactly one re-walk, then memoized again
-    assert M._data_stamp(sf) != first and len(walks) == 1
+    assert M._data_stamp(sf) == second and len(walks) == 1
+
+    # IN-PLACE part-file rewrite: only the inner file's mtime moves (the
+    # parent dir's does not — no create/delete happened), which is
+    # exactly what the two-level signature exists to catch
+    part = next(
+        os.path.join(f"{sf}/orders.parquet", n)
+        for n in os.listdir(f"{sf}/orders.parquet")
+        if n.endswith(".parquet")
+    )
+    st = os.stat(part)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert M._data_stamp(sf) != second, "in-place rewrite must bust the memo"
