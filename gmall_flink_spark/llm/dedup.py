@@ -229,6 +229,7 @@ def lsh_candidates_two_level(
     rows_per_band: int,
     fine_rows_per_band: int,
     max_bucket: int,
+    oversize_fine: str = "drop",
 ) -> DataFrame:
     """Two-level LSH candidate generation — the bounded-cost answer to
     heterogeneous mega-buckets (the regime lsh_recall_audit exposed:
@@ -239,8 +240,17 @@ def lsh_candidates_two_level(
     ``rows_per_band``; buckets <= ``max_bucket`` pair all-vs-all as usual.
     Level 2: docs from OVER-cap coarse buckets are re-banded at
     ``fine_rows_per_band`` (more rows per band = higher signature entropy =
-    smaller buckets) and pair within fine buckets under the same cap; fine
-    buckets still over the cap are dropped (documented residual).
+    smaller buckets) and pair within fine buckets under the same cap.
+    ``oversize_fine`` picks what happens to fine buckets STILL over the
+    cap: ``"drop"`` loses them (the r6-r13 residual), ``"star"`` replaces
+    the B²/2 within-bucket pairs with B-1 hub edges to the bucket's
+    smallest doc_id (the lsh_candidates star semantics) — linear cost,
+    still exact-verified downstream, and it preserves family CONNECTIVITY:
+    a homogeneous near-dup family larger than any cap reassembles into one
+    component through its hub, which is what every component-graph
+    consumer (rep-select, loss weights, dup rates, datasheet) actually
+    needs. Pair-level listings under star remain a subset of the true
+    pair set (lsh_recall_audit measures the gap).
 
     Recall at j: per coarse band j^rows, per fine band j^fine_rows — at
     j=0.9 with 3-row coarse / 6-row fine bands, a family in a mega-bucket
@@ -257,6 +267,8 @@ def lsh_candidates_two_level(
     bucket's member array ONLY for sub-cap buckets (array size <= cap by
     the window filter — never a mega-bucket materialization) and explodes
     the C(n,2) combinations map-side."""
+    if oversize_fine not in ("drop", "star"):
+        raise ValueError(f"unknown oversize_fine mode {oversize_fine!r}")
     coarse = _bucket_counted(matrix_bands(matrix, rows_per_band))
     refined_docs = (
         coarse.where(F.col("_n") > max_bucket).select("doc_id").distinct()
@@ -264,11 +276,25 @@ def lsh_candidates_two_level(
     fine = _bucket_counted(
         matrix_bands(matrix.join(refined_docs, "doc_id"), fine_rows_per_band)
     )
-    return (
-        _capped_bucket_pairs(coarse, max_bucket)
-        .unionAll(_capped_bucket_pairs(fine, max_bucket))
-        .distinct()
+    pairs = _capped_bucket_pairs(coarse, max_bucket).unionAll(
+        _capped_bucket_pairs(fine, max_bucket)
     )
+    if oversize_fine == "star":
+        from pyspark.sql import Window
+
+        # hub = bucket min doc_id via a window min — rides the SAME
+        # (band, band_sig) exchange _bucket_counted already planned, so
+        # star mode adds zero extra shuffles; doc_a < doc_b holds because
+        # the hub is the bucket minimum
+        w = Window.partitionBy("band", "band_sig")
+        star = (
+            fine.where(F.col("_n") > max_bucket)
+            .withColumn("_rep", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("_rep"))
+            .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+        pairs = pairs.unionAll(star)
+    return pairs.distinct()
 
 
 def _bucket_counted(bands: DataFrame) -> DataFrame:

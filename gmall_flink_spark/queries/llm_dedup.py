@@ -130,6 +130,12 @@ def _minhash_mx(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: two-level LSH candidate pairs, memoized like the other shared stages:
 #: the verified pair graph builds on them and lsh_recall_audit scores the
 #: SAME production candidate rule — one banding pipeline serves both.
+#: oversize_fine="star" since r14 (VERDICT r13 task 2, decided on the sf1
+#: measurement in RECALL_SF1_r14_pre.json): still-over-cap fine buckets
+#: contribute B-1 hub edges instead of being dropped — exact-verified
+#: downstream like every candidate, linear cost, and the component-level
+#: co-membership recall of the exact closure at the sf1 construction rose
+#: 1.2% -> 6.3% at 98.2% pair precision for ~zero wall cost.
 _LSH_CANDS: dict[tuple, DataFrame] = {}
 
 
@@ -143,12 +149,37 @@ def _lsh_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ROWS_PER_BAND,
             FINE_ROWS_PER_BAND,
             max_bucket=LSH_MAX_BUCKET,
+            oversize_fine="star",
         )
         _LSH_CANDS[key] = cands.localCheckpoint(eager=True)
     return _LSH_CANDS[key]
 
 
-#: verified near-dup pair graph (LSH candidates -> exact jaccard, j >= 0.9),
+#: identical-document pair graph (token-set-fingerprint pre-pass), memoized
+#: like the other shared stages: both the verified MinHash pair graph and
+#: lsh_recall_audit union it in (VERDICT r13 weak #1 — identical documents
+#: share every band value, so the capped banded index is structurally blind
+#: to exactly the heaviest duplicates; the SimHash family routed around the
+#: cap this way in r10 and the sf1 audit showed MinHash losing 22,423/22,450
+#: exact pairs without it)
+_EXACT_PAIRS: dict[tuple, DataFrame] = {}
+
+
+def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _EXACT_PAIRS)
+    if key not in _EXACT_PAIRS:
+        units = _doc_units(spark, sf_dir)
+        pairs = exact_fingerprint_pairs(None, units=units).select(
+            F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+        )
+        _EXACT_PAIRS[key] = pairs.localCheckpoint(eager=True)
+    return _EXACT_PAIRS[key]
+
+
+#: verified near-dup pair graph (LSH candidates -> exact jaccard, j >= 0.9,
+#: UNION the exact-fingerprint pre-pass at jaccard 1 by construction),
 #: memoized like _doc_units/_components: minhash_lsh_pairs, the component
 #: pipeline, and dedup_cross_source all consume the SAME verify join — the
 #: suite's third-heaviest stage — so it runs once per (session, sf_dir,
@@ -174,10 +205,24 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ratio=(NUM, DEN) is the lossless length prune for the j >= NUM/DEN
         # threshold below — identical verified output, fewer unit joins
         jac = jaccard_pairs(units, cands, ratio=(VERIFY_J_NUM, VERIFY_J_DEN))
+        lsh_verified = jac.where(
+            VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni")
+        ).select("doc_a", "doc_b", "inter", "uni")
+        # exact-fingerprint pre-pass (VERDICT r13 weak #1): identical token
+        # sets have inter == uni == |set| by construction, so the pairs skip
+        # the verify join entirely — one sizes lookup on doc_a suffices
+        # (doc_b's set is identical). verify(cands ∪ exact) == verify(cands)
+        # ∪ exact, which is what the oracle's unioned _CANDS computes; a pair
+        # both paths find carries identical (inter, uni), so DISTINCT over
+        # all four columns collapses it.
+        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        exact = (
+            _exact_pairs(spark, sf_dir)
+            .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .select("doc_a", "doc_b", F.col("n").alias("inter"), F.col("n").alias("uni"))
+        )
         _VERIFIED[key] = (
-            jac.where(VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni"))
-            .select("doc_a", "doc_b", "inter", "uni")
-            .localCheckpoint(eager=True)
+            lsh_verified.unionByName(exact).distinct().localCheckpoint(eager=True)
         )
     return _VERIFIED[key]
 
@@ -197,10 +242,17 @@ def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: two-level bucket-join candidates (sub-cap
     coarse buckets all-pair; over-cap bucket members re-band at the fine
-    width, still-over-cap fine buckets dropped) verified by exact
-    token-set jaccard, kept at j >= 0.9 (10*inter >= 9*union). Pair
-    recall of this bounded path is MEASURED by lsh_recall_audit; the
-    exact complement is dedup_allpairs_exact."""
+    width; still-over-cap fine buckets contribute B-1 star edges to
+    their min-id hub — r14, chosen on the sf1 measurement in
+    RECALL_SF1_r14_pre.json) verified by exact token-set jaccard, kept
+    at j >= 0.9 (10*inter >= 9*union), UNIONed with the exact
+    token-set-fingerprint pre-pass (jaccard 1 by construction —
+    identical documents share every band value, so the bucket cap is
+    structurally blind to exactly the heaviest duplicates; the pre-pass
+    finds them in one hash aggregation, the same routing the SimHash
+    family applies). Pair recall of the combined rule is MEASURED by
+    lsh_recall_audit; the exact complement for the NEAR class is
+    dedup_allpairs_exact."""
     return _verified_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
@@ -271,18 +323,24 @@ def _components_stamp(sf_dir: str) -> str:
     )
     producers = "".join(
         inspect.getsource(fn)
-        for fn in (_doc_toks, _doc_units, _minhash_mx, _lsh_cands, _verified_pairs)
+        for fn in (
+            _doc_toks,
+            _doc_units,
+            _minhash_mx,
+            _lsh_cands,
+            _exact_pairs,
+            _verified_pairs,
+        )
     )
     code = inspect.getsource(_dedup_mod) + producers + inspect.getsource(_tokenize) + consts
     return hashlib.md5(f"{data}|{code}".encode()).hexdigest()[:12]
 
 
 def _components_artifact_path(sf_dir: str) -> str:
-    from gmall_flink_spark.sources.materialize import CACHE_ROOT
+    from gmall_flink_spark.sources.materialize import CACHE_ROOT, cache_key
 
-    key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(
-        CACHE_ROOT, key, f"neardup_components-{_components_stamp(sf_dir)}"
+        CACHE_ROOT, cache_key(sf_dir), f"neardup_components-{_components_stamp(sf_dir)}"
     )
 
 
@@ -1039,17 +1097,23 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a deterministic 1-in-AUDIT_MOD document sample, compute the exact
     ground-truth j >= 0.9 pairs by brute force (all sample id pairs,
     length-ratio-pruned losslessly, scored exactly) and count how many the
-    production LSH candidate generation (the same two-level banding +
-    bucket cap the verified pair graph uses) recalls. One row per pair
+    production PAIR-GENERATION RULE — two-level banding + bucket cap,
+    still-over-cap fine buckets starred to their hub, UNION the exact
+    token-set-fingerprint pre-pass; the same rule the verified pair
+    graph uses — recalls. (A true pair surfaced as a
+    candidate always survives the j >= 0.9 verify, so candidate-level and
+    verified-level recall coincide on the truth rows.) One row per pair
     class (exact j=1 vs near 0.9<=j<1): true_ct / hit_ct / miss_ct + id
     checksums — recall is hit/true, read exactly from integers. This
     audit is what exposed flat drop-mode capping losing whole over-cap
-    families (5/450 recalled on this corpus) and motivated both the
-    two-level refinement and the exact prefix-filter path; on THIS
-    low-entropy testdata even fine 6-row buckets stay mega and
-    heterogeneous, so the measured LSH recall remains near zero — the
-    honest number that tells an operator to reach for
-    dedup_allpairs_exact here (SCALE.md r6 section).
+    families (5/450 recalled on this corpus) and motivated the two-level
+    refinement and the exact prefix-filter path; the r13 sf1 run of the
+    same audit (RECALL_SF1_r13.json: 27/22,450 exact pairs recalled)
+    motivated unioning the fingerprint pre-pass in — exact-class recall
+    is now total by construction, while on THIS low-entropy testdata the
+    NEAR class stays poorly recalled (fine 6-row buckets stay mega and
+    heterogeneous) — the honest number that tells an operator to reach
+    for dedup_allpairs_exact here (SCALE.md r6/r14 sections).
 
     Scale: ground truth is the memoized exact prefix-filter pair graph of
     the same sample (_sample_exact_jac — provably complete at j >= 0.9 per
@@ -1065,10 +1129,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
     )
-    cands = _lsh_cands(spark, sf_dir).where(
-        (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
-        & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
-    ).withColumn("hit", F.lit(1))
+    cands = (
+        _lsh_cands(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .unionByName(_exact_pairs(spark, sf_dir))
+        .where(
+            (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
+            & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
+        )
+        .distinct()  # a pair both paths surface must hit ONCE in the left join
+        .withColumn("hit", F.lit(1))
+    )
     flagged = true_pairs.join(cands, ["doc_a", "doc_b"], "left")
     return (
         flagged.groupBy("is_exact")
@@ -1453,6 +1524,52 @@ _FSTATS = f"""
     SELECT band, band_sig, COUNT(*) AS n FROM ({_FINE_R}) GROUP BY 1, 2
 """
 
+# exact token-set-fingerprint pre-pass twin (mirror of
+# llm/dedup.exact_fingerprint_pairs and the engine's _exact_pairs):
+# sorted-distinct-token fingerprint groups pair all-vs-all up to
+# EXACT_FP_MAX_GROUP, star form (min_id hub) above the cap
+_SETFP = f"""
+    SELECT doc_id, md5(string_agg(shingle, ' ' ORDER BY shingle)) AS fp
+    FROM ({_UNITS}) GROUP BY doc_id
+"""
+
+_FPG = f"""
+    SELECT fp, COUNT(*) AS n, MIN(doc_id) AS min_id
+    FROM ({_SETFP}) GROUP BY fp HAVING COUNT(*) >= 2
+"""
+
+_EXACT_FP_PAIRS = f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ({_SETFP}) a
+    JOIN ({_SETFP}) b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    JOIN ({_FPG}) g ON a.fp = g.fp
+    WHERE g.n <= {EXACT_FP_MAX_GROUP}
+    UNION ALL
+    SELECT g.min_id AS doc_a, s.doc_id AS doc_b
+    FROM ({_SETFP}) s JOIN ({_FPG}) g ON s.fp = g.fp
+    WHERE g.n > {EXACT_FP_MAX_GROUP} AND s.doc_id != g.min_id
+"""
+
+# still-over-cap fine buckets: B-1 star edges to the bucket's min doc_id
+# (mirror of lsh_candidates_two_level(oversize_fine="star"); doc_a < doc_b
+# holds because the hub is the bucket minimum)
+_FSTAR = f"""
+    SELECT k.min_id AS doc_a, f.doc_id AS doc_b
+    FROM ({_FINE_R}) f
+    JOIN (SELECT band, band_sig, MIN(doc_id) AS min_id
+          FROM ({_FINE_R}) GROUP BY band, band_sig
+          HAVING COUNT(*) > {LSH_MAX_BUCKET}) k
+      ON f.band = k.band AND f.band_sig = k.band_sig
+    WHERE f.doc_id != k.min_id
+"""
+
+# the production pair-generation rule: two-level capped banding (sub-cap
+# buckets all-pair, still-over-cap fine buckets starred to their hub)
+# UNION the exact-fingerprint pre-pass (VERDICT r13 weak #1 + task 2 —
+# mirrors the engine's _lsh_cands ∪ _exact_pairs; the verify the
+# consumers apply passes every fingerprint pair at jaccard 1, so
+# verify(cands ∪ exact) on this side equals the engine's
+# verify(cands) ∪ exact)
 _CANDS = f"""
     SELECT DISTINCT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1472,6 +1589,10 @@ _CANDS = f"""
         JOIN ({_FSTATS}) k
           ON fa.band = k.band AND fa.band_sig = k.band_sig
         WHERE k.n <= {LSH_MAX_BUCKET}
+        UNION ALL
+        SELECT doc_a, doc_b FROM ({_FSTAR})
+        UNION ALL
+        SELECT doc_a, doc_b FROM ({_EXACT_FP_PAIRS})
     )
 """
 
@@ -1556,6 +1677,19 @@ _COMP_CTES = f"""
         fstats AS MATERIALIZED (
             SELECT band, band_sig, COUNT(*) AS n FROM fine_r GROUP BY 1, 2
         ),
+        fstar_hubs AS MATERIALIZED (
+            SELECT band, band_sig, MIN(doc_id) AS min_id
+            FROM fine_r GROUP BY band, band_sig
+            HAVING COUNT(*) > {LSH_MAX_BUCKET}
+        ),
+        setfp AS MATERIALIZED (
+            SELECT doc_id, md5(string_agg(shingle, ' ' ORDER BY shingle)) AS fp
+            FROM units GROUP BY doc_id
+        ),
+        fpg AS MATERIALIZED (
+            SELECT fp, COUNT(*) AS n, MIN(doc_id) AS min_id
+            FROM setfp GROUP BY fp HAVING COUNT(*) >= 2
+        ),
         cands AS MATERIALIZED (
             SELECT DISTINCT doc_a, doc_b FROM (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1575,6 +1709,22 @@ _COMP_CTES = f"""
                 JOIN fstats k
                   ON fa.band = k.band AND fa.band_sig = k.band_sig
                 WHERE k.n <= {LSH_MAX_BUCKET}
+                UNION ALL
+                SELECT k.min_id AS doc_a, f.doc_id AS doc_b
+                FROM fine_r f
+                JOIN fstar_hubs k
+                  ON f.band = k.band AND f.band_sig = k.band_sig
+                WHERE f.doc_id != k.min_id
+                UNION ALL
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM setfp a
+                JOIN setfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN fpg g ON a.fp = g.fp
+                WHERE g.n <= {EXACT_FP_MAX_GROUP}
+                UNION ALL
+                SELECT g.min_id AS doc_a, s.doc_id AS doc_b
+                FROM setfp s JOIN fpg g ON s.fp = g.fp
+                WHERE g.n > {EXACT_FP_MAX_GROUP} AND s.doc_id != g.min_id
             )
         ),
         sizes AS MATERIALIZED (
