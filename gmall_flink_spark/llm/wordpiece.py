@@ -104,7 +104,18 @@ def exact_top_pair(scored: DataFrame) -> tuple | None:
     The comparator is a self-contained nested closure ON PURPOSE
     (the functions/text.segment pattern): cloudpickle ships it by value,
     so executors need no repo on PYTHONPATH — a module-level comparator
-    broke under the grading driver's plain session."""
+    broke under the grading driver's plain session.
+
+    Session contract (ADVICE r13 #3): requires a CLASSIC session — .rdd
+    is unimplemented under Spark Connect. The entry environment is pinned
+    classic by test_exact_top_pair_requires_classic_session. Documented
+    Catalyst fallback if a Connect deployment ever needs this: no scalar
+    sort key is exact (192-bit cross-multiply), so pre-filter instead —
+    rank by the DOUBLE score pair_ct/(cnt_a*cnt_b), keep every row whose
+    double score is within a few ulps of the double maximum (a correct
+    upper-bound screen: the exact argmax's double image can't be below
+    that band), collect the bounded finalist set, and run this same exact
+    integer comparison driver-side over the finalists."""
 
     def better(x: tuple, y: tuple) -> tuple:
         # exact cross-multiplied Python ints (arbitrary precision — exact
@@ -128,7 +139,16 @@ def limited_alphabet(words: DataFrame, limit: int = WP_ALPHABET_LIMIT) -> list[s
     """The vocab alphabet: the ``limit`` most frequent characters of the
     in-cap word frame, occurrence-weighted (wcount), tie-break char asc —
     HF-tokenizers' limit_alphabet rule. Returns a sorted list; the ONE
-    driver-side collect is alphabet-sized (bounded by the charset)."""
+    driver-side collect is alphabet-sized (bounded by the charset).
+
+    Inertness signal (ADVICE r13 #4): the knob only bites when the corpus
+    has MORE than ``limit`` distinct characters. Collecting limit+1 rows
+    costs nothing extra and tells us which case we are in; when nothing
+    would drop, warn — a gate corpus is supposed to exercise the UNK
+    path, and a silent inert cap is exactly how r12 shipped unreachable
+    [UNK]."""
+    import warnings
+
     chars = (
         words.select(
             F.explode(
@@ -139,10 +159,17 @@ def limited_alphabet(words: DataFrame, limit: int = WP_ALPHABET_LIMIT) -> list[s
         .groupBy("c")
         .agg(F.sum("wcount").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "c")
-        .limit(limit)
+        .limit(limit + 1)
         .collect()
     )
-    return sorted(r["c"] for r in chars)
+    if len(chars) <= limit:
+        warnings.warn(
+            f"limit_alphabet={limit} is INERT on this corpus "
+            f"({len(chars)} distinct chars <= limit): the alphabet-UNK "
+            "path is unreachable here",
+            stacklevel=2,
+        )
+    return sorted(r["c"] for r in chars[:limit])
 
 
 def word_char_seqs(words: DataFrame) -> DataFrame:

@@ -46,6 +46,17 @@ def _build_version(build) -> str:
     return hashlib.md5(src.encode()).hexdigest()[:10]
 
 
+def cache_key(sf_dir: str) -> str:
+    """THE directory key under CACHE_ROOT for one corpus dir — shared by
+    every artifact producer (materialized(), the component mapping) AND
+    every scoped invalidator (tables.clear_session_memos), so a
+    relative-vs-absolute caller or a future keying change can never make
+    a disk wipe miss the artifact it was asked to clear (ADVICE r13 #2).
+    realpath-normalized: '/root/testdata/sf0.01', 'testdata/sf0.01' (from
+    /root) and a symlinked alias all key the same artifact directory."""
+    return os.path.realpath(sf_dir).strip("/").replace("/", "_")
+
+
 #: per-process memo of the full-walk stamp, keyed by realpath(sf_dir):
 #: (cheap signature of the dir's immediate entries, full stamp). The full
 #: walk is O(all parquet files) and _data_stamp runs on EVERY materialized()
@@ -54,48 +65,58 @@ def _build_version(build) -> str:
 _STAMP_MEMO: dict[str, tuple[tuple, str]] = {}
 
 
-def _dir_signature(sf_dir: str) -> tuple:
-    """Cheap freshness signature: (name, mtime_ns, size) of sf_dir's
-    entries down to TWO levels (sf_dir itself, its entries, and the files
-    inside first-level table directories), following symlinks like the
-    full walk. Parquet tables under sf_dir are either single files (gate
-    SFs) or flat `<table>.parquet/part-*` directories (spark writers /
-    scaled dirs), so every rewrite shape seen here — file replaced, part
-    file rewritten IN PLACE (same name; only its own mtime moves, the
-    parent dir's does not), parts added/removed, replica unlinked —
-    lands inside the signature and busts the memo.
+#: recursion bound for _dir_signature — far above any real corpus layout
+#: (flat files, <table>.parquet/part-*, or a few partitionBy levels); a
+#: tree deeper than this raises instead of silently truncating the
+#: signature (ADVICE r13 #1: truncation is a silent wrong-answer path)
+_SIG_MAX_DEPTH = 16
 
-    Residual (documented, conservative direction unavailable cheaply):
-    layouts nested ≥2 directory levels below sf_dir (e.g. partitionBy
-    output) are outside the signature — this repo's corpora never use
-    them; if one appears, drop the memo (clear _STAMP_MEMO) or extend
-    the depth here."""
+
+def _dir_signature(sf_dir: str) -> tuple:
+    """Freshness signature: (relpath, mtime_ns, size) of EVERY entry under
+    sf_dir at EVERY depth (bounded by _SIG_MAX_DEPTH — beyond it the scan
+    raises rather than serve a truncated signature), following symlinks,
+    with a realpath cycle guard. Every rewrite shape — file replaced, part
+    file rewritten IN PLACE (same name; only its own mtime moves), parts
+    added/removed, replica unlinked, and (ADVICE r13 #1) a parquet file
+    ≥2 directory levels down (partitionBy layouts) — lands inside the
+    signature and busts the memo. Same O(files) cost class as the stamp
+    walk it replaces; scandir's cached stat keeps the constant small."""
     ents = []
+    seen_dirs: set[str] = set()
     try:
         st = os.stat(sf_dir)
-        ents.append(("", st.st_mtime_ns, st.st_size))
-        with os.scandir(sf_dir) as it:
+    except OSError:
+        return tuple(ents)
+    ents.append(("", st.st_mtime_ns, st.st_size))
+    seen_dirs.add(os.path.realpath(sf_dir))
+    stack = [(sf_dir, "", 0)]
+    while stack:
+        path, rel, depth = stack.pop()
+        if depth >= _SIG_MAX_DEPTH:
+            raise RuntimeError(
+                f"_dir_signature: {path!r} exceeds depth {_SIG_MAX_DEPTH} "
+                "below the corpus root — extend _SIG_MAX_DEPTH deliberately "
+                "rather than serving a truncated freshness signature"
+            )
+        try:
+            it = os.scandir(path)
+        except OSError:
+            continue
+        with it:
             for e in it:
                 try:
-                    st = e.stat(follow_symlinks=True)
+                    est = e.stat(follow_symlinks=True)
                 except OSError:
                     continue
-                ents.append((e.name, st.st_mtime_ns, st.st_size))
+                erel = f"{rel}/{e.name}" if rel else e.name
+                ents.append((erel, est.st_mtime_ns, est.st_size))
                 if e.is_dir(follow_symlinks=True):
-                    try:
-                        with os.scandir(e.path) as inner:
-                            for f in inner:
-                                try:
-                                    fst = f.stat(follow_symlinks=True)
-                                except OSError:
-                                    continue
-                                ents.append(
-                                    (f"{e.name}/{f.name}", fst.st_mtime_ns, fst.st_size)
-                                )
-                    except OSError:
+                    real = os.path.realpath(e.path)
+                    if real in seen_dirs:  # symlink cycle guard
                         continue
-    except OSError:
-        pass
+                    seen_dirs.add(real)
+                    stack.append((e.path, erel, depth + 1))
     return tuple(sorted(ents))
 
 
@@ -114,9 +135,12 @@ def _data_stamp(sf_dir: str) -> str:
     a wrong answer. The walk follows symlinks, and relpath participates so
     '10 symlinked copies' and '1 file' stamp differently.
 
-    Memoized per (realpath, immediate-entry signature): the full walk runs
-    once per actual data state; repeat accesses pay one scandir
-    (VERDICT r12 task 6)."""
+    Since r14 the stamp derives FROM the all-depth signature (ADVICE r13
+    #1 closed the ≥2-level blind spot by making _dir_signature recursive;
+    the separate os.walk became redundant): every call pays exactly one
+    bounded scandir sweep, and the memo skips re-hashing on an unchanged
+    dir (VERDICT r12 task 6's O(files) bound, now with zero depth
+    residual)."""
     import hashlib
 
     memo_key = os.path.realpath(sf_dir)
@@ -125,17 +149,9 @@ def _data_stamp(sf_dir: str) -> str:
     if hit is not None and hit[0] == sig:
         return hit[1]
 
-    ents = []
-    for d, _, names in os.walk(sf_dir, followlinks=True):
-        for n in names:
-            if not n.endswith(".parquet"):
-                continue
-            p = os.path.join(d, n)
-            try:
-                st = os.stat(p)
-            except OSError:
-                continue
-            ents.append(f"{os.path.relpath(p, sf_dir)}:{st.st_mtime_ns}:{st.st_size}")
+    ents = [
+        f"{rel}:{mtime}:{size}" for rel, mtime, size in sig if rel.endswith(".parquet")
+    ]
     stamp = hashlib.md5("|".join(sorted(ents)).encode()).hexdigest()[:10]
     _STAMP_MEMO[memo_key] = (sig, stamp)
     return stamp
@@ -157,9 +173,10 @@ def materialized(
     row group, so ``maxPartitionBytes`` can't split it). Sizing bronze
     files for scan parallelism is the landing-step's job — at cluster scale
     the same knob is the writer's target file size."""
-    key = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(
-        CACHE_ROOT, key, f"{name}-{_build_version(build)}-{_data_stamp(sf_dir)}"
+        CACHE_ROOT,
+        cache_key(sf_dir),
+        f"{name}-{_build_version(build)}-{_data_stamp(sf_dir)}",
     )
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -165,6 +165,7 @@ def clear_session_memos(
         _COMPONENTS,
         _DOC_TOKS,
         _DOC_UNITS,
+        _EXACT_PAIRS,
         _LSH_CANDS,
         _MINHASH_MX,
         _SAMPLE_COMPONENTS,
@@ -193,6 +194,7 @@ def clear_session_memos(
         _COMPONENTS,
         _DOC_TOKS,
         _DOC_UNITS,
+        _EXACT_PAIRS,
         _LSH_CANDS,
         _MINHASH_MX,
         _SAMPLE_COMPONENTS,
@@ -214,8 +216,8 @@ def clear_session_memos(
     import os as _os
     import shutil
 
-    from gmall_flink_spark.sources.materialize import CACHE_ROOT
+    from gmall_flink_spark.sources.materialize import CACHE_ROOT, cache_key
 
-    key = sf_dir.strip("/").replace("/", "_") if sf_dir else "*"
+    key = cache_key(sf_dir) if sf_dir else "*"
     for p in glob.glob(_os.path.join(CACHE_ROOT, key, "neardup_components-*")):
         shutil.rmtree(p, ignore_errors=True)

@@ -30,7 +30,9 @@ def _as_dir(sf_dir: str, name: str) -> str:
     """Spark's file stream source requires a *directory*; the testdata is one
     parquet file per table. Materialize a per-table symlink dir (idempotent,
     content never copied)."""
-    d = os.path.join(_STREAM_TMP, "tables", sf_dir.strip("/").replace("/", "_"), name)
+    from gmall_flink_spark.sources.materialize import cache_key
+
+    d = os.path.join(_STREAM_TMP, "tables", cache_key(sf_dir), name)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "part-0.parquet")
     if not os.path.islink(link):

@@ -121,12 +121,16 @@ def test_materialized_cache_invalidates_on_data_rewrite(spark, tmp_path):
     assert refreshed == [20, 22, 24], refreshed  # new data, never the stale topic
 
 
-def test_data_stamp_memoized_no_walk_on_hit(spark, tmp_path, monkeypatch):
-    """_data_stamp is on every materialized() access path, so it must not
-    re-walk all parquet files when the dir is unchanged (VERDICT r12 task
-    6): second call with an unchanged dir serves the memo without os.walk;
-    a rewrite busts the memo AND changes the stamp (staleness safety from
-    test_materialized_cache_invalidates_on_data_rewrite is preserved)."""
+def test_data_stamp_memoized_no_rehash_on_hit(spark, tmp_path, monkeypatch):
+    """_data_stamp is on every materialized() access path: an unchanged dir
+    serves the memo without re-hashing (VERDICT r12 task 6 — the scan
+    itself is ONE bounded scandir sweep per call by design since r14); a
+    rewrite busts the memo AND changes the stamp (staleness safety from
+    test_materialized_cache_invalidates_on_data_rewrite is preserved),
+    including an IN-PLACE part rewrite and — the ADVICE r13 #1 hole — a
+    parquet file nested ≥2 directory levels below sf_dir (partitionBy
+    layouts)."""
+    import hashlib
     import os
     import time
 
@@ -138,24 +142,23 @@ def test_data_stamp_memoized_no_walk_on_hit(spark, tmp_path, monkeypatch):
     M._STAMP_MEMO.clear()
     first = M._data_stamp(sf)
 
-    walks = []
-    real_walk = os.walk
+    hashes = []
+    real_md5 = hashlib.md5
     monkeypatch.setattr(
-        M.os, "walk", lambda *a, **k: walks.append(a) or real_walk(*a, **k)
+        hashlib, "md5", lambda *a, **k: hashes.append(1) or real_md5(*a, **k)
     )
     assert M._data_stamp(sf) == first
-    assert walks == [], "cache-hit access still paid the O(files) walk"
+    assert hashes == [], "cache-hit access still recomputed the stamp"
 
     time.sleep(0.05)  # distinct mtime for the rewrite
     spark.range(10, 13).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
     second = M._data_stamp(sf)
     assert second != first, "rewrite must change the stamp"
-    assert len(walks) == 1  # exactly one re-walk, then memoized again
-    assert M._data_stamp(sf) == second and len(walks) == 1
+    assert len(hashes) == 1  # exactly one re-hash, then memoized again
+    assert M._data_stamp(sf) == second and len(hashes) == 1
 
     # IN-PLACE part-file rewrite: only the inner file's mtime moves (the
-    # parent dir's does not — no create/delete happened), which is
-    # exactly what the two-level signature exists to catch
+    # parent dir's does not — no create/delete happened)
     part = next(
         os.path.join(f"{sf}/orders.parquet", n)
         for n in os.listdir(f"{sf}/orders.parquet")
@@ -163,4 +166,22 @@ def test_data_stamp_memoized_no_walk_on_hit(spark, tmp_path, monkeypatch):
     )
     st = os.stat(part)
     os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
-    assert M._data_stamp(sf) != second, "in-place rewrite must bust the memo"
+    third = M._data_stamp(sf)
+    assert third != second, "in-place rewrite must bust the memo"
+
+    # DEEP layout (ADVICE r13 #1): a partitionBy-style parquet file three
+    # levels down participates in the stamp, and its in-place rewrite
+    # (parent dirs untouched) busts the memo too
+    deep_dir = os.path.join(sf, "events.parquet", "p=1", "q=2")
+    os.makedirs(deep_dir)
+    spark.range(0, 3).coalesce(1).write.parquet(os.path.join(deep_dir, "inner"))
+    fourth = M._data_stamp(sf)
+    assert fourth != third, "deep parquet files must participate in the stamp"
+    deep_part = next(
+        os.path.join(deep_dir, "inner", n)
+        for n in os.listdir(os.path.join(deep_dir, "inner"))
+        if n.endswith(".parquet")
+    )
+    st = os.stat(deep_part)
+    os.utime(deep_part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert M._data_stamp(sf) != fourth, "depth-4 in-place rewrite must bust the memo"
