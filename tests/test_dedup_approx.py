@@ -70,6 +70,21 @@ def test_simhash_exact_recall_floor(spark):
     assert exact["true_ct"] > 0 and exact["miss_ct"] == 0, dict(exact.asDict())
 
 
+def test_lsh_exact_recall_floor(spark):
+    """The VERDICT r13 weak-#1 regression pin, MinHash side: the
+    production pair rule (two-level banding + star fine fallback + the
+    exact-fingerprint pre-pass) must recall ALL sampled exact (jaccard-1)
+    pairs — same reasoning as the SimHash floor above: the oracle mirrors
+    whatever the engine emits, so only pytest can hold this floor.
+    RECALL_SF1_r14.json is the same floor held at the 10x construction
+    (22,450/22,450)."""
+    from gmall_flink_spark.queries.llm_dedup import lsh_recall_audit
+
+    by_class = {r["is_exact"]: r for r in lsh_recall_audit(spark, SF_ORACLE).collect()}
+    exact = by_class[1]
+    assert exact["true_ct"] > 0 and exact["miss_ct"] == 0, dict(exact.asDict())
+
+
 def test_components_artifact_persists_and_invalidates(spark, tmp_path):
     """The near-dup component mapping is a WRITE-ONCE disk artifact
     (VERDICT r09 task 8): first call builds the bucketed table under the

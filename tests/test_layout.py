@@ -185,3 +185,43 @@ def test_data_stamp_memoized_no_rehash_on_hit(spark, tmp_path, monkeypatch):
     st = os.stat(deep_part)
     os.utime(deep_part, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
     assert M._data_stamp(sf) != fourth, "depth-4 in-place rewrite must bust the memo"
+
+
+def test_clear_session_memos_covers_every_memo():
+    """clear_session_memos is the ONE wipe the probes, the explain audit,
+    and every cold-cost measurement rely on; a memo dict that exists but
+    is not registered silently serves warm state to a measurement that
+    believes it cleared everything (r14 finding: _WP_STATE was defined in
+    r12 and never registered, so the explain audit's WordPiece rows read
+    the tokenizer-compare run's warm trainer). Discover every module-level
+    session-memo dict by its declaration pattern, poison each with a
+    sentinel, wipe, and require all empty — a NEW memo that skips
+    registration fails here the round it lands."""
+    import importlib
+    import pathlib
+    import re
+
+    import gmall_flink_spark
+
+    from gmall_flink_spark.sources.tables import clear_session_memos
+
+    pkg_root = pathlib.Path(gmall_flink_spark.__file__).parent
+    found = []
+    for path in pkg_root.rglob("*.py"):
+        text = path.read_text()
+        mod = "gmall_flink_spark." + ".".join(
+            path.relative_to(pkg_root).with_suffix("").parts
+        )
+        for m in re.finditer(r"^(_[A-Z_0-9]+): dict\[tuple", text, re.M):
+            found.append((mod, m.group(1)))
+    assert len(found) >= 19, f"memo discovery broke: {found}"
+    sentinel = ("__clear_session_memos_coverage_test__",)
+    for modname, name in found:
+        getattr(importlib.import_module(modname), name)[sentinel] = None
+    clear_session_memos(disk_artifacts=False)
+    missed = [
+        f"{modname}.{name}"
+        for modname, name in found
+        if sentinel in getattr(importlib.import_module(modname), name)
+    ]
+    assert not missed, f"memos NOT cleared by clear_session_memos: {missed}"
