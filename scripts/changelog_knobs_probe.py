@@ -60,21 +60,14 @@ _MAINT_KEY = "spark.sql.streaming.stateStore.maintenanceInterval"
 _ROCKS = "spark.sql.streaming.stateStore.rocksdb."
 
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    base = (
-        sys.argv[2]
-        if len(sys.argv) > 2
-        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    )
-
+def build_deepest_inputs(spark, base: str, k: int, tmp: str) -> dict:
+    """Kx id-distinct envelope slice dirs for the deepest pipeline — the
+    SAME construction as state_size_probe_100x, shared by this probe and
+    scripts/restore_drill.py. Returns {name: (slices_dir, schema)}."""
     from pyspark.sql import functions as F
 
     from scaling_probe import build_distinct_facts, build_scaled_dir
-    from state_size_probe import _du_bytes, _state_metrics
-    from state_size_probe_100x import _ckpt_file_breakdown
 
-    from gmall_flink_spark.session import STATE_STORE_PROVIDERS, get_spark
     from gmall_flink_spark.sources.cdc_synth import (
         activity_envelope,
         coupon_envelope,
@@ -82,18 +75,8 @@ def main() -> None:
         orders_envelope,
     )
     from gmall_flink_spark.streaming.core import split_into_files
-    from gmall_flink_spark.streaming.pipelines import (
-        order_uu_window_stream,
-        sentinel_envelope_slices,
-    )
+    from gmall_flink_spark.streaming.pipelines import sentinel_envelope_slices
 
-    spark = get_spark(app_name="changelog-knobs-probe")
-    spark.sparkContext.setLogLevel("ERROR")
-    if os.path.exists(TMP):
-        shutil.rmtree(TMP)
-    os.makedirs(TMP)
-
-    # Kx id-distinct facts, same construction as state_size_probe_100x
     scaled = build_scaled_dir(base, k)
     build_distinct_facts(spark, scaled, base, k)
     specs = {
@@ -109,22 +92,56 @@ def main() -> None:
     }
     pipe_inputs = {}
     for name, (env, tbl, data) in specs.items():
-        slices = os.path.join(TMP, f"ouw_{name}")
+        slices = os.path.join(tmp, f"ouw_{name}")
         split_into_files(env, 4, "ts", slices)
         far = int(env.agg(F.max("ts")).collect()[0][0]) + 2_160_000_000
         sentinel_envelope_slices(spark, slices, tbl, data, far, n=4)
         pipe_inputs[name] = (slices, env.schema)
+    return pipe_inputs
+
+
+def deepest_stream(spark, pipe_inputs: dict):
+    """The deepest pipeline (3 stream-stream joins + windowed distinct)
+    over the slice dirs from build_deepest_inputs."""
+    from gmall_flink_spark.streaming.pipelines import order_uu_window_stream
+
+    streams = {
+        name: spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(slices)
+        for name, (slices, schema) in pipe_inputs.items()
+    }
+    return order_uu_window_stream(
+        streams["od"], streams["oi"], streams["oa"], streams["oc"]
+    )
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    base = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+
+    from pyspark.sql import functions as F
+
+    from state_size_probe import _du_bytes, _state_metrics
+    from state_size_probe_100x import _ckpt_file_breakdown
+
+    from gmall_flink_spark.session import STATE_STORE_PROVIDERS, get_spark
+
+    spark = get_spark(app_name="changelog-knobs-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if os.path.exists(TMP):
+        shutil.rmtree(TMP)
+    os.makedirs(TMP)
+
+    # Kx id-distinct facts, same construction as state_size_probe_100x
+    pipe_inputs = build_deepest_inputs(spark, base, k, TMP)
 
     def deepest():
-        streams = {
-            name: spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(slices)
-            for name, (slices, schema) in pipe_inputs.items()
-        }
-        return order_uu_window_stream(
-            streams["od"], streams["oi"], streams["oa"], streams["oc"]
-        )
+        return deepest_stream(spark, pipe_inputs)
 
     def run(confs: dict, timeout_s: int = 14400) -> dict:
         name = f"p{uuid.uuid4().hex[:10]}"
