@@ -409,6 +409,7 @@ def jaccard_pairs(
     pairs: DataFrame | None = None,
     max_df: int | None = None,
     ratio: tuple[int, int] | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact jaccard for doc pairs sharing >= 1 shingle (inverted-index
     join); optionally restricted to given candidate pairs. Counts stay
@@ -437,8 +438,14 @@ def jaccard_pairs(
       filter on the already-joined sizes (the index join itself can't be
       pre-pruned pairwise), so ``ratio`` means the same thing on both
       paths: only pairs that could reach the threshold are returned.
+    * ``sizes`` lets a caller that already aggregated the per-doc unit
+      counts over the SAME units frame (e.g. _verified_pairs, which needs
+      them again for the exact-fingerprint path) share that one shuffle
+      instead of paying it twice; only valid without ``max_df`` (the
+      internal sizes must reflect the post-filter units).
     """
     if max_df is not None:
+        assert sizes is None, "pass sizes only without max_df (sizes must be post-filter)"
         keep = (
             units.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -446,7 +453,8 @@ def jaccard_pairs(
             .select("shingle")
         )
         units = units.join(keep, "shingle")
-    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
         if ratio is not None:
             q, scale = ratio

@@ -202,9 +202,15 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
         cands = _lsh_cands(spark, sf_dir)
+        # ONE per-doc sizes aggregation feeds both the verify join's
+        # length-ratio prune AND the exact path below (review r14: the
+        # prune used to re-shuffle the same groupBy inside jaccard_pairs)
+        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         # ratio=(NUM, DEN) is the lossless length prune for the j >= NUM/DEN
         # threshold below — identical verified output, fewer unit joins
-        jac = jaccard_pairs(units, cands, ratio=(VERIFY_J_NUM, VERIFY_J_DEN))
+        jac = jaccard_pairs(
+            units, cands, ratio=(VERIFY_J_NUM, VERIFY_J_DEN), sizes=sizes
+        )
         lsh_verified = jac.where(
             VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni")
         ).select("doc_a", "doc_b", "inter", "uni")
@@ -215,7 +221,6 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ∪ exact, which is what the oracle's unioned _CANDS computes; a pair
         # both paths find carries identical (inter, uni), so DISTINCT over
         # all four columns collapses it.
-        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         exact = (
             _exact_pairs(spark, sf_dir)
             .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -1115,6 +1120,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     heterogeneous) — the honest number that tells an operator to reach
     for dedup_allpairs_exact here (SCALE.md r6/r14 sections).
 
+    Cap nuance (review r14): above EXACT_FP_MAX_GROUP the production
+    pre-pass emits the STAR encoding (hub→member edges, linear in group
+    size) whose component closure still contains every exact pair — the
+    dedup DECISION is unchanged — but the edge list alone no longer
+    enumerates hub-less member pairs. The audit therefore measures the
+    RULE (fingerprint-group co-membership, realized here as the
+    sample-scoped UNCAPPED fingerprint pairs — bounded by the truth set
+    the audit already materializes), not the star edge encoding, so the
+    exact-class row stays total at any group size instead of silently
+    degrading past the cap.
+
     Scale: ground truth is the memoized exact prefix-filter pair graph of
     the same sample (_sample_exact_jac — provably complete at j >= 0.9 per
     the PPJoin length/prefix bounds, and itself verified against an
@@ -1129,6 +1145,17 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
     )
+    # sample-scoped UNCAPPED fingerprint pairs: the rule's group
+    # co-membership, not its star encoding — identical to _exact_pairs
+    # while every sampled group is <= EXACT_FP_MAX_GROUP, and the only
+    # part that keeps the exact row total beyond the cap
+    fp_sample = exact_fingerprint_pairs(
+        None,
+        units=_doc_units(spark, sf_dir).where(
+            F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+        ),
+        max_group=1 << 62,
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     cands = (
         _lsh_cands(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -1137,7 +1164,8 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
             & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
         )
-        .distinct()  # a pair both paths surface must hit ONCE in the left join
+        .unionByName(fp_sample)
+        .distinct()  # a pair two paths surface must hit ONCE in the left join
         .withColumn("hit", F.lit(1))
     )
     flagged = true_pairs.join(cands, ["doc_a", "doc_b"], "left")
@@ -1184,17 +1212,27 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
     )
+    # same cap nuance as lsh_recall_audit (review r14): audit the
+    # fingerprint RULE via sample-scoped uncapped pairs so the exact row
+    # stays total when a duplicate group exceeds EXACT_FP_MAX_GROUP and
+    # the production pre-pass switches to its star encoding
+    fp_sample = exact_fingerprint_pairs(
+        None,
+        units=_doc_units(spark, sf_dir).where(
+            F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+        ),
+        max_group=1 << 62,
+    ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     cands = (
         _simhash_verified_frame(spark, sf_dir)
         .where(
             (F.pmod(F.col("a_id"), F.lit(AUDIT_MOD)) == 0)
             & (F.pmod(F.col("b_id"), F.lit(AUDIT_MOD)) == 0)
         )
-        .select(
-            F.col("a_id").alias("doc_a"),
-            F.col("b_id").alias("doc_b"),
-            F.lit(1).alias("hit"),
-        )
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+        .unionByName(fp_sample)
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
     flagged = true_pairs.join(cands, ["doc_a", "doc_b"], "left")
     return (
@@ -1765,9 +1803,22 @@ ORACLE = {
                    CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
             FROM jac WHERE 10 * inter >= 9 * uni
         ),
+        -- sample-scoped UNCAPPED fingerprint pairs (review r14): mirror of
+        -- the engine's fp_sample — the rule's group co-membership, which
+        -- keeps the exact row total past EXACT_FP_MAX_GROUP where the
+        -- production edge list switches to its star encoding
+        fp_s AS (
+            SELECT doc_id, md5(string_agg(shingle, ' ' ORDER BY shingle)) AS fp
+            FROM ({_SAMPLE_UNITS}) GROUP BY doc_id
+        ),
         cands AS (
-            SELECT doc_a, doc_b, 1 AS hit FROM ({_CANDS})
-            WHERE doc_a % {AUDIT_MOD} = 0 AND doc_b % {AUDIT_MOD} = 0
+            SELECT doc_a, doc_b, 1 AS hit FROM (
+                SELECT doc_a, doc_b FROM ({_CANDS})
+                WHERE doc_a % {AUDIT_MOD} = 0 AND doc_b % {AUDIT_MOD} = 0
+                UNION
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM fp_s a JOIN fp_s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            )
         )
         SELECT t.is_exact,
                CAST(COUNT(*) AS BIGINT) AS true_ct,
@@ -2081,9 +2132,20 @@ ORACLE["simhash_recall_audit"] = f"""
                CASE WHEN inter = uni THEN 1 ELSE 0 END AS is_exact
         FROM jac WHERE 10 * inter >= 9 * uni
     ),
+    -- sample-scoped UNCAPPED fingerprint pairs (review r14): same cap
+    -- nuance as the lsh audit — audit the rule, not its star encoding
+    fp_s AS (
+        SELECT doc_id, md5(string_agg(shingle, ' ' ORDER BY shingle)) AS fp
+        FROM ({_SAMPLE_UNITS}) GROUP BY doc_id
+    ),
     cands AS (
-        SELECT a_id AS doc_a, b_id AS doc_b, 1 AS hit FROM verified
-        WHERE a_id % {AUDIT_MOD} = 0 AND b_id % {AUDIT_MOD} = 0
+        SELECT doc_a, doc_b, 1 AS hit FROM (
+            SELECT a_id AS doc_a, b_id AS doc_b FROM verified
+            WHERE a_id % {AUDIT_MOD} = 0 AND b_id % {AUDIT_MOD} = 0
+            UNION
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fp_s a JOIN fp_s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        )
     )
     SELECT t.is_exact,
            CAST(COUNT(*) AS BIGINT) AS true_ct,

@@ -73,22 +73,27 @@ _SIG_MAX_DEPTH = 16
 
 
 def _dir_signature(sf_dir: str) -> tuple:
-    """Freshness signature: (relpath, mtime_ns, size) of EVERY entry under
-    sf_dir at EVERY depth (bounded by _SIG_MAX_DEPTH — beyond it the scan
-    raises rather than serve a truncated signature), following symlinks,
-    with a realpath cycle guard. Every rewrite shape — file replaced, part
-    file rewritten IN PLACE (same name; only its own mtime moves), parts
-    added/removed, replica unlinked, and (ADVICE r13 #1) a parquet file
-    ≥2 directory levels down (partitionBy layouts) — lands inside the
-    signature and busts the memo. Same O(files) cost class as the stamp
-    walk it replaces; scandir's cached stat keeps the constant small."""
+    """Freshness signature: (relpath, mtime_ns, size, is_file) of EVERY
+    entry under sf_dir at EVERY depth (bounded by _SIG_MAX_DEPTH — beyond
+    it the scan raises rather than serve a truncated signature), following
+    symlinks, with a realpath cycle guard. Every rewrite shape — file
+    replaced, part file rewritten IN PLACE (same name; only its own mtime
+    moves), parts added/removed, replica unlinked, and (ADVICE r13 #1) a
+    parquet file ≥2 directory levels down (partitionBy layouts) — lands
+    inside the signature and busts the memo. The is_file flag lets
+    _data_stamp distinguish `orders.parquet` the Spark OUTPUT DIRECTORY
+    from parquet data files: only files feed the stamp, so non-parquet
+    churn inside a table dir (a _SUCCESS rewrite, a .crc cleanup) moves
+    the dir's mtime and busts this memo but does NOT change the stamp —
+    no spurious cache rebuild. Same O(files) cost class as the stamp walk
+    it replaces; scandir's cached stat keeps the constant small."""
     ents = []
     seen_dirs: set[str] = set()
     try:
         st = os.stat(sf_dir)
     except OSError:
         return tuple(ents)
-    ents.append(("", st.st_mtime_ns, st.st_size))
+    ents.append(("", st.st_mtime_ns, st.st_size, False))
     seen_dirs.add(os.path.realpath(sf_dir))
     stack = [(sf_dir, "", 0)]
     while stack:
@@ -110,8 +115,9 @@ def _dir_signature(sf_dir: str) -> tuple:
                 except OSError:
                     continue
                 erel = f"{rel}/{e.name}" if rel else e.name
-                ents.append((erel, est.st_mtime_ns, est.st_size))
-                if e.is_dir(follow_symlinks=True):
+                is_dir = e.is_dir(follow_symlinks=True)
+                ents.append((erel, est.st_mtime_ns, est.st_size, not is_dir))
+                if is_dir:
                     real = os.path.realpath(e.path)
                     if real in seen_dirs:  # symlink cycle guard
                         continue
@@ -150,7 +156,9 @@ def _data_stamp(sf_dir: str) -> str:
         return hit[1]
 
     ents = [
-        f"{rel}:{mtime}:{size}" for rel, mtime, size in sig if rel.endswith(".parquet")
+        f"{rel}:{mtime}:{size}"
+        for rel, mtime, size, is_file in sig
+        if is_file and rel.endswith(".parquet")
     ]
     stamp = hashlib.md5("|".join(sorted(ents)).encode()).hexdigest()[:10]
     _STAMP_MEMO[memo_key] = (sig, stamp)

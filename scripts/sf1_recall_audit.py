@@ -26,14 +26,16 @@ closure (_sample_components), restricted to the deterministic
     engine-side recall of exact co-membership
     (both_pairs / exact_pairs, x10000).
 
-Round 14 additions: the production pair rule now unions the
-exact-fingerprint pre-pass (VERDICT r13 weak #1), so the lsh_recall_audit
-row is expected to read exact-class recall = total; and the script
-additionally MEASURES the candidate-rule ALTERNATIVE the near-class
-posture decision needs (VERDICT r13 task 2) — the star fallback for
-still-over-cap fine buckets (lsh_candidates_two_level(oversize_fine=
-"star")): verified-pair recall per class, wall cost, and component-level
-agreement with the exact closure, all at the same 10× construction.
+Round 14: the production pair rule now unions the exact-fingerprint
+pre-pass AND stars still-over-cap fine buckets (VERDICT r13 weak #1 +
+task 2), so the lsh_recall_audit row reads exact-class recall = total.
+The pre-adoption rule's numbers live in RECALL_SF1_r14_pre.json (run at
+the old rule) — the adopted-vs-previous comparison the posture decision
+used is between that artifact and this script's current output; the
+script no longer rebuilds an "alternative" rule that is now byte-
+identical to production (review r14: that section doubled the script's
+heaviest work to reproduce numbers the component-agreement block
+already measures).
 
 Usage: python scripts/sf1_recall_audit.py [K] [round_tag]  (default 10 r14)
 Writes RECALL_SF1_{round_tag}.json (referenced from SCALE.md).
@@ -161,17 +163,8 @@ def main() -> None:
 
     from gmall_flink_spark.queries.llm_dedup import (
         AUDIT_MOD,
-        FINE_ROWS_PER_BAND,
-        LSH_MAX_BUCKET,
-        ROWS_PER_BAND,
-        VERIFY_J_DEN,
-        VERIFY_J_NUM,
         _components,
-        _doc_units,
-        _exact_pairs,
-        _minhash_mx,
         _sample_components,
-        _sample_exact_jac,
     )
     from gmall_flink_spark.sources.tables import table
 
@@ -198,100 +191,20 @@ def main() -> None:
         agreement["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
         print(f"agreement FAILED: {agreement['err']}", flush=True)
 
-    # --- star-variant evaluation (VERDICT r13 task 2): the same verified
-    # pair graph but with still-over-cap fine buckets STARRED to their
-    # min-id hub instead of dropped. Measured: verified-pair recall per
-    # truth class on the sample, wall cost of the candidate+verify build
-    # and the components build (the shared token/minhash stages are warm
-    # for BOTH rules by this point, so costs compare rule-to-rule), and
-    # the component-level agreement with the exact closure.
-    star: dict = {"err": None}
-    try:
-        from gmall_flink_spark.llm.dedup import (
-            connected_components,
-            jaccard_pairs,
-            lsh_candidates_two_level,
-        )
-
-        t0 = time.time()
-        units = _doc_units(spark, scaled)
-        cands = lsh_candidates_two_level(
-            _minhash_mx(spark, scaled),
-            ROWS_PER_BAND,
-            FINE_ROWS_PER_BAND,
-            max_bucket=LSH_MAX_BUCKET,
-            oversize_fine="star",
-        )
-        jac = jaccard_pairs(units, cands, ratio=(VERIFY_J_NUM, VERIFY_J_DEN))
-        verified = (
-            jac.where(VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni"))
-            .select("doc_a", "doc_b")
-            .unionByName(_exact_pairs(spark, scaled))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        verified_ct = verified.count()
-        build_sec = round(time.time() - t0, 1)
-
-        truth = _sample_exact_jac(spark, scaled).select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") == F.col("uni")).cast("int").alias("is_exact"),
-        )
-        hits = verified.where(
-            (F.pmod(F.col("doc_a"), F.lit(AUDIT_MOD)) == 0)
-            & (F.pmod(F.col("doc_b"), F.lit(AUDIT_MOD)) == 0)
-        ).withColumn("hit", F.lit(1))
-        recall_rows = (
-            truth.join(hits, ["doc_a", "doc_b"], "left")
-            .groupBy("is_exact")
-            .agg(
-                F.count(F.lit(1)).alias("true_ct"),
-                F.sum(F.coalesce("hit", F.lit(0))).alias("hit_ct"),
-            )
-            .orderBy("is_exact")
-            .collect()
-        )
-
-        t1 = time.time()
-        mapping = connected_components(
-            verified.select("doc_a", "doc_b")
-        ).localCheckpoint(eager=True)
-        comp_sec = round(time.time() - t1, 1)
-        star_agree = co_membership(
-            sample, mapping, _sample_components(spark, scaled)
-        )
-        star.update(
-            verified_pair_ct=int(verified_ct),
-            build_sec=build_sec,
-            components_sec=comp_sec,
-            recall=[
-                {"is_exact": int(r["is_exact"]), "true_ct": int(r["true_ct"]),
-                 "hit_ct": int(r["hit_ct"])}
-                for r in recall_rows
-            ],
-            component_agreement=star_agree,
-        )
-        print(f"star variant: {star}", flush=True)
-    except Exception:
-        star["err"] = traceback.format_exc(limit=3).strip().splitlines()[-1]
-        print(f"star variant FAILED: {star['err']}", flush=True)
-
     out = os.path.join(REPO, f"RECALL_SF1_{tag}.json")
     with open(out, "w") as fh:
         json.dump(
             {"k": k, "base": base, "audit_mod": "AUDIT_MOD sample (1-in-4)",
-             "results": results, "component_agreement": agreement,
-             "star_variant": star},
+             "results": results, "component_agreement": agreement},
             fh, indent=2,
         )
     n = len(AUDITS)
     # agreement status reported separately: fails counts PARITY audits
     # only, so the evidence line can never misattribute an agreement
     # error to an audit (review r13)
-    agree_ok = agreement["err"] is None and star["err"] is None
+    agree_ok = agreement["err"] is None
     print(f"wrote {out}: {n - fails}/{n} audits green, "
-          f"agreement+star {'ok' if agree_ok else 'FAILED'} "
+          f"agreement {'ok' if agree_ok else 'FAILED'} "
           f"in {time.time() - t_start:.0f}s")
     spark.stop()
     sys.exit(1 if fails or not agree_ok else 0)

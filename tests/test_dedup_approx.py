@@ -663,3 +663,55 @@ def test_lsh_bucket_cap_plan_accounting(spark, tmp_path):
         if cap >= 10:  # all buckets sub-cap: pairs = 4 bands x (21 + 1 + 0)
             assert r["over_bucket_ct"] == 0 and r["over_doc_slots"] == 0
             assert r["subcap_pair_ct"] == 4 * (21 + 1)
+
+
+def test_recall_audit_total_past_fp_group_cap(spark, tmp_path):
+    """Review r14: above EXACT_FP_MAX_GROUP the production pre-pass emits
+    the STAR encoding (hub->member edges), whose component closure still
+    holds every exact pair but whose edge list alone misses hub-less
+    member pairs. The audits measure the RULE (sample-scoped uncapped
+    fingerprint pairs), so exact-class recall must stay total on a corpus
+    with an over-cap duplicate group — pinned here engine-side AND against
+    the DuckDB oracle twin, since the parity gate corpora never exceed
+    the cap."""
+    import duckdb
+
+    from gmall_flink_spark.llm.dedup import EXACT_FP_MAX_GROUP
+    from gmall_flink_spark.queries.llm_dedup import (
+        ORACLE,
+        _exact_pairs,
+        lsh_recall_audit,
+    )
+    from tests.oracle_harness import _norm_pdf
+
+    n = EXACT_FP_MAX_GROUP + 50  # one fingerprint group, 5% past the cap
+    rows = [(i, "alpha beta gamma delta", "en", "src0", 22) for i in range(n)]
+    rows.append((n, "totally different words here", "en", "src1", 28))
+    sf = str(tmp_path / "sf_capcase")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).repartition(4).write.parquet(f"{sf}/documents.parquet")
+
+    # production edge list: star form past the cap (linear, hub = min id)
+    prod = _exact_pairs(spark, sf)
+    assert prod.count() == n - 1, "expected the O(group) star encoding"
+    assert prod.agg({"doc_a": "max"}).first()[0] == 0, "hub must be the group min"
+
+    audit = lsh_recall_audit(spark, sf)
+    s_pdf = audit.toPandas()
+    by_class = {int(r["is_exact"]): r for _, r in s_pdf.iterrows()}
+    exact = by_class[1]
+    # sampled truth: C(ceil(n/4), 2) identical pairs, every one recalled
+    assert exact["true_ct"] > EXACT_FP_MAX_GROUP, "sample must exceed trivial size"
+    assert exact["miss_ct"] == 0, dict(exact)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    try:
+        o_pdf = con.execute(ORACLE["lsh_recall_audit"]).df()
+    finally:
+        con.close()
+    assert sorted(s_pdf.columns) == sorted(o_pdf.columns)
+    assert _norm_pdf(s_pdf) == _norm_pdf(o_pdf)
