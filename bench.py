@@ -331,6 +331,10 @@ HEADLINE = [
     # after the three families so it reads their warm session memos —
     # its own cost is three encode aggregates)
     "llm_tokenizer_compare",
+    # round 14 addition: embedding-cosine decontamination card (broadcast
+    # protected split, brute-force verify — the semantic complement of
+    # llm_decontaminate)
+    "embed_decontaminate",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

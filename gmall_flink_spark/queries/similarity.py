@@ -115,6 +115,74 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_pairs(spark, sf_dir).orderBy("block", "a_id", "b_id")
 
 
+#: embedding-space decontamination threshold: a TRAIN vector whose max
+#: cosine against the protected (val/test) split reaches this is flagged.
+#: 0.35 sits at ~p90 of the max-cos distribution on the synthetic
+#: embeddings (measured at sf0.01: p50 0.27, p90 0.354, max 0.48), so the
+#: gate exercises both flagged and clean labels; a production threshold
+#: would be calibrated against a held-out paraphrase set.
+DECON_COS = 0.35
+
+
+def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine decontamination of the training split against the
+    protected (val + test) split — the SEMANTIC complement of the n-gram
+    llm_decontaminate: paraphrased or lightly-edited eval leakage that
+    shares no 13-gram still lands at high cosine. The split is THE shared
+    hash rule (llm_pipeline.split_expr), so the protected set here is
+    exactly the set the token-level decontaminator protects. Output is the
+    per-label governance card: train count, flagged count + id checksum,
+    eval-hit volume, max observed cosine (null when the label is clean).
+
+    Scale contract: the PROTECTED side is broadcast (production eval
+    suites are small and fixed — ~1e5 rows — while train is the 100 TB
+    side), and scoring is exact brute-force cosine per train partition
+    (the brute_force_topk join shape: broadcast nested-loop, zero shuffle
+    of the train side, the dot products fused into whole-stage codegen);
+    the per-label card then aggregates a frame already reduced to one row
+    per flagged train doc. When the protected set outgrows a broadcast,
+    route both sides through the SRP bucket index (embed_srp_near_dup)
+    and verify exactly — the same detect->verify shape as the MinHash
+    dedup family."""
+    from gmall_flink_spark.queries.llm_pipeline import split_expr
+
+    b = with_norm(prep(table(spark, sf_dir, "embeddings"))).withColumn(
+        "split", split_expr(F.col("vec_id"))
+    )
+    train = b.where(F.col("split") == "train")
+    protected = b.where(F.col("split") != "train").select(
+        F.col("vec_id").alias("e_id"),
+        F.col("vec").alias("e_vec"),
+        F.col("norm").alias("e_norm"),
+    )
+    per_doc = (
+        train.join(F.broadcast(protected), F.col("vec_id") != F.col("e_id"))
+        .withColumn(
+            "cos",
+            cosine(F.col("vec"), F.col("norm"), F.col("e_vec"), F.col("e_norm")),
+        )
+        .where(F.col("cos") >= F.lit(DECON_COS))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("hit_ct"), F.max("cos").alias("max_cos"))
+    )
+    return (
+        train.select("vec_id", "label")
+        .join(per_doc, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("train_ct"),
+            F.count("hit_ct").alias("contaminated_ct"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit_ct").isNotNull(), F.col("vec_id"))),
+                F.lit(0),
+            ).alias("contaminated_id_sum"),
+            F.coalesce(F.sum("hit_ct"), F.lit(0)).alias("eval_hit_ct"),
+            F.max("max_cos").alias("max_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 NPROBE = 3
 
 
@@ -414,6 +482,7 @@ QUERIES = {
     "sim_filtered_topk": sim_filtered_topk,
     "embed_semdedup_drops": embed_semdedup_drops,
     "embed_near_dup": embed_near_dup,
+    "embed_decontaminate": embed_decontaminate,
     "sim_ivf_clusters": sim_ivf_clusters,
     "sim_kmeans_clusters": sim_kmeans_clusters,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1295,4 +1364,41 @@ ORACLE["sim_sq_recall_audit"] = f"""
     FROM truth t LEFT JOIN quant p
       ON t.q_id = p.q_id AND t.neighbor_id = p.neighbor_id
     GROUP BY t.q_id ORDER BY t.q_id
+"""
+
+
+# embed_decontaminate twin: split rule mirrors llm_split_assign's md5
+# bucket (split_expr — THE one hash-split rule), threshold + round-6
+# cosine mirror the engine's cosine(); max_cos stays NULL for clean labels
+# on both sides.
+from gmall_flink_spark.queries.llm_pipeline import SPLIT_TRAIN as _SPLIT_TRAIN
+
+ORACLE["embed_decontaminate"] = f"""
+    WITH n AS ({_NORMED_L}),
+    b AS (
+        SELECT *, ('0x' || substr(md5('0|' || vec_id::VARCHAR), 1, 15))::BIGINT
+                  % 100 AS bucket
+        FROM n
+    ),
+    train AS (SELECT vec_id, label, v, norm FROM b WHERE bucket < {_SPLIT_TRAIN}),
+    ev AS (SELECT vec_id AS e_id, v AS e_vec, norm AS e_norm
+           FROM b WHERE bucket >= {_SPLIT_TRAIN}),
+    per_doc AS (
+        SELECT t.vec_id, COUNT(*) AS hit_ct,
+               MAX(round(list_dot_product(t.v, e.e_vec)
+                         / (t.norm * e.e_norm), 6)) AS max_cos
+        FROM train t JOIN ev e
+          ON round(list_dot_product(t.v, e.e_vec)
+                   / (t.norm * e.e_norm), 6) >= {DECON_COS}
+        GROUP BY 1
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS train_ct,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS contaminated_ct,
+           CAST(COALESCE(SUM(CASE WHEN p.vec_id IS NOT NULL THEN t.vec_id END), 0)
+                AS BIGINT) AS contaminated_id_sum,
+           CAST(COALESCE(SUM(p.hit_ct), 0) AS BIGINT) AS eval_hit_ct,
+           MAX(p.max_cos) AS max_cos
+    FROM train t LEFT JOIN per_doc p ON t.vec_id = p.vec_id
+    GROUP BY 1 ORDER BY 1
 """
