@@ -162,22 +162,31 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("vec"), F.col("norm"), F.col("e_vec"), F.col("e_norm")),
         )
         .where(F.col("cos") >= F.lit(DECON_COS))
-        .groupBy("vec_id")
+        .groupBy("vec_id", "label")
         .agg(F.count(F.lit(1)).alias("hit_ct"), F.max("cos").alias("max_cos"))
     )
+    # two independent label-level aggregates joined on the tiny label key —
+    # NOT a per-train-row join-back of per_doc, which would shuffle the
+    # full (100 TB) train side by vec_id just to re-count it. per_doc
+    # shuffles only FLAGGED docs; the train count is a map-side partial
+    # agg; the label join is 10 rows.
+    flagged_card = per_doc.groupBy("label").agg(
+        F.count(F.lit(1)).alias("contaminated_ct"),
+        F.sum("vec_id").alias("contaminated_id_sum"),
+        F.sum("hit_ct").alias("eval_hit_ct"),
+        F.max("max_cos").alias("max_cos"),
+    )
     return (
-        train.select("vec_id", "label")
-        .join(per_doc, "vec_id", "left")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("train_ct"),
-            F.count("hit_ct").alias("contaminated_ct"),
-            F.coalesce(
-                F.sum(F.when(F.col("hit_ct").isNotNull(), F.col("vec_id"))),
-                F.lit(0),
-            ).alias("contaminated_id_sum"),
-            F.coalesce(F.sum("hit_ct"), F.lit(0)).alias("eval_hit_ct"),
-            F.max("max_cos").alias("max_cos"),
+        train.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("train_ct"))
+        .join(F.broadcast(flagged_card), "label", "left")
+        .select(
+            "label",
+            "train_ct",
+            F.coalesce("contaminated_ct", F.lit(0)).alias("contaminated_ct"),
+            F.coalesce("contaminated_id_sum", F.lit(0)).alias("contaminated_id_sum"),
+            F.coalesce("eval_hit_ct", F.lit(0)).alias("eval_hit_ct"),
+            "max_cos",
         )
         .orderBy("label")
     )
