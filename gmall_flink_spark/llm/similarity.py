@@ -305,6 +305,60 @@ def near_dup_pairs_matmul(
     )
 
 
+def broadcast_cosine_hits(
+    vectors: DataFrame, fixed_vecs: list, threshold: float
+) -> DataFrame:
+    """Per-vector hit statistics against a FIXED small matrix: for each
+    input row, how many of ``fixed_vecs`` score round(cos, 6) >=
+    ``threshold``, and the max such cosine — rows with zero hits are
+    dropped. The vectorized twin of a broadcast nested-loop cosine join
+    (the embed_decontaminate hot path): the fixed matrix rides the task
+    closure by value (the worker-PYTHONPATH-safe form — nested function,
+    imports inside), and each Arrow batch scores as ONE numpy matmul
+    instead of an interpreted per-pair fold — the same kernel swap
+    near_dup_pairs_matmul applies past ~10³-vector blocks. BLAS
+    accumulation order can differ from the fold at the 1e-15 scale,
+    invisible at 6-decimal rounding (same argument, pinned by the
+    decontamination parity gate). Input needs (vec_id, label, vec);
+    output (vec_id, label, hit_ct, max_cos)."""
+    import numpy as np
+
+    out_schema = "vec_id bigint, label int, hit_ct bigint, max_cos double"
+    src = vectors.select("vec_id", "label", "vec")
+    if not fixed_vecs:
+        return src.sparkSession.createDataFrame([], out_schema)
+    E = np.vstack([np.asarray(v, dtype=np.float64) for v in fixed_vecs])
+    en = np.sqrt((E * E).sum(axis=1))
+    thr = float(threshold)
+
+    def per_batch(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            xn = np.sqrt((X * X).sum(axis=1))
+            S = np.round((X @ E.T) / np.outer(xn, en), 6)
+            M = S >= thr
+            hit_ct = M.sum(axis=1)
+            keep = hit_ct > 0
+            if not keep.any():
+                continue
+            mx = np.where(M, S, -np.inf).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "label": pdf["label"].to_numpy()[keep],
+                    "hit_ct": hit_ct[keep],
+                    "max_cos": mx[keep],
+                }
+            )
+
+    return src.mapInPandas(per_batch, out_schema)
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment (broadcast argmax; ties -> lowest id)."""
     c = with_norm(centroids).select(

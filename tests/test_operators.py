@@ -1764,3 +1764,44 @@ def test_curriculum_order_checksum_pins_permutation(spark, tmp_path):
         )
         if ct >= 2:
             assert ck != rev, "checksum does not pin the permutation"
+
+
+def test_broadcast_cosine_hits_kernel(spark):
+    """llm/similarity.broadcast_cosine_hits: the matmul hit-count kernel
+    behind embed_decontaminate must equal a hand-computed expression-side
+    score at 6-decimal rounding, drop zero-hit rows, and return an empty
+    typed frame for an empty fixed matrix (the no-protected-rows edge the
+    gate corpora never exercise)."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.similarity import (
+        broadcast_cosine_hits,
+        cosine,
+        prep,
+        with_norm,
+    )
+    from gmall_flink_spark.sources.tables import table
+
+    emb = with_norm(prep(table(spark, "/root/testdata/sf0.01", "embeddings")))
+    fixed = [r["vec"] for r in emb.where(F.col("vec_id") < 5).select("vec").collect()]
+    got = {
+        (r["vec_id"], r["label"]): (r["hit_ct"], r["max_cos"])
+        for r in broadcast_cosine_hits(emb, fixed, 0.35).collect()
+    }
+    # expression-side reference: explode the same 5 vectors and score
+    fx = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec").alias("e_vec"), F.col("norm").alias("e_norm")
+    )
+    ref_rows = (
+        emb.crossJoin(F.broadcast(fx))
+        .withColumn(
+            "cos", cosine(F.col("vec"), F.col("norm"), F.col("e_vec"), F.col("e_norm"))
+        )
+        .where(F.col("cos") >= 0.35)
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("hit_ct"), F.max("cos").alias("max_cos"))
+        .collect()
+    )
+    ref = {(r["vec_id"], r["label"]): (r["hit_ct"], r["max_cos"]) for r in ref_rows}
+    assert got == ref and len(got) > 0
+    assert broadcast_cosine_hits(emb, [], 0.35).count() == 0
