@@ -29,8 +29,10 @@ per maintenance interval (60s default / 600s ≈ never within the run):
      both the cross-interval and the cross-artifact equality are hard
      failures, not recorded notes.
 
-Usage: python scripts/restore_drill.py [K] [base_sf_dir] [interrupt_s]
-       (defaults: K=100, $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 240)
+Usage: python scripts/restore_drill.py [K] [base_sf_dir] [interrupt_s] [tags]
+       (defaults: K=100, $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1, 240,
+        all runs; tags = comma-separated run tags to execute, e.g.
+        "min_deltas_2" to add one knob run without re-paying the others)
 Writes one JSON document to stdout; recorded in SCALE.md and committed
 as RESTORE_DRILL_r14.json. Run on a QUIET host.
 """
@@ -55,6 +57,7 @@ _CHANGELOG_KEY = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 )
 _MAINT_KEY = "spark.sql.streaming.stateStore.maintenanceInterval"
+_MIN_DELTAS_KEY = "spark.sql.streaming.stateStore.minDeltasForSnapshot"
 
 
 def replay_tail(state_dir: str) -> dict:
@@ -94,6 +97,7 @@ def main() -> None:
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     interrupt_s = int(sys.argv[3]) if len(sys.argv) > 3 else 240
+    only_tags = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     from pyspark.sql import functions as F
 
@@ -123,7 +127,7 @@ def main() -> None:
             .collect()[0][0]
         )
 
-    def drill(maint: str | None) -> dict:
+    def drill(maint: str | None, min_deltas: int | None = None) -> dict:
         name = f"d{uuid.uuid4().hex[:10]}"
         ckpt = os.path.join(TMP, "ckpt", name)
         # a RECOVERABLE sink is required (the memory sink refuses to
@@ -137,6 +141,8 @@ def main() -> None:
         }
         if maint:
             confs[_MAINT_KEY] = maint
+        if min_deltas is not None:
+            confs[_MIN_DELTAS_KEY] = str(min_deltas)
         priors = {key: spark.conf.get(key, None) for key in confs}
         for key, val in confs.items():
             spark.conf.set(key, val)
@@ -227,9 +233,22 @@ def main() -> None:
 
     result = {"k": k, "base": base, "uninterrupted_ref_hash": ref, "runs": {}}
     drill_ref = None
-    for tag, maint in (("maint_60s_default", None), ("maint_600s", "600s")):
+    # the third run pins WHY the first two uploaded zero snapshots:
+    # RocksDBConf honors spark.sql.streaming.stateStore.minDeltasForSnapshot
+    # (default 10), and a run of this shape commits fewer than 10 deltas
+    # per partition — maintenance therefore never promotes a snapshot and
+    # the replay tail is the full changelog history. Lowering the knob to
+    # 2 makes promotion fire within-run, bounding the tail.
+    runs = (
+        ("maint_60s_default", None, None),
+        ("maint_600s", "600s", None),
+        ("min_deltas_2", None, 2),
+    )
+    for tag, maint, min_deltas in runs:
+        if only_tags is not None and tag not in only_tags:
+            continue
         t0 = time.time()
-        r = drill(maint)
+        r = drill(maint, min_deltas)
         r["matches_uninterrupted_ref"] = (ref is None) or (r["answer_hash"] == ref)
         assert r["matches_uninterrupted_ref"], (
             f"{tag}: restored answer hash {r['answer_hash']} != uninterrupted "
