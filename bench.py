@@ -331,10 +331,12 @@ HEADLINE = [
     # after the three families so it reads their warm session memos —
     # its own cost is three encode aggregates)
     "llm_tokenizer_compare",
-    # round 14 addition: embedding-cosine decontamination card (broadcast
-    # protected split, brute-force verify — the semantic complement of
-    # llm_decontaminate)
+    # round 14 additions: embedding-cosine decontamination card (broadcast
+    # protected split, matmul verify — the semantic complement of
+    # llm_decontaminate) and the asymmetric containment card (the
+    # quote/excerpt dup class symmetric jaccard misses)
     "embed_decontaminate",
+    "dedup_containment_stats",
 ]
 
 #: first N entries = the round-1 headline set; their subtotal is emitted as

@@ -332,6 +332,59 @@ def _capped_bucket_pairs(counted: DataFrame, max_bucket: int) -> DataFrame:
     return grouped.select(F.explode(combos).alias("p")).select("p.doc_a", "p.doc_b")
 
 
+def containment_prefix_candidates(
+    units: DataFrame, q: int, scale: int
+) -> DataFrame:
+    """DIRECTED candidate pairs (doc_a possibly CONTAINED in doc_b) for the
+    asymmetric set-containment threshold |A∩B| >= (q/scale)·|A| — the
+    quote/excerpt duplicate class symmetric jaccard misses (a 50-token
+    paragraph inside a 5,000-token page has containment 1.0 and jaccard
+    0.01). Same prefix-filter soundness argument as the AllPairs jaccard
+    form (prefix_filter_candidates), applied one-sided:
+
+    * prefix bound — order the token universe by (df asc, token asc); if
+      B contains NONE of A's ``p = n_a - ceil(q*n_a/scale) + 1`` rarest
+      tokens, then |A∩B| <= n_a - p < (q/scale)·n_a, so joining A's
+      PREFIX against the FULL inverted index of the corpus loses no
+      qualifying pair;
+    * size bound — |A∩B| <= n_b forces ``scale*n_b >= q*n_a`` (a short
+      doc cannot contain a long one), applied per occurrence before the
+      distinct.
+
+    Scale: each doc contributes ~n(scale-q)/scale + 1 prefix tokens (4 of
+    30 at t=0.9) on the probe side; the build side is the full index, so
+    bucket cost is Σ over prefix occurrences of df(token) — prefix tokens
+    are each doc's RAREST, which is the AllPairs cost bound. Run it on the
+    deterministic audit sample for corpus-quadratic-free stats, exactly
+    like the sampled exact jaccard graph."""
+    from pyspark.sql import Window
+
+    df_tab = units.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    u = units.join(df_tab, "shingle")
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    wn = Window.partitionBy("doc_id")
+    ranked = u.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    p = F.col("_n") - F.expr(f"(_n * {q} + {scale - 1}) div {scale}") + 1
+    prefix = ranked.where(F.col("_rn") <= p).select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("_n").alias("_na")
+    )
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nb"))
+    b = units.select(F.col("doc_id").alias("doc_b"), "shingle").join(
+        sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+    )
+    return (
+        prefix.join(b, "shingle")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (scale * F.col("_nb") >= q * F.col("_na"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def prefix_filter_candidates(
     units: DataFrame, q: int, scale: int
 ) -> DataFrame:

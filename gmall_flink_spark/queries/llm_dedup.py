@@ -13,6 +13,7 @@ from gmall_flink_spark.functions.text import fingerprint
 from gmall_flink_spark.llm.dedup import (
     EXACT_FP_MAX_GROUP,
     connected_components,
+    containment_prefix_candidates,
     doc_tokens,
     exact_fingerprint_pairs,
     jaccard_pairs,
@@ -230,6 +231,74 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lsh_verified.unionByName(exact).distinct().localCheckpoint(eager=True)
         )
     return _VERIFIED[key]
+
+
+def dedup_containment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric set-CONTAINMENT dedup card on the deterministic
+    1-in-AUDIT_MOD sample: unordered pairs where either side's token set
+    is >= 90% inside the other (|A∩B| >= 0.9·|A|), split into mutual /
+    one-way, plus the governance count symmetric dedup cannot see —
+    ``beyond_jaccard_ct``, pairs at containment >= 0.9 whose jaccard is
+    < 0.9 (the quote/excerpt class: a paragraph inside a page has
+    containment ~1 and jaccard ~0.01; GPT-3 appendix-C scrubs exactly
+    this shape by span, this card measures it by set).
+
+    Candidates come from the one-sided prefix filter
+    (llm/dedup.containment_prefix_candidates — provably complete at the
+    threshold per direction), canonicalized to unordered pairs and scored
+    once by the exact candidate-restricted intersection join; n_b derives
+    from uni + inter - n_a, so the verify adds ONE sizes join. The
+    ORACLE brute-forces all shingle-sharing sample pairs independently
+    (no prefix mirroring), so parity doubles as a completeness proof of
+    the prefix bound — the same audit structure as dedup_allpairs_exact.
+
+    Scale: sample-bounded by construction (never corpus-quadratic); the
+    directed prefix join costs Σ df over each doc's ~n/10+1 RAREST tokens
+    (the AllPairs bound, one-sided)."""
+    units = _doc_units(spark, sf_dir).where(
+        F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+    )
+    und = (
+        containment_prefix_candidates(units, VERIFY_J_NUM, VERIFY_J_DEN)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    jac = jaccard_pairs(units, und, sizes=sizes)
+    f = jac.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        "doc_a",
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+        "na",
+        (F.col("uni") + F.col("inter") - F.col("na")).alias("nb"),
+    )
+    ain = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("na")
+    bin_ = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("nb")
+    j9 = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni")
+    kept = f.where(ain | bin_)
+    return kept.agg(
+        F.count(F.lit(1)).alias("pair_ct"),
+        F.coalesce(
+            F.sum(F.when(ain & bin_, 1).otherwise(0)), F.lit(0)
+        ).alias("mutual_ct"),
+        F.coalesce(
+            F.sum(F.when(ain.cast("int") + bin_.cast("int") == 1, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("oneway_ct"),
+        F.coalesce(
+            F.sum(F.when(~j9, 1).otherwise(0)), F.lit(0)
+        ).alias("beyond_jaccard_ct"),
+        F.coalesce(F.sum("inter"), F.lit(0)).alias("inter_sum"),
+        F.coalesce(F.sum("doc_a"), F.lit(0)).alias("a_id_sum"),
+        F.coalesce(F.sum("doc_b"), F.lit(0)).alias("b_id_sum"),
+    )
 
 
 def minhash_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,6 +1555,7 @@ QUERIES = {
     "simhash_recall_audit": simhash_recall_audit,
     "dedup_rep_select_exact": dedup_rep_select_exact,
     "dedup_allpairs_exact": dedup_allpairs_exact,
+    "dedup_containment_stats": dedup_containment_stats,
     "dedup_components_exact": dedup_components_exact,
     "split_leakage_audit": split_leakage_audit,
     "llm_split_by_cluster": llm_split_by_cluster,
@@ -1830,6 +1900,37 @@ ORACLE = {
         FROM truth t LEFT JOIN cands c
           ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
         GROUP BY t.is_exact ORDER BY t.is_exact
+    """,
+    # containment twin: BRUTE FORCE over all shingle-sharing sample pairs
+    # (no prefix-filter mirroring) — parity with the engine's one-sided
+    # prefix candidates is a completeness proof of the prefix bound.
+    # nb = uni + inter - na, same derivation as the engine.
+    "dedup_containment_stats": f"""
+        WITH jac AS ({_jaccard(_SAMPLE_UNITS)}),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM ({_SAMPLE_UNITS}) GROUP BY doc_id),
+        f AS (
+            SELECT j.doc_a, j.doc_b, j.inter, j.uni, sa.n AS na,
+                   j.uni + j.inter - sa.n AS nb
+            FROM jac j JOIN sz sa ON j.doc_a = sa.doc_id
+        ),
+        flags AS (
+            SELECT *,
+                CASE WHEN 10 * inter >= 9 * na THEN 1 ELSE 0 END AS ain,
+                CASE WHEN 10 * inter >= 9 * nb THEN 1 ELSE 0 END AS bin,
+                CASE WHEN 10 * inter >= 9 * uni THEN 1 ELSE 0 END AS j9
+            FROM f
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS pair_ct,
+               CAST(COALESCE(SUM(CASE WHEN ain = 1 AND bin = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS mutual_ct,
+               CAST(COALESCE(SUM(CASE WHEN ain + bin = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS oneway_ct,
+               CAST(COALESCE(SUM(CASE WHEN j9 = 0 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS beyond_jaccard_ct,
+               CAST(COALESCE(SUM(inter), 0) AS BIGINT) AS inter_sum,
+               CAST(COALESCE(SUM(doc_a), 0) AS BIGINT) AS a_id_sum,
+               CAST(COALESCE(SUM(doc_b), 0) AS BIGINT) AS b_id_sum
+        FROM flags WHERE ain = 1 OR bin = 1
     """,
     "dedup_allpairs_exact": f"""
         WITH jac AS ({_jaccard(_SAMPLE_UNITS)})

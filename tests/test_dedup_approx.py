@@ -715,3 +715,47 @@ def test_recall_audit_total_past_fp_group_cap(spark, tmp_path):
         con.close()
     assert sorted(s_pdf.columns) == sorted(o_pdf.columns)
     assert _norm_pdf(s_pdf) == _norm_pdf(o_pdf)
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """dedup_containment_stats: a short doc whose token set sits entirely
+    inside a much longer doc (the quote/excerpt shape) must surface as a
+    one-way, beyond-jaccard containment pair; identical docs must read as
+    mutual. Pinned engine-side AND against the brute-force DuckDB oracle
+    on a synthetic corpus (ids multiples of AUDIT_MOD so the sample keeps
+    them)."""
+    import duckdb
+
+    from gmall_flink_spark.queries.llm_dedup import ORACLE, dedup_containment_stats
+    from tests.oracle_harness import _norm_pdf
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = " ".join([f"w{i}" for i in range(10)] + [f"x{i}" for i in range(90)])
+    rows = [
+        (0, short, "en", "src0", len(short)),       # contained in 4
+        (4, long_, "en", "src0", len(long_)),       # container
+        (8, "aa bb cc dd", "en", "src1", 11),       # identical pair with 12
+        (12, "dd cc bb aa", "en", "src1", 11),
+        (16, "zz yy", "en", "src2", 5),             # unrelated
+    ]
+    sf = str(tmp_path / "sf_contain")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    s_pdf = dedup_containment_stats(spark, sf).toPandas()
+    r = s_pdf.iloc[0]
+    # pairs: (0,4) one-way beyond-jaccard (j=0.1), (8,12) mutual exact
+    assert r["pair_ct"] == 2 and r["mutual_ct"] == 1 and r["oneway_ct"] == 1
+    assert r["beyond_jaccard_ct"] == 1
+    assert r["a_id_sum"] == 0 + 8 and r["b_id_sum"] == 4 + 12
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    try:
+        o_pdf = con.execute(ORACLE["dedup_containment_stats"]).df()
+    finally:
+        con.close()
+    assert _norm_pdf(s_pdf) == _norm_pdf(o_pdf)
