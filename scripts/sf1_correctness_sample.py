@@ -62,6 +62,9 @@ SAMPLE = [
     "media_jpeg_meta",         # r12: JPEG marker walk, 10x image ids
     "llm_wordpiece_encode",    # r12: greedy WordPiece over 10x salted words
     "llm_tokenizer_compare",   # r13: all three trainer oracle chains at 10x
+    "dedup_containment_stats", # r14: one-sided prefix filter vs brute-force
+                               # truth on the 10x sample (completeness proof
+                               # at scale)
 ]
 
 
