@@ -333,7 +333,7 @@ def _capped_bucket_pairs(counted: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def containment_prefix_candidates(
-    units: DataFrame, q: int, scale: int
+    units: DataFrame, q: int, scale: int, sizes: DataFrame | None = None
 ) -> DataFrame:
     """DIRECTED candidate pairs (doc_a possibly CONTAINED in doc_b) for the
     asymmetric set-containment threshold |A∩B| >= (q/scale)·|A| — the
@@ -356,7 +356,10 @@ def containment_prefix_candidates(
     bucket cost is Σ over prefix occurrences of df(token) — prefix tokens
     are each doc's RAREST, which is the AllPairs cost bound. Run it on the
     deterministic audit sample for corpus-quadratic-free stats, exactly
-    like the sampled exact jaccard graph."""
+    like the sampled exact jaccard graph. Pass ``sizes`` (the per-doc
+    (doc_id, n) frame) when the caller already aggregated it over the
+    SAME units — the size-bound join then shares that one shuffle (the
+    round-14 jaccard_pairs(sizes=...) pattern)."""
     from pyspark.sql import Window
 
     df_tab = units.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -370,9 +373,11 @@ def containment_prefix_candidates(
     prefix = ranked.where(F.col("_rn") <= p).select(
         F.col("doc_id").alias("doc_a"), "shingle", F.col("_n").alias("_na")
     )
-    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nb"))
+    if sizes is None:
+        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     b = units.select(F.col("doc_id").alias("doc_b"), "shingle").join(
-        sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")),
+        "doc_b",
     )
     return (
         prefix.join(b, "shingle")

@@ -258,15 +258,17 @@ def dedup_containment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = _doc_units(spark, sf_dir).where(
         F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
     )
+    # ONE per-doc sizes aggregation shared by the candidate size bound,
+    # the verify join, and the na lookup (the r14 sizes-reuse pattern)
+    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     und = (
-        containment_prefix_candidates(units, VERIFY_J_NUM, VERIFY_J_DEN)
+        containment_prefix_candidates(units, VERIFY_J_NUM, VERIFY_J_DEN, sizes=sizes)
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
         .distinct()
     )
-    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     jac = jaccard_pairs(units, und, sizes=sizes)
     f = jac.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),

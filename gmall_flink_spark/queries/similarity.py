@@ -147,7 +147,7 @@ def embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the MinHash dedup family."""
     from gmall_flink_spark.queries.llm_pipeline import split_expr
 
-    b = with_norm(prep(table(spark, sf_dir, "embeddings"))).withColumn(
+    b = prep(table(spark, sf_dir, "embeddings")).withColumn(
         "split", split_expr(F.col("vec_id"))
     )
     train = b.where(F.col("split") == "train")

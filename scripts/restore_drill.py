@@ -52,6 +52,18 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 TMP = "/tmp/gmall_restore_drill"
+
+#: the drill matrix: (tag, maintenanceInterval override, minDeltasForSnapshot
+#: override). The third run pins WHY the first two uploaded zero snapshots —
+#: RocksDBConf honors minDeltasForSnapshot (default 10) and runs of this
+#: shape commit fewer deltas, so promotion never fires; at 2 it fires
+#: within-run and bounds the replay tail (see SCALE.md round-14).
+_RUNS = (
+    ("maint_60s_default", None, None),
+    ("maint_600s", "600s", None),
+    ("min_deltas_2", None, 2),
+)
+RUN_TAGS = [t for t, _, _ in _RUNS]
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 _CHANGELOG_KEY = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
@@ -98,6 +110,12 @@ def main() -> None:
     )
     interrupt_s = int(sys.argv[3]) if len(sys.argv) > 3 else 240
     only_tags = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only_tags is not None:
+        unknown = only_tags - set(RUN_TAGS)
+        assert not unknown, (
+            f"unknown run tags {sorted(unknown)}; have {RUN_TAGS}"
+            " — a typo here would silently run zero drills"
+        )
 
     from pyspark.sql import functions as F
 
@@ -200,6 +218,7 @@ def main() -> None:
             full = spark.read.parquet(outdir)
             out = {
                 "maintenance_interval": maint or "60s (default)",
+                "min_deltas_for_snapshot": min_deltas or "10 (default)",
                 "interrupted_after_s": interrupt_s,
                 "finished_before_interrupt": bool(finished_early),
                 "batches_before_interrupt": pre_batches,
@@ -233,17 +252,7 @@ def main() -> None:
 
     result = {"k": k, "base": base, "uninterrupted_ref_hash": ref, "runs": {}}
     drill_ref = None
-    # the third run pins WHY the first two uploaded zero snapshots:
-    # RocksDBConf honors spark.sql.streaming.stateStore.minDeltasForSnapshot
-    # (default 10), and a run of this shape commits fewer than 10 deltas
-    # per partition — maintenance therefore never promotes a snapshot and
-    # the replay tail is the full changelog history. Lowering the knob to
-    # 2 makes promotion fire within-run, bounding the tail.
-    runs = (
-        ("maint_60s_default", None, None),
-        ("maint_600s", "600s", None),
-        ("min_deltas_2", None, 2),
-    )
+    runs = _RUNS
     for tag, maint, min_deltas in runs:
         if only_tags is not None and tag not in only_tags:
             continue
