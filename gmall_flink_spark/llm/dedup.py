@@ -670,12 +670,40 @@ def connected_components(
         # seed each label with its partition-local root (still inside the
         # component, <= doc_id), collapsing long chains before round 1
         seeds = _pregroup_labels(sym, parts=pregroup_parts, block=pregroup_block)
-        labels = (
+        base = (
             nodes.join(seeds, "doc_id", "left")
             .select(
                 "doc_id", F.coalesce("seed", F.col("doc_id")).alias("component")
             )
             .localCheckpoint(eager=True)
+        )
+        # contract-then-iterate (optimization r14, guide §2.4/§1.2): the
+        # distributed rounds used to join the FULL edge list every round;
+        # contracting each edge through its endpoints' seeds first leaves a
+        # super-graph of ~(chain segments) nodes, so every round's shuffle
+        # is tiny. Same min-label result (merge_components argument): seed
+        # labels are node ids inside their component with seed <= doc_id,
+        # so min over reachable seeds == min over reachable nodes, and the
+        # recursive min-label run on the contracted graph computes exactly
+        # that. Equality with the plain path stays pinned by
+        # test_connected_components_pregroup_equivalence.
+        sa = base.select(F.col("doc_id").alias("src"), F.col("component").alias("_ca"))
+        sb = base.select(F.col("doc_id").alias("dst"), F.col("component").alias("_cb"))
+        contracted = (
+            sym.join(sa, "src")
+            .join(sb, "dst")
+            .select(F.col("_ca").alias("doc_a"), F.col("_cb").alias("doc_b"))
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .distinct()
+        )
+        sub = connected_components(
+            contracted, max_rounds=max_rounds, shortcut=shortcut
+        )
+        relabel = sub.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("_new")
+        )
+        return base.join(relabel, "component", "left").select(
+            "doc_id", F.coalesce("_new", F.col("component")).alias("component")
         )
     else:
         labels = nodes.select(
