@@ -74,26 +74,53 @@ def with_first_seen(df: DataFrame, key: str, ts: str = "ts") -> DataFrame:
 
 def daily_new_flags(df: DataFrame, key: str, ts: str = "ts") -> DataFrame:
     """D5: one row per key per day with ``is_first_ever`` — the
-    order/payment "unique user + new user" detector."""
-    daily = df.select(F.col(key), F.date_format(ts, "yyyy-MM-dd").alias("cur_date")).distinct()
-    w = Window.partitionBy(key)
-    return daily.withColumn(
-        "is_first_ever",
-        (F.col("cur_date") == F.min("cur_date").over(w)).cast("int"),
+    order/payment "unique user + new user" detector.
+
+    Plan shape (optimization r14, guide §2.4): ONE exchange on the key —
+    per-key active days fold into a map-side-combined ``collect_set``,
+    and the sorted set re-expands with ``posexplode`` (position 0 == the
+    key's minimum day). The previous distinct-then-window form paid two
+    exchanges ((key, day) hash, then key hash) plus a window sort for the
+    same rows. Per-key state is bounded by the key's distinct ACTIVE days
+    (the retained-days bound every D4-D7 state shares), not by volume."""
+    days = (
+        df.select(F.col(key), F.date_format(ts, "yyyy-MM-dd").alias("cur_date"))
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_set("cur_date")).alias("_days"))
     )
+    return days.select(
+        F.col(key), F.posexplode("_days").alias("_pos", "cur_date")
+    ).select(F.col(key), "cur_date", (F.col("_pos") == 0).cast("int").alias("is_first_ever"))
 
 
 def returning_flags(df: DataFrame, key: str, ts: str = "ts", gap_days: int = 7) -> DataFrame:
     """D6: one row per key per active day with ``is_back`` = 1 when the
     previous active day is >= gap_days earlier (the 7-day returning-visitor
     rule; reference keeps lastVisitDate in keyed state)."""
-    daily = df.select(F.col(key), F.to_date(ts).alias("cur_date")).distinct()
-    w = Window.partitionBy(key).orderBy("cur_date")
-    prev = F.lag("cur_date").over(w)
-    return daily.withColumn(
-        "is_back",
-        F.when(prev.isNotNull() & (F.datediff("cur_date", prev) >= gap_days), 1).otherwise(0),
-    ).withColumn("cur_date", F.date_format("cur_date", "yyyy-MM-dd"))
+    # ONE exchange on the key (optimization r14, guide §2.4 — the same
+    # collect_set fold as daily_new_flags): the sorted per-key day array
+    # re-expands with posexplode, and lag(cur_date) is just the previous
+    # array element (element_at is 1-based, _pos 0-based, so
+    # element_at(_days, _pos) IS the predecessor). The previous
+    # distinct-then-lag-window form paid two exchanges plus a window sort.
+    days = (
+        df.select(F.col(key), F.to_date(ts).alias("d"))
+        .groupBy(key)
+        .agg(F.sort_array(F.collect_set("d")).alias("_days"))
+    )
+    exploded = days.select(
+        F.col(key), "_days", F.posexplode("_days").alias("_pos", "cur_date")
+    )
+    prev = F.when(
+        F.col("_pos") > 0, F.element_at("_days", F.col("_pos"))
+    )
+    return exploded.select(
+        F.col(key),
+        F.date_format("cur_date", "yyyy-MM-dd").alias("cur_date"),
+        F.when(
+            prev.isNotNull() & (F.datediff("cur_date", prev) >= gap_days), 1
+        ).otherwise(0).alias("is_back"),
+    )
 
 
 def first_non_null(
