@@ -111,24 +111,34 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(tokenize("text")).alias("t"),
     ).withColumn("b", F.pmod(md5_long(F.col("t")), F.lit(DSIR_BUCKETS)))
-    bench_t = toks.where(F.col("doc_id") % BENCH_MOD == 0)
-    raw_t = toks.where(F.col("doc_id") % BENCH_MOD != 0)
-    p = bench_t.groupBy("b").agg(F.count(F.lit(1)).alias("p_ct"))
-    q = raw_t.groupBy("b").agg(F.count(F.lit(1)).alias("q_ct"))
-    totals = bench_t.agg(F.count(F.lit(1)).alias("p_total")).crossJoin(
-        F.broadcast(raw_t.agg(F.count(F.lit(1)).alias("q_total")))
+    # ONE bucket aggregation over the token scan, split by benchmark
+    # membership (optimization r14, guide §1.2/§2.3): the previous form
+    # aggregated bench/raw bucket counts and the two totals as four
+    # separate frames, so Catalyst re-ran the tokenize-explode scan five
+    # times per execution (p, q, both totals, per_doc). Now the bucket
+    # table carries both counts, the totals fold from the 64-row bucket
+    # table itself, and only the per-doc scoring pass re-reads the corpus
+    # — 2 scans total, identical arithmetic.
+    is_bench = (F.col("doc_id") % BENCH_MOD == 0).cast("bigint")
+    bucket = toks.groupBy("b").agg(
+        F.sum(is_bench).alias("p_ct"),
+        F.sum(1 - is_bench).alias("q_ct"),
+    )
+    totals = bucket.agg(
+        F.sum("p_ct").alias("p_total"), F.sum("q_ct").alias("q_total")
     )
     lam = (
-        q.join(p, "b", "left")
+        bucket.where(F.col("q_ct") > 0)  # the old q-side LEFT join's domain
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
-                (_flog2(F.coalesce("p_ct", F.lit(0)) + 1) - _flog2(F.col("p_total")))
+                (_flog2(F.col("p_ct") + 1) - _flog2(F.col("p_total")))
                 - (_flog2(F.col("q_ct") + 1) - _flog2(F.col("q_total")))
             ).alias("r"),
         )
     )
+    raw_t = toks.where(F.col("doc_id") % BENCH_MOD != 0)
     per_doc = (
         raw_t.join(F.broadcast(lam), "b")
         .groupBy("source", "doc_id")

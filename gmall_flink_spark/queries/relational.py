@@ -253,15 +253,22 @@ def events_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     x = F.round(F.col("value") * 100).cast("bigint")
     y = F.get_json_object("props", "$.k").cast("bigint")
-    both = ev.where(y.isNotNull()).select("event_type", x.alias("x"), y.alias("y"))
+    # no y-notnull FILTER: Catalyst pushes such a filter below the
+    # projection, so the per-row JSON parse runs twice (once in the
+    # pushed predicate, once in the project — the guide §4.4 duplication,
+    # with a JVM expression instead of a UDF). Restricting every moment
+    # to y-notnull rows inside the aggregate (count(y); sum skips nulls;
+    # x-only moments when()-guarded) parses each props string ONCE and
+    # is exactly the filtered semantics the oracle computes.
+    both = ev.select("event_type", x.alias("x"), y.alias("y"))
     agg = both.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
+        F.count("y").alias("n"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("x"))).alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.when(F.col("y").isNotNull(), F.col("x") * F.col("x"))).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
+    ).where(F.col("n") > 0)  # a group with zero y rows did not exist pre-agg
     # combine moments in DECIMAL(38,0): n·sxx products overflow int64 once
     # row counts pass ~10^5 per group (the 100 TB cliff int64 moments hit)
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
