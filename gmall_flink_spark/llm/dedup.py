@@ -332,15 +332,17 @@ def _capped_bucket_pairs(counted: DataFrame, max_bucket: int) -> DataFrame:
     return grouped.select(F.explode(combos).alias("p")).select("p.doc_a", "p.doc_b")
 
 
-def containment_prefix_candidates(
-    units: DataFrame, q: int, scale: int, sizes: DataFrame | None = None
+def containment_scored_pairs(
+    units: DataFrame, q: int, scale: int
 ) -> DataFrame:
-    """DIRECTED candidate pairs (doc_a possibly CONTAINED in doc_b) for the
-    asymmetric set-containment threshold |A∩B| >= (q/scale)·|A| — the
-    quote/excerpt duplicate class symmetric jaccard misses (a 50-token
-    paragraph inside a 5,000-token page has containment 1.0 and jaccard
-    0.01). Same prefix-filter soundness argument as the AllPairs jaccard
-    form (prefix_filter_candidates), applied one-sided:
+    """UNORDERED candidate pairs for the asymmetric set-containment
+    threshold |A∩B| >= (q/scale)·|A| — the quote/excerpt duplicate class
+    symmetric jaccard misses (a 50-token paragraph inside a 5,000-token
+    page has containment 1.0 and jaccard 0.01) — each scored with its
+    EXACT intersection. Returns (doc_a < doc_b, inter, na, nb, uni).
+
+    Same prefix-filter soundness argument as the AllPairs jaccard form
+    (prefix_filter_candidates), applied one-sided:
 
     * prefix bound — order the token universe by (df asc, token asc); if
       B contains NONE of A's ``p = n_a - ceil(q*n_a/scale) + 1`` rarest
@@ -351,42 +353,95 @@ def containment_prefix_candidates(
       doc cannot contain a long one), applied per occurrence before the
       distinct.
 
-    Scale: each doc contributes ~n(scale-q)/scale + 1 prefix tokens (4 of
+    Physical form (optimization r14, guide §1.2/§2.3): the token universe
+    is DICTIONARY-ENCODED as ``sid`` = row_number by (df asc, token asc) —
+    the same global order the prefix bound needs — so (a) each doc's
+    prefix is just ``slice(sort_array(sid-set), 1, p)``, replacing the
+    per-doc row_number window + df join of the first implementation with
+    an array slice over the per-doc sets frame, and (b) the exact
+    per-pair intersection is ``size(array_intersect)`` over two
+    broadcast-attached sorted INT arrays, replacing the inverted-index
+    explode join (which shuffled candidate×shared-token occurrence rows
+    into a count aggregation; measured 30-40% slower end-to-end at sf0.1
+    where the adversarially dense corpus yields 759k candidates over 31
+    distinct shingles). Both forms compute the same exact set
+    intersection — output is bit-identical, only the join geometry
+    changed.
+
+    Scale: each doc contributes ~n(scale-q)/scale + 1 prefix sids (4 of
     30 at t=0.9) on the probe side; the build side is the full index, so
     bucket cost is Σ over prefix occurrences of df(token) — prefix tokens
-    are each doc's RAREST, which is the AllPairs cost bound. Run it on the
-    deterministic audit sample for corpus-quadratic-free stats, exactly
-    like the sampled exact jaccard graph. Pass ``sizes`` (the per-doc
-    (doc_id, n) frame) when the caller already aggregated it over the
-    SAME units — the size-bound join then shares that one shuffle (the
-    round-14 jaccard_pairs(sizes=...) pattern)."""
+    are each doc's RAREST, which is the AllPairs cost bound. Run it on
+    the deterministic audit sample for corpus-quadratic-free stats,
+    exactly like the sampled exact jaccard graph. The explicit broadcast
+    of the per-doc sets frame is bounded by the same sample construction
+    (ids + small int arrays, the audit-card premise — the same bound
+    embed_decontaminate's protected-split collect relies on); a
+    deployment whose audit sample outgrows the broadcast cap would drop
+    the hints and let the attach joins shuffle candidate-pair metadata,
+    never payloads."""
     from pyspark.sql import Window
 
     df_tab = units.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    u = units.join(df_tab, "shingle")
-    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
-    wn = Window.partitionBy("doc_id")
-    ranked = u.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(wn)
+    dict_tab = df_tab.select(
+        "shingle",
+        F.row_number().over(Window.orderBy("_df", "shingle")).alias("sid"),
     )
-    p = F.col("_n") - F.expr(f"(_n * {q} + {scale - 1}) div {scale}") + 1
-    prefix = ranked.where(F.col("_rn") <= p).select(
-        F.col("doc_id").alias("doc_a"), "shingle", F.col("_n").alias("_na")
+    iu = units.join(F.broadcast(dict_tab), "shingle").select("doc_id", "sid")
+    sets = iu.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("sid")).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    p = F.col("n") - F.expr(f"(n * {q} + {scale - 1}) div {scale}") + 1
+    prefix = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("_na"),
+        F.explode(F.slice("sh", F.lit(1), p)).alias("sid"),
     )
-    if sizes is None:
-        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    b = units.select(F.col("doc_id").alias("doc_b"), "shingle").join(
-        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb")),
+    b = iu.select(F.col("doc_id").alias("doc_b"), "sid").join(
+        F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("_nb"))),
         "doc_b",
     )
-    return (
-        prefix.join(b, "shingle")
+    und = (
+        prefix.join(b, "sid")
         .where(
             (F.col("doc_a") != F.col("doc_b"))
             & (scale * F.col("_nb") >= q * F.col("_na"))
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
+    )
+    return (
+        und.join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sh").alias("_sh_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sh").alias("_sh_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("inter"),
+            "na",
+            "nb",
+        )
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
     )
 
 

@@ -13,7 +13,7 @@ from gmall_flink_spark.functions.text import fingerprint
 from gmall_flink_spark.llm.dedup import (
     EXACT_FP_MAX_GROUP,
     connected_components,
-    containment_prefix_candidates,
+    containment_scored_pairs,
     doc_tokens,
     exact_fingerprint_pairs,
     jaccard_pairs,
@@ -243,14 +243,16 @@ def dedup_containment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment ~1 and jaccard ~0.01; GPT-3 appendix-C scrubs exactly
     this shape by span, this card measures it by set).
 
-    Candidates come from the one-sided prefix filter
-    (llm/dedup.containment_prefix_candidates — provably complete at the
-    threshold per direction), canonicalized to unordered pairs and scored
-    once by the exact candidate-restricted intersection join; n_b derives
-    from uni + inter - n_a, so the verify adds ONE sizes join. The
-    ORACLE brute-forces all shingle-sharing sample pairs independently
-    (no prefix mirroring), so parity doubles as a completeness proof of
-    the prefix bound — the same audit structure as dedup_allpairs_exact.
+    Candidates come from the one-sided prefix filter inside
+    llm/dedup.containment_scored_pairs (provably complete at the
+    threshold per direction — the docstring there carries the proof),
+    canonicalized to unordered pairs and scored once by an exact
+    sorted-int-array intersection over the dictionary-encoded token
+    universe. The ORACLE brute-forces all shingle-sharing sample pairs
+    independently (no prefix mirroring, inverted-index form), so parity
+    doubles as a completeness proof of the prefix bound AND of the
+    array-scoring rewrite — the same audit structure as
+    dedup_allpairs_exact.
 
     Scale: sample-bounded by construction (never corpus-quadratic); the
     directed prefix join costs Σ df over each doc's ~n/10+1 RAREST tokens
@@ -258,29 +260,7 @@ def dedup_containment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     units = _doc_units(spark, sf_dir).where(
         F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
     )
-    # ONE per-doc sizes aggregation shared by the candidate size bound,
-    # the verify join, and the na lookup (the r14 sizes-reuse pattern)
-    sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    und = (
-        containment_prefix_candidates(units, VERIFY_J_NUM, VERIFY_J_DEN, sizes=sizes)
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-        )
-        .distinct()
-    )
-    jac = jaccard_pairs(units, und, sizes=sizes)
-    f = jac.join(
-        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-        "doc_a",
-    ).select(
-        "doc_a",
-        "doc_b",
-        "inter",
-        "uni",
-        "na",
-        (F.col("uni") + F.col("inter") - F.col("na")).alias("nb"),
-    )
+    f = containment_scored_pairs(units, VERIFY_J_NUM, VERIFY_J_DEN)
     ain = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("na")
     bin_ = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("nb")
     j9 = VERIFY_J_DEN * F.col("inter") >= VERIFY_J_NUM * F.col("uni")
