@@ -385,6 +385,18 @@ def main() -> None:
                   orders_dead_letters, cart_dead_letters):
         build(spark, sf_dir)
 
+    # Honest-cold rule (optimization r14): wipe this SF's write-once QUERY
+    # artifacts (the persisted near-dup component mapping) before timing,
+    # so every bench invocation computes them from the parquet inputs
+    # inside the timed region — a previous invocation's artifact must
+    # never serve a later run's dedup_components row. The synthesized
+    # source topics above are deliberately NOT query outputs (they are the
+    # Kafka-at-rest stand-in this engine reads as input) and stay
+    # pre-materialized untimed, as every round has done.
+    from gmall_flink_spark.sources.tables import clear_session_memos
+
+    clear_session_memos(sf_dir=sf_dir)
+
     calib = calibrate(spark)
 
     # Per-query failure isolation (VERDICT r07 #2): one broken query must

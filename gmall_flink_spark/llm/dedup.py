@@ -679,6 +679,15 @@ def _pregroup_labels(
     )
 
 
+#: connected_components' driver fast-path bound: a pair graph at or under
+#: this many edges is solved by one bounded collect + union-find on the
+#: driver (a ~100k-edge list is a few MB — the "bounded frame" collect
+#: class alphabet/vocab/merge lists already sit in); anything larger takes
+#: the distributed round loop. At 100 TB the verified pair graph blows
+#: far past this and the bound is what keeps the collect safe.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -687,6 +696,7 @@ def connected_components(
     pregroup: bool = False,
     pregroup_parts: int | None = None,
     pregroup_block: int = 4096,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the final
     step of near-dup dedup (pair graph → clusters → keep one representative
@@ -711,11 +721,60 @@ def connected_components(
 
     ``edges`` = (doc_a, doc_b) undirected; ``nodes`` defaults to the docs
     appearing in any edge (derived WITHOUT re-running the edge pipeline).
+
+    Size-adaptive execution (optimization r14, guide §1.2): a pair graph
+    at or under ``CC_DRIVER_MAX_EDGES`` is solved by one driver-side
+    union-find over the (already checkpointed) edge list instead of the
+    distributed round loop — the loop's per-round convergence count is a
+    driver sync anyway, so a small graph pays several sequential jobs +
+    eager checkpoints for work one bounded collect finishes in
+    milliseconds. The bound keeps the collect O(bound) no matter the
+    corpus (the same self-sizing contract as near_dup_pairs'
+    kernel="auto"); bigger graphs take the distributed path untouched.
+    Identical min-label result either way (union by min == min reachable
+    node id), pinned by the shortcut/pregroup equivalence tests which
+    exercise both sides of the bound.
     """
     # materialize the edge list once: the loop joins it every round, and a
     # separately-derived nodes frame would re-execute the whole upstream
     # pipeline (LSH + jaccard) a second time
     e = edges.localCheckpoint(eager=True)
+    if nodes is None:
+        # bounded-size fast path: take() reads the checkpointed blocks (one
+        # cheap job); a result within the bound IS the whole graph
+        bound = CC_DRIVER_MAX_EDGES if driver_max_edges is None else driver_max_edges
+        head = e.select("doc_a", "doc_b").take(bound + 1) if bound > 0 else []
+        if bound > 0 and len(head) <= bound:
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                a, b = int(row[0]), int(row[1])
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:  # union by min — roots stay component minima
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            keys = list(parent)
+            pdf = pd.DataFrame(
+                {"doc_id": keys, "component": [find(v) for v in keys]},
+                dtype="int64",
+            )
+            return edges.sparkSession.createDataFrame(
+                pdf, "doc_id long, component long"
+            )
     sym = e.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionAll(
         e.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -752,7 +811,10 @@ def connected_components(
             .distinct()
         )
         sub = connected_components(
-            contracted, max_rounds=max_rounds, shortcut=shortcut
+            contracted,
+            max_rounds=max_rounds,
+            shortcut=shortcut,
+            driver_max_edges=driver_max_edges,
         )
         relabel = sub.select(
             F.col("doc_id").alias("component"), F.col("component").alias("_new")

@@ -724,10 +724,18 @@ def test_connected_components_shortcut_equivalence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(49)], "doc_a bigint, doc_b bigint"
     )
+    # driver_max_edges=0 forces the distributed loop (the r14 bounded
+    # union-find fast path would otherwise solve any sub-bound graph
+    # before the round loop runs) — the convergence contract still holds
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_rounds=20)
-    got = connected_components(chain, max_rounds=20, shortcut=True).collect()
+        connected_components(chain, max_rounds=20, driver_max_edges=0)
+    got = connected_components(
+        chain, max_rounds=20, shortcut=True, driver_max_edges=0
+    ).collect()
     assert {r.component for r in got} == {0} and len(got) == 50
+    # and the default fast path must produce the identical labels
+    fast_path = sorted(map(tuple, connected_components(chain).collect()))
+    assert fast_path == sorted((i, 0) for i in range(50))
 
 
 def test_connected_components_pregroup_equivalence(spark):
@@ -750,11 +758,23 @@ def test_connected_components_pregroup_equivalence(spark):
         positions=NAME_DIGIT_POSITIONS,
     ).select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     edges = edges.localCheckpoint(eager=True)
-    plain = sorted(map(tuple, connected_components(edges).collect()))
+    # driver_max_edges=0 pins BOTH distributed modes against each other
+    # (the r14 default fast path would otherwise absorb sub-bound graphs);
+    # the fast path itself is the third operand of the same equality
+    plain = sorted(
+        map(tuple, connected_components(edges, driver_max_edges=0).collect())
+    )
     seeded = sorted(
-        map(tuple, connected_components(edges, shortcut=True, pregroup=True).collect())
+        map(
+            tuple,
+            connected_components(
+                edges, shortcut=True, pregroup=True, driver_max_edges=0
+            ).collect(),
+        )
     )
     assert plain == seeded
+    fast = sorted(map(tuple, connected_components(edges).collect()))
+    assert plain == fast
 
     # 5000-node sequential chain (the production shape: consecutive-id
     # entity matches), 100x plain mode's 20-round bound: pregroup
@@ -763,7 +783,9 @@ def test_connected_components_pregroup_equivalence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(4999)], "doc_a bigint, doc_b bigint"
     )
-    got = connected_components(chain, max_rounds=20, shortcut=True, pregroup=True).collect()
+    got = connected_components(
+        chain, max_rounds=20, shortcut=True, pregroup=True, driver_max_edges=0
+    ).collect()
     assert {r.component for r in got} == {0} and len(got) == 5000
 
 
