@@ -681,11 +681,17 @@ def _pregroup_labels(
 
 #: connected_components' driver fast-path bound: a pair graph at or under
 #: this many edges is solved by one bounded collect + union-find on the
-#: driver (a ~100k-edge list is a few MB — the "bounded frame" collect
-#: class alphabet/vocab/merge lists already sit in); anything larger takes
-#: the distributed round loop. At 100 TB the verified pair graph blows
-#: far past this and the bound is what keeps the collect safe.
-CC_DRIVER_MAX_EDGES = 100_000
+#: driver (a 1M-edge list is ~16 MB — the "bounded frame" collect class
+#: alphabet/vocab/merge lists already sit in, well under
+#: driver.maxResultSize); anything larger takes the distributed round
+#: loop. The crossover is measured, not guessed: at 262k edges (the sf0.1
+#: entity graph) the driver solve runs the whole query at ~0.6x the
+#: distributed pregroup path's wall, because each distributed round is a
+#: driver-synced job + eager checkpoint regardless of cluster size, while
+#: the union-find is ~1M edges/sec of bounded driver work. At 100 TB the
+#: verified pair graph blows far past this and the bound is what keeps
+#: the collect safe.
+CC_DRIVER_MAX_EDGES = 1_000_000
 
 
 def connected_components(
