@@ -954,6 +954,34 @@ def merge_components(mapping: DataFrame, new_edges: DataFrame, max_rounds: int =
     return kept_old.unionAll(new_rows)
 
 
+def _simhash_votes(bits: int) -> list:
+    """The per-bit ±1 vote aggregates over the md5 hash column ``_h`` —
+    the ONE home of the signature arithmetic (shared by ``simhash`` and
+    the fused signature+fingerprint aggregation)."""
+    return [
+        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_t{b}")
+        for b in range(bits)
+    ]
+
+
+def _simhash_sig(bits: int):
+    """Fold the ``_t{b}`` tallies into the signature bigint (bit b set
+    iff the vote sum is positive) — the other half of the shared home."""
+    sig = F.lit(0).cast("bigint")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"_t{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+    return sig.cast("bigint")
+
+
+def _setfp_agg():
+    """The token-set fingerprint aggregate (md5 of the sorted distinct
+    token stream) — shared by ``token_set_fingerprint`` and the fused
+    aggregation so the two can never drift."""
+    return md5_long(F.concat_ws(" ", F.array_sort(F.collect_set("shingle")))).alias(
+        "setfp"
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 16, units: DataFrame | None = None) -> DataFrame:
     """Per-doc simhash, one-pass: each distinct token is hashed ONCE
     (md5_long) and every bit-b vote (±1) is derived from bit b of that hash
@@ -964,15 +992,24 @@ def simhash(docs: DataFrame, bits: int = 16, units: DataFrame | None = None) -> 
     if units is None:
         units = distinct_tokens(docs)
     toks = units.select("doc_id", md5_long(F.col("shingle")).alias("_h"))
-    votes = [
-        F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_t{b}")
-        for b in range(bits)
-    ]
-    tallies = toks.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"_t{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-    return tallies.select("doc_id", sig.cast("bigint").alias("simhash"))
+    tallies = toks.groupBy("doc_id").agg(*_simhash_votes(bits))
+    return tallies.select("doc_id", _simhash_sig(bits).alias("simhash"))
+
+
+def simhash_with_setfp(units: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash, setfp) in ONE groupBy(doc_id): the banded
+    SimHash index and the exact-fingerprint pre-pass both aggregate the
+    same unit frame by the same key, so computing the signature votes and
+    the set fingerprint in a single aggregation removes a full exchange
+    of the corpus's unit rows (guide §2.4 — two operations keyed the same
+    way share one shuffle). Arithmetic is shared with ``simhash`` /
+    ``token_set_fingerprint`` via the vote/sig/setfp helpers — identical
+    results by construction."""
+    toks = units.select(
+        "doc_id", F.col("shingle"), md5_long(F.col("shingle")).alias("_h")
+    )
+    tallies = toks.groupBy("doc_id").agg(*_simhash_votes(bits), _setfp_agg())
+    return tallies.select("doc_id", _simhash_sig(bits).alias("simhash"), "setfp")
 
 
 #: identical-content pre-pass group cap: a token-set fingerprint group is
@@ -996,21 +1033,16 @@ def token_set_fingerprint(docs: DataFrame, units: DataFrame | None = None) -> Da
     fingerprint — the same exclusion every set-similarity family here
     applies (jaccard is 0/0 on empty sets); an ingest that must dedup
     empty payloads filters them on length first."""
-    from gmall_flink_spark.functions.text import md5_long
-
     if units is None:
         units = distinct_tokens(docs)
-    return units.groupBy("doc_id").agg(
-        md5_long(
-            F.concat_ws(" ", F.array_sort(F.collect_set("shingle")))
-        ).alias("setfp")
-    )
+    return units.groupBy("doc_id").agg(_setfp_agg())
 
 
 def exact_fingerprint_pairs(
     docs: DataFrame,
     max_group: int = EXACT_FP_MAX_GROUP,
     units: DataFrame | None = None,
+    fp: DataFrame | None = None,
 ) -> DataFrame:
     """Identical-document pairs (a_id < b_id) by token-set fingerprint —
     the EXACT pre-pass routed AROUND capped approximate indexes (VERDICT
@@ -1022,8 +1054,13 @@ def exact_fingerprint_pairs(
     size).
 
     Scale: one shuffle on setfp; pair volume = Σ n_g² over TRUE duplicate
-    groups (capped) — the size of the real answer, never corpus²."""
-    fp = token_set_fingerprint(docs, units=units)
+    groups (capped) — the size of the real answer, never corpus².
+    ``fp`` (a (doc_id, setfp) frame, e.g. the fused signature+fingerprint
+    aggregation) skips the fingerprint groupBy entirely."""
+    if fp is None:
+        fp = token_set_fingerprint(docs, units=units)
+    else:
+        fp = fp.select("doc_id", "setfp")
     stats = (
         fp.groupBy("setfp")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
@@ -1052,6 +1089,7 @@ def simhash_pairs(
     max_bucket: int,
     ham_max: int,
     keys: tuple[str, ...] = (),
+    dedup: bool = True,
 ) -> DataFrame:
     """Banded hamming-ball pairing over any signature table: split each
     signature into ``bands`` x ``band_bits`` values, bucket-join on
@@ -1061,7 +1099,11 @@ def simhash_pairs(
     exact band, so the index has no false negatives while ham_max < bands.
     ``keys`` scope the pairing (e.g. per media kind). The ONE banding/
     verify implementation behind text SimHash pairing and media
-    perceptual-hash pairing. Returns (keys..., a_id, b_id, hamming)."""
+    perceptual-hash pairing. Returns (keys..., a_id, b_id, hamming).
+
+    ``dedup=False`` skips the candidate DISTINCT (a pair sharing several
+    bands emits one row per shared band) for callers that already dedup
+    the union downstream — one exchange of the candidate set saved."""
     from pyspark.sql import Window
 
     mask = (1 << band_bits) - 1
@@ -1098,8 +1140,9 @@ def simhash_pairs(
         a.join(b, bucket_key)
         .where(F.col("a_id") < F.col("b_id"))
         .select(*k, "a_id", "b_id", "a_sig", "b_sig")
-        .distinct()
     )
+    if dedup:
+        cand = cand.distinct()
     return cand.withColumn(
         "hamming", F.bit_count(F.expr("a_sig ^ b_sig")).cast("bigint")
     ).where(F.col("hamming") <= ham_max).select(*k, "a_id", "b_id", "hamming")

@@ -1002,21 +1002,27 @@ def _simhash_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     since identical token sets hash to identical signatures). DISTINCT
     collapses pairs both paths find. Both the signature votes and the
     fingerprint ride the memoized distinct-unit stage (_doc_units), so
-    neither path re-pays the tokenize scan."""
-    from gmall_flink_spark.llm.dedup import simhash_pairs
+    neither path re-pays the tokenize scan — and both aggregations run
+    as ONE groupBy(doc_id) (simhash_with_setfp; guide §2.4), the fused
+    frame lazily checkpointed so the two consumers don't re-run it. The
+    banded path skips its internal candidate DISTINCT (dedup=False): the
+    terminal union DISTINCT collapses multi-band and cross-path
+    duplicates in one exchange instead of three."""
+    from gmall_flink_spark.llm.dedup import simhash_pairs, simhash_with_setfp
 
     units = _doc_units(spark, sf_dir)
-    sig = simhash(None, bits=16, units=units)
+    base = simhash_with_setfp(units, bits=16).localCheckpoint(eager=False)
     banded = simhash_pairs(
-        sig,
+        base.select("doc_id", "simhash"),
         "doc_id",
         "simhash",
         bands=SIMHASH_BANDS,
         band_bits=SIMHASH_BAND_BITS,
         max_bucket=SIMHASH_MAX_BUCKET,
         ham_max=SIMHASH_HAM_MAX,
+        dedup=False,
     )
-    exact = exact_fingerprint_pairs(None, units=units).select(
+    exact = exact_fingerprint_pairs(None, fp=base).select(
         "a_id", "b_id", F.lit(0).cast("bigint").alias("hamming")
     )
     return banded.unionByName(exact).distinct()
