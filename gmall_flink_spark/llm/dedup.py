@@ -84,7 +84,9 @@ def minhash_seed_hash(base: F.Column, seed: int) -> F.Column:
     return ((2 * seed + 1) * base + (seed * seed + 7)) % MINHASH_P
 
 
-def minhash_matrix(units: DataFrame, k: int = 12) -> DataFrame:
+def minhash_matrix(
+    units: DataFrame, k: int = 12, extra_aggs: tuple = ()
+) -> DataFrame:
     """The WIDE per-doc minhash matrix: one row per doc with columns
     ``_m0.._m{k-1}``. ``units`` = (doc_id, shingle) exploded frame.
 
@@ -94,12 +96,20 @@ def minhash_matrix(units: DataFrame, k: int = 12) -> DataFrame:
     of k-column doc rows). This wide row is the canonical signature store:
     banding at ANY rows-per-band is a map-only projection of it
     (``matrix_bands``), so multi-width pipelines (two-level LSH) pay the
-    signature shuffle once, not once per width."""
+    signature shuffle once, not once per width.
+
+    ``extra_aggs``: additional per-doc aggregates (over ``shingle`` or
+    ``_h``) to ride the SAME groupBy — e.g. the unit count and the
+    token-set fingerprint, so signature store + sizes + exact pre-pass
+    share one exchange of the unit frame (guide §2.4). Unused input
+    columns are pruned by Catalyst, so the bare-matrix call plans
+    identically."""
     hashed = units.select(
-        "doc_id", (md5_long(F.col("shingle")) % MINHASH_P).alias("_h")
+        "doc_id", "shingle", (md5_long(F.col("shingle")) % MINHASH_P).alias("_h")
     )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(minhash_seed_hash(F.col("_h"), s)).alias(f"_m{s}") for s in range(k)]
+        *[F.min(minhash_seed_hash(F.col("_h"), s)).alias(f"_m{s}") for s in range(k)],
+        *extra_aggs,
     )
 
 

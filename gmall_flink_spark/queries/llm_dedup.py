@@ -108,22 +108,31 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DOC_UNITS[key]
 
 
-#: WIDE minhash signature matrix (doc_id, _m0.._m{k-1}), memoized like
-#: _doc_units: the signature groupBy is the one shuffle every banding pays,
-#: and both band widths of the two-level candidate rule PLUS the bucket
-#: report (minhash_band_buckets) are map-only projections of this one frame
-#: (llm/dedup.matrix_bands) — so the matrix is aggregated exactly once per
-#: (session, sf_dir, content stamp). At production scale this is the
-#: persisted signature table of the dedup index.
+#: WIDE minhash signature matrix (doc_id, _m0.._m{k-1}, n, setfp),
+#: memoized like _doc_units: the signature groupBy is the one shuffle
+#: every banding pays, and both band widths of the two-level candidate
+#: rule PLUS the bucket report (minhash_band_buckets) are map-only
+#: projections of this one frame (llm/dedup.matrix_bands) — so the matrix
+#: is aggregated exactly once per (session, sf_dir, content stamp). Since
+#: optimization r14 the per-doc unit count ``n`` (the verify join's
+#: length prune) and the token-set fingerprint ``setfp`` (the exact
+#: pre-pass key) ride the SAME groupBy (guide §2.4) — previously each was
+#: its own full shuffle of the unit frame. At production scale this is
+#: the persisted signature table of the dedup index.
 _MINHASH_MX: dict[tuple, DataFrame] = {}
 
 
 def _minhash_mx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.sources.tables import memo_key
+    from gmall_flink_spark.llm.dedup import _setfp_agg
 
     key = memo_key(spark, sf_dir, "documents", _MINHASH_MX)
     if key not in _MINHASH_MX:
-        mx = minhash_matrix(_doc_units(spark, sf_dir), MINHASH_K)
+        mx = minhash_matrix(
+            _doc_units(spark, sf_dir),
+            MINHASH_K,
+            extra_aggs=(F.count(F.lit(1)).alias("n"), _setfp_agg()),
+        )
         _MINHASH_MX[key] = mx.localCheckpoint(eager=True)
     return _MINHASH_MX[key]
 
@@ -171,8 +180,11 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _EXACT_PAIRS)
     if key not in _EXACT_PAIRS:
-        units = _doc_units(spark, sf_dir)
-        pairs = exact_fingerprint_pairs(None, units=units).select(
+        # the fingerprint rides the signature-matrix groupBy (one shared
+        # exchange of the unit frame) — the pair expansion here only
+        # touches the per-doc fp frame, never the units
+        fp = _minhash_mx(spark, sf_dir).select("doc_id", "setfp")
+        pairs = exact_fingerprint_pairs(None, fp=fp).select(
             F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
         )
         _EXACT_PAIRS[key] = pairs.localCheckpoint(eager=True)
@@ -203,10 +215,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
         cands = _lsh_cands(spark, sf_dir)
-        # ONE per-doc sizes aggregation feeds both the verify join's
-        # length-ratio prune AND the exact path below (review r14: the
-        # prune used to re-shuffle the same groupBy inside jaccard_pairs)
-        sizes = units.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        # per-doc sizes are a projection of the signature-matrix frame
+        # (they rode its groupBy — optimization r14): zero extra shuffles
+        # for the verify join's length-ratio prune AND the exact path below
+        sizes = _minhash_mx(spark, sf_dir).select("doc_id", "n")
         # ratio=(NUM, DEN) is the lossless length prune for the j >= NUM/DEN
         # threshold below — identical verified output, fewer unit joins
         jac = jaccard_pairs(
