@@ -238,7 +238,10 @@ def unigram_train(words: DataFrame, rounds: int = UNIGRAM_EM_ROUNDS) -> DataFram
 
 
 def unigram_encode_stats(
-    docs: DataFrame, costs: dict[str, int], group_col: str = "source"
+    docs: DataFrame,
+    costs: dict[str, int],
+    group_col: str = "source",
+    wc: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the FULL corpus with a trained vocab (its collected cost
     artifact) and report per-group compression stats: ALL word
@@ -257,14 +260,21 @@ def unigram_encode_stats(
     at sf0.1: 15.3 s (per-occurrence DP) → ~1 s; at corpus scale the
     distinct-word dictionary is orders of magnitude smaller than the
     occurrence stream, which is the whole point of unigram tokenization's
-    word-level cache."""
+    word-level cache.
+
+    ``wc``: a precomputed (group_col, word, occ) frame — e.g. the
+    session-shared word-occurrence dictionary — skips the tokenize scan
+    entirely (guide §2.4; the jaccard_pairs(sizes=...) pattern)."""
     from gmall_flink_spark.functions.text import tokenize
 
-    wc = (
-        docs.select(F.col(group_col), F.explode(tokenize("text")).alias("word"))
-        .groupBy(group_col, "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-    )
+    if wc is None:
+        wc = (
+            docs.select(F.col(group_col), F.explode(tokenize("text")).alias("word"))
+            .groupBy(group_col, "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        )
+    else:
+        wc = wc.select(group_col, "word", "occ")
     seg = with_viterbi(
         wc.select("word")
         .where(F.length("word") <= UNIGRAM_MAX_WORD_LEN)

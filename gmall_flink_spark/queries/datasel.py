@@ -203,6 +203,33 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session memo of the corpus word-occurrence dictionary
+#: (source, word, occ) — the tokenize-explode-aggregate pass that the
+#: char-level encode/audit queries (llm_wordpiece_encode,
+#: llm_unigram_encode, llm_unigram_roundtrip) and the WordPiece
+#: trainer's word counts all used to run INDEPENDENTLY (four corpus
+#: scans of the same aggregation — optimization r14, guide §2.4). One
+#: shuffle builds it; every consumer re-aggregates the
+#: |source x word|-bounded dictionary. At 100 TB this is the
+#: word-frequency table a tokenizer pipeline materializes exactly once.
+_WORD_OCC: dict[tuple, DataFrame] = {}
+
+
+def _word_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _WORD_OCC)
+    if key not in _WORD_OCC:
+        docs = table(spark, sf_dir, "documents")
+        wc = (
+            docs.select("source", F.explode(tokenize("text")).alias("word"))
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
+        )
+        _WORD_OCC[key] = wc.localCheckpoint(eager=True)
+    return _WORD_OCC[key]
+
+
 #: session memo of the trained BPE state — (merge table, encoded corpus)
 #: share the per-round checkpoints across llm_bpe_train / llm_bpe_encode
 _BPE_STATE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
@@ -454,7 +481,9 @@ def llm_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = _unigram_vocab(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
-    return unigram_encode_stats(docs, collect_costs(v), "source").orderBy("source")
+    return unigram_encode_stats(
+        docs, collect_costs(v), "source", wc=_word_occ(spark, sf_dir)
+    ).orderBy("source")
 
 
 def llm_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,12 +565,9 @@ def llm_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     costs = collect_costs(_unigram_vocab(spark, sf_dir))
-    docs = table(spark, sf_dir, "documents")
-    wc = (
-        docs.select("source", F.explode(tokenize("text")).alias("word"))
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-    )
+    # the shared word-occurrence dictionary (one corpus pass per session
+    # — optimization r14); every frame below is dictionary-bounded
+    wc = _word_occ(spark, sf_dir)
     seg = with_viterbi(
         wc.select("word")
         .where(F.length("word") <= UNIGRAM_MAX_WORD_LEN)
@@ -1114,14 +1140,19 @@ _WP_STATE: dict[tuple, tuple[DataFrame, dict]] = {}
 
 
 def _wp_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-cap (word, wcount) — a re-aggregation of the shared
+    (source, word, occ) frame (optimization r14, guide §2.4): the
+    second aggregation runs over the |source x word|-bounded dictionary,
+    never the corpus, so the trainer's word counts cost zero extra
+    corpus passes. The length filter commutes with the re-agg (it is on
+    the group key)."""
     from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN
 
-    docs = table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(tokenize("text")).alias("word"))
+        _word_occ(spark, sf_dir)
         .where(F.length("word") <= WP_MAX_WORD_LEN)
         .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+        .agg(F.sum("occ").cast("bigint").alias("wcount"))
     )
 
 
@@ -1195,12 +1226,9 @@ def llm_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.llm.wordpiece import WP_MAX_WORD_LEN, with_greedy_pieces
 
     _, vocab = _wp_state(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    wc = (
-        docs.select("source", F.explode(tokenize("text")).alias("word"))
-        .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("occ"))
-    )
+    # the shared word-occurrence dictionary (one corpus pass per session
+    # — optimization r14); every frame below is dictionary-bounded
+    wc = _word_occ(spark, sf_dir)
     seg = with_greedy_pieces(
         wc.select("word")
         .where(F.length("word") <= WP_MAX_WORD_LEN)

@@ -177,6 +177,7 @@ def clear_session_memos(
         _BPE_SAMPLED,
         _BPE_STATE,
         _UNIGRAM_VOCAB,
+        _WORD_OCC,
         _WP_STATE,
     )
     from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
@@ -191,6 +192,7 @@ def clear_session_memos(
         _BPE_SAMPLED,
         _BPE_STATE,
         _UNIGRAM_VOCAB,
+        _WORD_OCC,
         _WP_STATE,
         _WINNOW_DOCS,
         _COMPONENTS,
