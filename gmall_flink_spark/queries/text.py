@@ -670,16 +670,21 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary size, total boilerplate hits, average per-doc boilerplate
     fraction (basis points, integer-exact), and flagged-doc count.
 
-    Scale: ONE (source, shingle) shuffle builds the df table (map-side
-    partial counts over per-doc-distinct shingles); the boilerplate
-    dictionary is its high-df residue — orders smaller than the shingle
-    stream — so the hit count joins the shingle stream against the
-    dictionary on the SAME key (exchange reuse; AQE broadcasts the
-    dictionary when it fits) and only hit rows reach the per-doc
-    aggregate. Per-doc totals come from size(array_distinct(...)) on the
-    scan — no second pass over shingles. No self-join anywhere, so unlike
-    the pairwise ops no df cap is needed: cost is linear in corpus
-    shingles at any scale."""
+    Scale: the tokenize+shingle kernel runs ONCE — the exploded
+    per-doc-distinct shingle stream is locally checkpointed (guide §3.3:
+    materialize an intermediate with several consumers; the r14 plan
+    audit showed the un-cut form ran FOUR tokenize+shingle corpus
+    passes, one per consumer). ONE (source, shingle) shuffle over the
+    checkpointed stream builds the df table (map-side partials); the
+    boilerplate dictionary is its high-df residue — orders smaller than
+    the stream — checkpointed too so the hit join and the per-source
+    dictionary sizes read it instead of re-aggregating. Both per-doc
+    totals ride one pass over the stream: shingle_ct = count per doc,
+    bp_ct = dictionary hits via a left join (AQE broadcasts the
+    dictionary when it fits). No self-join anywhere, so unlike the
+    pairwise ops no df cap is needed: cost is linear in corpus shingles
+    at any scale; the checkpoint writes the stream bytes once — the same
+    byte volume its own shuffle already moves."""
     from gmall_flink_spark.functions.text import tokenize
 
     docs = table(spark, sf_dir, "documents")
@@ -692,23 +697,21 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = toked.select(
         "source", "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    ).localCheckpoint(eager=False)
     df_tab = shingles.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
-    bp_dict = df_tab.where(F.col("df") >= BP_MIN_DF).select("source", "shingle")
-    hits = (
-        shingles.join(bp_dict, ["source", "shingle"])
-        .groupBy("source", "doc_id")
-        .agg(F.count(F.lit(1)).alias("bp_ct"))
+    bp_dict = (
+        df_tab.where(F.col("df") >= BP_MIN_DF)
+        .select("source", "shingle")
+        .localCheckpoint(eager=False)
     )
     per_doc = (
-        toked.select(
-            "source", "doc_id", F.size(F.array_distinct(sh)).cast("bigint").alias("shingle_ct")
+        shingles.join(
+            bp_dict.withColumn("hit", F.lit(1)), ["source", "shingle"], "left"
         )
-        .join(hits, ["source", "doc_id"], "left")
-        .select(
-            "source",
-            "shingle_ct",
-            F.coalesce("bp_ct", F.lit(0)).alias("bp_ct"),
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("shingle_ct"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("bp_ct"),
         )
         .withColumn("frac_bp", F.expr("(10000 * bp_ct) div shingle_ct"))
     )
