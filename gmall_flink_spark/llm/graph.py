@@ -82,18 +82,25 @@ def pagerank_from_weights(
     sink and the ranks recompute at read time from the maintained
     weights (test_streaming_link_graph_rollup_equals_batch_pagerank).
 
-    The aggregated edge table is localCheckpointed before iterating:
-    ``ewo`` and ``nodes`` are referenced by every round, and without the
-    cut Catalyst re-derives the corpus-sized edge aggregation once per
-    reference (11 scans at 5 rounds). The checkpoint is host-graph-sized
-    — exactly the thing that's small by construction here."""
+    Every per-round input is localCheckpointed before iterating: the
+    aggregated edge table (without the cut Catalyst re-derives the
+    corpus-sized edge aggregation once per reference — 11 scans at 5
+    rounds), the out-degree-decorated edge list, and the node universe
+    (each previously re-derived per round: a distinct + join per
+    iteration; the r14 plan audit read 16 exchanges for 5 rounds). All
+    three are host-graph-sized — exactly the thing that's small by
+    construction here. The per-round contribution vector is broadcast
+    back onto the node universe (it is at most node-count rows, the same
+    bounded class as the rank vector the round already broadcasts), so
+    one groupBy(dst) exchange per round is the only shuffle left."""
     ew = ew.localCheckpoint(eager=False)
     out = ew.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ewo = ew.join(out, "src")
+    ewo = ew.join(out, "src").localCheckpoint(eager=False)
     nodes = (
         ew.select(F.col("src").alias("node"))
         .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     base = (100 - damp) * q // 100
     ranks = nodes.select("node", F.lit(q).cast("bigint").alias("rank_q"))
@@ -109,7 +116,7 @@ def pagerank_from_weights(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base).cast("bigint")
