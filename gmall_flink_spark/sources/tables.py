@@ -180,6 +180,7 @@ def clear_session_memos(
         _WORD_OCC,
         _WP_STATE,
     )
+    from gmall_flink_spark.queries.classify import _NB_SCORED_MEMO
     from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
     from gmall_flink_spark.queries.similarity import (
         _ASSIGNED_MEMO,
@@ -205,6 +206,7 @@ def clear_session_memos(
         _SAMPLE_EXACT,
         _SUBSTR_IDX,
         _ASSIGNED_MEMO,
+        _NB_SCORED_MEMO,
         _NEARDUP_PAIRS,
         _PACK_TOTALS,
         _PQ_BOOKS_MEMO,
