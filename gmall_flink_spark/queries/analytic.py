@@ -256,17 +256,22 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two windowed medians per event_type — exact medians cost a
     per-key sort (the honest price; an approximate variant would use
-    percentile_approx map-side), then one tiny aggregate."""
+    percentile_approx map-side), then one tiny aggregate. The projected
+    events relation and the decorated ``d`` frame are each consumed by
+    TWO downstream aggregates (unshared subtrees to Catalyst), so both
+    are localCheckpointed: the parquet scan and the median aggregation
+    run once instead of being re-planned per consumer (4 scans + a
+    twice-run percentile before; 1 scan after)."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     med = ev.groupBy("event_type").agg(
         (2 * F.expr("percentile(c, 0.5)")).cast("bigint").alias("med2c"),
         F.count(F.lit(1)).alias("n"),
     )
     d = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(2 * F.col("c") - F.col("med2c"))
-    )
+    ).localCheckpoint(eager=True)
     mad = d.groupBy("event_type").agg(
         (2 * F.expr("percentile(d, 0.5)")).cast("bigint").alias("mad4"),
     )
