@@ -205,13 +205,30 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session memo for the per-doc clean verdicts: TWO headline queries
+#: (llm_clean_corpus, llm_corpus_build) consume the identical quality →
+#: decontaminate → dedup chain; without the memo each re-runs the whole
+#: decontamination join (guide §2.4). Wiped by clear_session_memos.
+_CLEAN_RANKED: dict[tuple, DataFrame] = {}
+
+
 def _clean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The clean pipeline's per-doc verdict frame (source, doc_id, tok,
     q_ok, contam, dup): quality rules → decontamination → prefix-fp dedup
     flags, in drop order. Shared by llm_clean_corpus (the drop ledger)
-    and llm_corpus_build (the full epoch-construction composition)."""
+    and llm_corpus_build (the full epoch-construction composition) —
+    session-memoized for the two consumers. Inside one build, ``flagged``
+    feeds BOTH the dup-ranking branch and the final verdict join; as
+    unshared subtrees Catalyst would run the quality + decontamination
+    chain twice per execution, so it is localCheckpointed first (the
+    frame is one row per doc — verdict columns only, never text)."""
     from gmall_flink_spark.functions.text import fingerprint, gopher_keep, tokenize
+    from gmall_flink_spark.sources.tables import memo_key
     from pyspark.sql import Window
+
+    key = memo_key(spark, sf_dir, "documents", _CLEAN_RANKED)
+    if key in _CLEAN_RANKED:
+        return _CLEAN_RANKED[key]
 
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
@@ -233,6 +250,7 @@ def _clean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(contaminated, "doc_id", "left")
         .withColumn("contam", F.coalesce("contam", F.lit(False)))
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     dups = (
@@ -241,9 +259,12 @@ def _clean_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > 1)
         .select("doc_id", F.lit(True).alias("dup"))
     )
-    return flagged.join(dups, "doc_id", "left").withColumn(
-        "dup", F.coalesce("dup", F.lit(False))
+    _CLEAN_RANKED[key] = (
+        flagged.join(dups, "doc_id", "left")
+        .withColumn("dup", F.coalesce("dup", F.lit(False)))
+        .localCheckpoint(eager=True)
     )
+    return _CLEAN_RANKED[key]
 
 
 def llm_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

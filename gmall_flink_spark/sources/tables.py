@@ -181,7 +181,7 @@ def clear_session_memos(
         _WP_STATE,
     )
     from gmall_flink_spark.queries.classify import _NB_SCORED_MEMO
-    from gmall_flink_spark.queries.llm_pipeline import _PACK_TOTALS
+    from gmall_flink_spark.queries.llm_pipeline import _CLEAN_RANKED, _PACK_TOTALS
     from gmall_flink_spark.queries.similarity import (
         _ASSIGNED_MEMO,
         _NEARDUP_PAIRS,
@@ -192,6 +192,7 @@ def clear_session_memos(
     for memo in (
         _BPE_SAMPLED,
         _BPE_STATE,
+        _CLEAN_RANKED,
         _UNIGRAM_VOCAB,
         _WORD_OCC,
         _WP_STATE,
