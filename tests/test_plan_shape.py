@@ -5,6 +5,8 @@ it shows up as a 100 TB incident."""
 
 from __future__ import annotations
 
+import pytest
+
 from bench import explain_str
 from gmall_flink_spark.registry import all_queries
 
@@ -138,6 +140,7 @@ def test_broadcast_disabled_falls_back_to_shuffle_join(spark):
     assert sorted(map(tuple, got)) == sorted(map(tuple, base))
 
 
+@pytest.mark.slow
 def test_no_rowwise_python_or_cartesian_in_any_registry_plan(spark):
     """Global guard over the WHOLE registry: no query's physical plan may
     contain a row-at-a-time Python UDF (BatchEvalPython — Arrow-batched
@@ -299,6 +302,7 @@ def test_semdedup_has_no_cartesian(spark):
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
 
 
+@pytest.mark.slow
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE skew-join handling must actually fire in this engine's session
     config (session.py pins spark.sql.adaptive.skewJoin.enabled): a join

@@ -5,6 +5,8 @@ space — ties, empty sides, boundary values, duplicate keys."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -26,6 +28,7 @@ _ts = st.integers(min_value=0, max_value=20)
 @given(
     rows=st.lists(st.tuples(_keys, _ts, st.integers(0, 99)), min_size=0, max_size=25)
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_keep_first_last_match_python(spark, rows):
     df = spark.createDataFrame(rows or [(0, 0, 0)], "k long, ts long, v long")
@@ -95,6 +98,7 @@ def test_range_join_matches_cross_filter(spark, points, ranges):
         st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30
     )
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_decimal_sum_is_partition_order_independent(spark, vals):
     """The money contract: decimal sums are exact regardless of partition
@@ -127,6 +131,7 @@ def test_decimal_sum_is_partition_order_independent(spark, vals):
         max_size=12,
     )
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_envelope_parse_split_partitions_every_row(spark, raws):
     """P1 totality: for ANY input strings, parse_envelope_split never throws
@@ -182,6 +187,7 @@ _vocab = st.integers(min_value=0, max_value=9)
         st.sets(_vocab, min_size=1, max_size=8), min_size=2, max_size=12
     )
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_prefix_filter_is_complete_at_threshold(spark, docs):
     """prefix_filter_candidates must contain EVERY pair at j >= 0.9 for
@@ -243,6 +249,7 @@ def test_srp_auto_band_bits_contract(spark, n):
         unique_by=lambda d: d[0],
     )
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_nb_quantized_scores_match_python(spark, docs):
     """The quantized-NB train/score loop vs an FP-FREE Python reference:
@@ -307,6 +314,7 @@ def test_nb_quantized_scores_match_python(spark, docs):
     ),
     max_group=st.sampled_from([2, 1000]),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_exact_fingerprint_pairs_match_python(spark, docs, max_group):
     """exact_fingerprint_pairs vs a naive oracle over the input space:

@@ -416,6 +416,7 @@ def test_compact_topics_survives_unparseable_filename(spark):
     assert rows(spark.read.parquet(out)) == before
 
 
+@pytest.mark.slow
 def test_components_writer_stream_equals_rebuild(spark):
     """Continuously maintained near-dup clustering: verified pair edges
     replayed in 3 micro-batches through components_writer (contracted-
@@ -447,6 +448,7 @@ def test_components_writer_stream_equals_rebuild(spark):
     assert rows(read_state(spark, state)) == want
 
 
+@pytest.mark.slow
 def test_streaming_trained_unigram_equals_batch(spark):
     """Unigram-LM training over a STREAM: the word-frequency table is the
     trainer's sufficient statistic (the NB-classifier pattern — counts
@@ -476,6 +478,7 @@ def test_streaming_trained_unigram_equals_batch(spark):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_streaming_trained_wordpiece_equals_batch(spark):
     """WordPiece training over a STREAM: like the unigram twin above, the
     frequency-weighted distinct-word frame is the trainer's sufficient
@@ -547,6 +550,7 @@ def test_compact_topics_heals_crashed_swap(spark):
     assert not os.path.exists(orphan)
 
 
+@pytest.mark.slow
 def test_rollup_sink_file_count_bounded_across_batches(spark):
     """The MERGE sink family does NOT need compaction: swap_buckets
     REWRITES each touched bucket per batch, so a bucket's file count is
@@ -628,6 +632,7 @@ def test_returning_flags_stream_matches_batch(spark, events_slices, state_store)
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_config_route_streaming_foreachbatch(spark):
     """J6 streaming: config re-read + broadcast-routed per micro-batch, fanned
     out by sink_table (the DimApp/DwdBaseApp loop) — equals the batch route."""
@@ -936,6 +941,7 @@ def test_stateful_resume_rocksdb_changelog(spark, events_slices):
     assert rows(got, ["user_id", "cur_date"]) == rows(batch, ["user_id", "cur_date"])
 
 
+@pytest.mark.slow
 def test_keep_last_timer_stream_matches_batch(spark, events_slices):
     """D3/W8: timer-based keep-last — ValueState + event-time timer at
     last_ts + 5s (the reference's DwsLeftJoinDuplication03Last semantics).
@@ -990,6 +996,7 @@ def test_hash_sample_stream_equals_batch(spark):
     assert rows(got) == rows(batch.select("doc_id"))
 
 
+@pytest.mark.slow
 def test_streaming_clean_corpus_equals_batch_keep_set(spark):
     """The streaming clean-corpus ingest (quality -> decontaminate ->
     cross-batch dedup, plans/clean_corpus_stream.py) replayed over 3
@@ -1035,6 +1042,7 @@ def test_streaming_clean_corpus_equals_batch_keep_set(spark):
     assert rows(read_state(spark, state)) == rows(batch)
 
 
+@pytest.mark.slow
 def test_streaming_corpus_build_card_equals_batch(spark):
     """The epoch sign-off as CONTINUOUSLY MAINTAINED state: documents
     stream through the clean-corpus ingest (quality → decontaminate →
@@ -1074,6 +1082,7 @@ def test_streaming_corpus_build_card_equals_batch(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_span_scrub_equals_batch_scrub(spark):
     """The SPAN-LEVEL scrub inside the streaming clean-corpus writer
     (VERDICT r12 task 4): hit documents are kept with exactly the
@@ -1154,6 +1163,7 @@ def test_streaming_span_scrub_equals_batch_scrub(spark):
     assert want.where(F.col("tok") < F.col("raw_tok")).count() >= 1
 
 
+@pytest.mark.slow
 def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
     """Streaming corpus exact-dedup: replay documents in 3 micro-batches
     through the bucketed seen-fingerprint sink; the final survivor set must
@@ -1440,6 +1450,7 @@ def test_stateful_twins_survive_arrow_chunk_splitting(spark, events_slices):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", before)
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows_observably(spark, tmp_path):
     """W10: rows older than the watermark are DROPPED by the stateful dedup
     operator, observable in StreamingQueryProgress
@@ -1673,6 +1684,7 @@ def test_streaming_chunk_accounting_rollup_equals_batch(spark):
     assert rows(read_state(spark, state)) == rows(partial(docs))
 
 
+@pytest.mark.slow
 def test_ivfpq_index_sink_equals_batch_encode(spark):
     """Streaming IVF-PQ maintenance: replay embeddings in 3 micro-batches
     through the cluster-bucketed packed-code sink; the accumulated index
@@ -1787,6 +1799,7 @@ def test_boilerplate_df_stream_equals_batch(spark):
     assert rows(got) == rows(want)
 
 
+@pytest.mark.slow
 def test_payment_uu_window_stream_matches_batch(spark):
     """DwsTradePaymentWindow streaming recipe (plans/pipelines.py): the P7
     pay-suc fact stream through new_user_flags_stream (D5) + the day
@@ -1828,6 +1841,7 @@ def test_payment_uu_window_stream_matches_batch(spark):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_allpairs_index_sink_equals_batch_exact_graph(spark):
     """Streaming EXACT near-dup: replay documents in 3 micro-batches
     through the token-unit index sink; the accumulated state must equal
@@ -1864,6 +1878,7 @@ def test_allpairs_index_sink_equals_batch_exact_graph(spark):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_sku_order_window_pipeline_end_to_end(spark):
     """DwsTradeSkuOrderWindow as ONE availableNow query — envelope source →
     D2 dedup → J7 broadcast enrich → A3/A6 window agg → memory sink —
@@ -1894,6 +1909,7 @@ def test_sku_order_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_order_detail_wide_pipeline_end_to_end(spark):
     """DwdTradeOrderDetail as ONE availableNow query — four envelope streams,
     D keep-first on the detail side, J1 inner + J2×2 left stream-stream
@@ -1961,6 +1977,7 @@ def test_order_detail_wide_pipeline_end_to_end(spark):
     assert nrows(got) == nrows(batch)
 
 
+@pytest.mark.slow
 def test_cart_add_uu_window_pipeline_end_to_end(spark):
     """DwsTradeCartAddUuWindow as ONE availableNow query — cart envelope
     source → W5 coalesce event time → D4 dedup-on-(sku, day) → A5 daily UU
@@ -1996,6 +2013,7 @@ def test_cart_add_uu_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_traffic_grain_window_pipeline_end_to_end(spark):
     """DwsTrafficVcChArIsNewPageViewWindow as ONE availableNow query — raw
     JSON log source → parse → page split → self-union exact-uv trick →
@@ -2071,6 +2089,7 @@ def test_streaming_substr_gram_index_equals_batch(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_payment_uu_window_pipeline_end_to_end(spark):
     """DwsTradePaymentWindow as ONE availableNow query — order_info
     envelope source → P7 1002→1005 transition filter → D5 via the
@@ -2104,6 +2123,7 @@ def test_payment_uu_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_payment_uu_pipeline_corrects_under_disorder(spark):
     """The payment pipeline's default D5 must move the first-ever-payer
     credit when an EARLIER-day payment arrives in a LATER batch (the
@@ -2163,6 +2183,7 @@ def test_payment_uu_pipeline_corrects_under_disorder(spark):
     assert rows(got, cols) == want
 
 
+@pytest.mark.slow
 def test_pay_detail_suc_pipeline_end_to_end(spark):
     """DwdTradePayDetailSuc as ONE availableNow query — order_info +
     order_detail envelope streams, P7 pay-suc transition filter → J3
@@ -2284,6 +2305,7 @@ def test_streaming_dsir_bucket_counts_equal_batch(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_user_login_window_pipeline_end_to_end(spark):
     """DwsUserUserLoginWindow as ONE availableNow query — login filter →
     D6 returning-flags state machine → daily uu/returner day windows —
@@ -2341,6 +2363,7 @@ def test_user_login_window_pipeline_end_to_end(spark):
     assert batch.agg(F.sum("back_ct")).collect()[0][0] > 0
 
 
+@pytest.mark.slow
 def test_home_detail_uv_window_pipeline_end_to_end(spark):
     """DwsTrafficHomeDetailPageViewWindow as ONE availableNow query — raw
     JSON log source → parse → home/good_detail filter → (mid, page_id,
@@ -2383,6 +2406,7 @@ def test_home_detail_uv_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_display_item_window_pipeline_end_to_end(spark):
     """The keyword-window SHAPE (lateral explode → windowed per-value
     counts) as ONE availableNow query over display items — equals the
@@ -2427,6 +2451,7 @@ def test_display_item_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("state_store", [None, "rocksdb", "rocksdb_changelog"])
 def test_order_uu_window_pipeline_end_to_end(spark, state_store):
     """DwsTradeOrderWindow fed by the DWD wide join IN THE SAME QUERY —
@@ -2577,6 +2602,7 @@ def test_streaming_nb_model_equals_batch_confusion(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_nation_order_window_pipeline_end_to_end(spark):
     """DwsTradeProvinceOrderWindow as ONE availableNow query — order_info
     insert envelopes → broadcast geo enrichment → self-union EXACT
@@ -2760,6 +2786,7 @@ def test_bloom_index_sink_equals_batch_build(spark):
     assert rows(got) == rows(want) and got.where("maybe_dup = 1").count() > 0
 
 
+@pytest.mark.slow
 def test_dim_app_supervised_end_to_end(spark):
     """DimApp as a SUPERVISED end-to-end run (P1/P2→J6→P8→K4 under W12,
     app/dim/DimApp.java:37-109 + the reference's fixed-delay restart):
@@ -2819,6 +2846,7 @@ def test_dim_app_supervised_end_to_end(spark):
     assert kvrows(got) == kvrows(want) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_dwd_base_app_supervised_end_to_end(spark):
     """DwdBaseApp as a SUPERVISED end-to-end run (P1/P2→J6→P8→K2 under
     W12, app/dwd/DwdBaseApp.java:37-110): config-routed fan-out through
@@ -2867,6 +2895,7 @@ def test_dwd_base_app_supervised_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_dim_and_dwd_combined_supervised_end_to_end(spark):
     """The lab DimAndDwdApp (M3 dual-sink routing) as ONE SUPERVISED
     stream: each micro-batch of the single topic_db stream MERGEs its
@@ -2933,6 +2962,7 @@ def test_dim_and_dwd_combined_supervised_end_to_end(spark):
     assert rows(got_dwd) == rows(want_dwd) and got_dwd.count() > 0
 
 
+@pytest.mark.slow
 def test_user_register_window_pipeline_end_to_end(spark):
     """DwsUserUserRegisterWindow as ONE availableNow query — events
     stream → D4 (user, day) dedup → per-day unique counts in day
