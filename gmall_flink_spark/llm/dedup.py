@@ -1006,22 +1006,6 @@ def simhash(docs: DataFrame, bits: int = 16, units: DataFrame | None = None) -> 
     return tallies.select("doc_id", _simhash_sig(bits).alias("simhash"))
 
 
-def simhash_with_setfp(units: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash, setfp) in ONE groupBy(doc_id): the banded
-    SimHash index and the exact-fingerprint pre-pass both aggregate the
-    same unit frame by the same key, so computing the signature votes and
-    the set fingerprint in a single aggregation removes a full exchange
-    of the corpus's unit rows (guide §2.4 — two operations keyed the same
-    way share one shuffle). Arithmetic is shared with ``simhash`` /
-    ``token_set_fingerprint`` via the vote/sig/setfp helpers — identical
-    results by construction."""
-    toks = units.select(
-        "doc_id", F.col("shingle"), md5_long(F.col("shingle")).alias("_h")
-    )
-    tallies = toks.groupBy("doc_id").agg(*_simhash_votes(bits), _setfp_agg())
-    return tallies.select("doc_id", _simhash_sig(bits).alias("simhash"), "setfp")
-
-
 #: identical-content pre-pass group cap: a token-set fingerprint group is
 #: a CLIQUE of true duplicates, so its size equals the real duplication
 #: multiplicity of one document — bounded by data reality, not corpus
@@ -1030,6 +1014,40 @@ def simhash_with_setfp(units: DataFrame, bits: int = 16) -> DataFrame:
 #: closes back into the full group — the same fallback the over-cap LSH
 #: buckets use.
 EXACT_FP_MAX_GROUP = 1000
+
+
+def doc_set_stats(toked: DataFrame) -> DataFrame:
+    """(doc_id, n, setfp) computed MAP-ONLY from a ``(doc_id, toks)``
+    frame: the distinct-token count and the token-set fingerprint derived
+    directly from each row's token array, with ZERO shuffle.
+
+    Bit-identical to the aggregate forms over the exploded unit frame —
+    ``n`` = count of distinct units = ``size(array_distinct(toks))``, and
+    ``_setfp_agg``'s ``array_sort(collect_set(shingle))`` over
+    ``explode(array_distinct(toks))`` is exactly
+    ``array_sort(array_distinct(toks))`` — pinned by
+    tests/test_dedup_approx.py::test_doc_set_stats_equals_aggregates.
+    Token-less docs are excluded, matching the unit-frame aggregates (no
+    unit rows -> no fingerprint row).
+
+    Why it exists (optimization r15, guide §2.3): riding ``_setfp_agg``
+    on the minhash/simhash signature groupBys (the r14 fusion) made ONE
+    exchange serve signature + fingerprint, but that exchange's map-side
+    partials then carried the full distinct-token string payload of every
+    document — at corpus scale, the corpus text itself. Computing the
+    stats map-side from the already-tokenized array removes the payload
+    from the signature shuffles outright: the signature aggregations ship
+    only their fixed-width integer partials, and the fingerprint never
+    crosses the network at all."""
+    s = F.array_sort(F.array_distinct("toks"))
+    return (
+        toked.select(
+            F.col("doc_id"),
+            F.size(s).cast("bigint").alias("n"),
+            md5_long(F.concat_ws(" ", s)).alias("setfp"),
+        )
+        .where(F.col("n") > 0)
+    )
 
 
 def token_set_fingerprint(docs: DataFrame, units: DataFrame | None = None) -> DataFrame:

@@ -108,33 +108,53 @@ def _doc_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _DOC_UNITS[key]
 
 
-#: WIDE minhash signature matrix (doc_id, _m0.._m{k-1}, n, setfp),
-#: memoized like _doc_units: the signature groupBy is the one shuffle
-#: every banding pays, and both band widths of the two-level candidate
-#: rule PLUS the bucket report (minhash_band_buckets) are map-only
-#: projections of this one frame (llm/dedup.matrix_bands) — so the matrix
-#: is aggregated exactly once per (session, sf_dir, content stamp). Since
-#: optimization r14 the per-doc unit count ``n`` (the verify join's
-#: length prune) and the token-set fingerprint ``setfp`` (the exact
-#: pre-pass key) ride the SAME groupBy (guide §2.4) — previously each was
-#: its own full shuffle of the unit frame. At production scale this is
-#: the persisted signature table of the dedup index.
+#: WIDE minhash signature matrix (doc_id, _m0.._m{k-1}), memoized like
+#: _doc_units: the signature groupBy is the one shuffle every banding
+#: pays, and both band widths of the two-level candidate rule PLUS the
+#: bucket report (minhash_band_buckets) are map-only projections of this
+#: one frame (llm/dedup.matrix_bands) — so the matrix is aggregated
+#: exactly once per (session, sf_dir, content stamp). The matrix is BARE
+#: since optimization r15: the per-doc unit count and the token-set
+#: fingerprint that rode this groupBy in r14 are map-only projections of
+#: the token arrays (_doc_stats / llm.dedup.doc_set_stats), so the
+#: signature exchange ships only the k fixed-width minhash partials —
+#: never the distinct-token payload — and standalone banding consumers
+#: (minhash_band_buckets) stop paying for aggregates they don't read.
+#: At production scale this is the persisted signature table of the
+#: dedup index.
 _MINHASH_MX: dict[tuple, DataFrame] = {}
 
 
 def _minhash_mx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gmall_flink_spark.sources.tables import memo_key
-    from gmall_flink_spark.llm.dedup import _setfp_agg
 
     key = memo_key(spark, sf_dir, "documents", _MINHASH_MX)
     if key not in _MINHASH_MX:
-        mx = minhash_matrix(
-            _doc_units(spark, sf_dir),
-            MINHASH_K,
-            extra_aggs=(F.count(F.lit(1)).alias("n"), _setfp_agg()),
-        )
+        mx = minhash_matrix(_doc_units(spark, sf_dir), MINHASH_K)
         _MINHASH_MX[key] = mx.localCheckpoint(eager=True)
     return _MINHASH_MX[key]
+
+
+#: (doc_id, n, setfp) derived map-only from the token arrays (see
+#: llm.dedup.doc_set_stats), memoized with a LAZY localCheckpoint: the
+#: frame is referenced several times inside exact_fingerprint_pairs and
+#: the verify join, and each unshared reference would otherwise re-run
+#: the doc-text-sized sort+concat+md5 map per doc (measured ~35% on the
+#: simhash card when left unshared). Checkpointed it computes once per
+#: session at first action; lazy, so plan-only consumers stay jobless.
+_DOC_STATS: dict[tuple, DataFrame] = {}
+
+
+def _doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gmall_flink_spark.llm.dedup import doc_set_stats
+    from gmall_flink_spark.sources.tables import memo_key
+
+    key = memo_key(spark, sf_dir, "documents", _DOC_STATS)
+    if key not in _DOC_STATS:
+        _DOC_STATS[key] = doc_set_stats(_doc_toks(spark, sf_dir)).localCheckpoint(
+            eager=False
+        )
+    return _DOC_STATS[key]
 
 
 #: two-level LSH candidate pairs, memoized like the other shared stages:
@@ -180,10 +200,10 @@ def _exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _EXACT_PAIRS)
     if key not in _EXACT_PAIRS:
-        # the fingerprint rides the signature-matrix groupBy (one shared
-        # exchange of the unit frame) — the pair expansion here only
-        # touches the per-doc fp frame, never the units
-        fp = _minhash_mx(spark, sf_dir).select("doc_id", "setfp")
+        # the fingerprint is a MAP-ONLY projection of the token arrays
+        # (optimization r15 — no aggregation at all); the pair expansion
+        # here only touches the per-doc fp frame, never the units
+        fp = _doc_stats(spark, sf_dir).select("doc_id", "setfp")
         pairs = exact_fingerprint_pairs(None, fp=fp).select(
             F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
         )
@@ -215,10 +235,10 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
         cands = _lsh_cands(spark, sf_dir)
-        # per-doc sizes are a projection of the signature-matrix frame
-        # (they rode its groupBy — optimization r14): zero extra shuffles
-        # for the verify join's length-ratio prune AND the exact path below
-        sizes = _minhash_mx(spark, sf_dir).select("doc_id", "n")
+        # per-doc sizes are a MAP-ONLY projection of the token arrays
+        # (optimization r15): zero shuffles for the verify join's
+        # length-ratio prune AND the exact path below
+        sizes = _doc_stats(spark, sf_dir).select("doc_id", "n")
         # ratio=(NUM, DEN) is the lossless length prune for the j >= NUM/DEN
         # threshold below — identical verified output, fewer unit joins
         jac = jaccard_pairs(
@@ -394,6 +414,7 @@ def _components_stamp(sf_dir: str) -> str:
         for fn in (
             _doc_toks,
             _doc_units,
+            _doc_stats,
             _minhash_mx,
             _lsh_cands,
             _exact_pairs,
@@ -989,7 +1010,11 @@ def substr_cut_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document."""
+    """16-bit SimHash signature per document. Deliberately NOT routed
+    through the memoized unit stage: standalone, its own tokenize fuses
+    onto the scan in one map stage, which is cheaper than building the
+    shared token/unit checkpoints it would never reuse (measured r15 —
+    +0.7-1.4 s when pointed at _doc_units cold)."""
     docs = table(spark, sf_dir, "documents")
     return simhash(docs, bits=16).orderBy("doc_id")
 
@@ -1012,20 +1037,22 @@ def _simhash_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the pre-pass routes them through one hash aggregation instead
     (llm/dedup.py::exact_fingerprint_pairs; hamming 0 by construction
     since identical token sets hash to identical signatures). DISTINCT
-    collapses pairs both paths find. Both the signature votes and the
-    fingerprint ride the memoized distinct-unit stage (_doc_units), so
-    neither path re-pays the tokenize scan — and both aggregations run
-    as ONE groupBy(doc_id) (simhash_with_setfp; guide §2.4), the fused
-    frame lazily checkpointed so the two consumers don't re-run it. The
-    banded path skips its internal candidate DISTINCT (dedup=False): the
-    terminal union DISTINCT collapses multi-band and cross-path
-    duplicates in one exchange instead of three."""
-    from gmall_flink_spark.llm.dedup import simhash_pairs, simhash_with_setfp
+    collapses pairs both paths find. The signature votes ride the
+    memoized distinct-unit stage (_doc_units), so the banded path never
+    re-pays the tokenize scan; the fingerprint is a MAP-ONLY projection
+    of the token arrays (_doc_stats — optimization r15), so the exact
+    path pays no aggregation at all and the vote exchange ships only the
+    16 integer tallies, never the distinct-token payload the r14 fused
+    form carried (guide §2.3). The banded path skips its internal
+    candidate DISTINCT (dedup=False): the terminal union DISTINCT
+    collapses multi-band and cross-path duplicates in one exchange
+    instead of three."""
+    from gmall_flink_spark.llm.dedup import simhash_pairs
 
     units = _doc_units(spark, sf_dir)
-    base = simhash_with_setfp(units, bits=16).localCheckpoint(eager=False)
+    sig = simhash(None, bits=16, units=units)
     banded = simhash_pairs(
-        base.select("doc_id", "simhash"),
+        sig,
         "doc_id",
         "simhash",
         bands=SIMHASH_BANDS,
@@ -1034,7 +1061,7 @@ def _simhash_verified_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham_max=SIMHASH_HAM_MAX,
         dedup=False,
     )
-    exact = exact_fingerprint_pairs(None, fp=base).select(
+    exact = exact_fingerprint_pairs(None, fp=_doc_stats(spark, sf_dir)).select(
         "a_id", "b_id", F.lit(0).cast("bigint").alias("hamming")
     )
     return banded.unionByName(exact).distinct()

@@ -163,6 +163,7 @@ def clear_session_memos(
     raced the r13 sweep against the explain audit)."""
     from gmall_flink_spark.queries.llm_dedup import (
         _COMPONENTS,
+        _DOC_STATS,
         _DOC_TOKS,
         _DOC_UNITS,
         _EXACT_PAIRS,
@@ -198,6 +199,7 @@ def clear_session_memos(
         _WP_STATE,
         _WINNOW_DOCS,
         _COMPONENTS,
+        _DOC_STATS,
         _DOC_TOKS,
         _DOC_UNITS,
         _EXACT_PAIRS,

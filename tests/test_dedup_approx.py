@@ -4,6 +4,8 @@ the driver registry)."""
 
 from __future__ import annotations
 
+import pytest
+
 from gmall_flink_spark.queries.dedup import uv_daily_approx
 from tests.conftest import SF_ORACLE
 
@@ -31,6 +33,36 @@ def test_uv_daily_kmv_within_error_bound(spark):
         assert abs(r.kmv_ct - r.exact_ct) <= max(5, 0.30 * r.exact_ct), (
             f"{r.cur_date}: kmv {r.kmv_ct} vs exact {r.exact_ct}"
         )
+
+
+def test_doc_set_stats_equals_aggregates(spark):
+    """llm/dedup.doc_set_stats (map-only n/setfp from the token arrays —
+    optimization r15) must be bit-identical to the aggregate forms it
+    replaced: n == count of distinct exploded units, setfp ==
+    token_set_fingerprint's sorted-collect_set md5, and token-less docs
+    excluded from both."""
+    from gmall_flink_spark.llm.dedup import (
+        distinct_tokens,
+        doc_set_stats,
+        doc_tokens,
+        token_set_fingerprint,
+    )
+    from pyspark.sql import functions as F
+    from gmall_flink_spark.sources.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents").limit(500)
+    toked = doc_tokens(docs)
+    units = distinct_tokens(docs)
+    fast = {r.doc_id: (r.n, r.setfp) for r in doc_set_stats(toked).collect()}
+    agg = {
+        r.doc_id: (r.n, r.setfp)
+        for r in units.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(token_set_fingerprint(None, units=units), "doc_id")
+        .collect()
+    }
+    assert fast == agg
+    assert fast, "expected non-empty stats"
 
 
 def test_exact_fingerprint_pairs_full_and_star(spark):
@@ -85,6 +117,7 @@ def test_lsh_exact_recall_floor(spark):
     assert exact["true_ct"] > 0 and exact["miss_ct"] == 0, dict(exact.asDict())
 
 
+@pytest.mark.slow
 def test_components_artifact_persists_and_invalidates(spark, tmp_path):
     """The near-dup component mapping is a WRITE-ONCE disk artifact
     (VERDICT r09 task 8): first call builds the bucketed table under the
