@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -288,6 +290,7 @@ def test_ivf_multiprobe_recall(spark):
     assert recalls[1] >= recalls[0], f"more probes lost recall: {recalls}"
 
 
+@pytest.mark.slow
 def test_srp_fast_matches_portable(spark):
     """The vectorized SRP signature (numpy matmul) must produce the same
     band buckets as the portable left-fold path the oracle checks — numpy
@@ -695,6 +698,7 @@ def test_label_drift_surfaces_single_half_labels(spark, tmp_path):
     assert got == con.sql(ORACLE["sim_label_drift"]).fetchall()
 
 
+@pytest.mark.slow
 def test_connected_components_shortcut_equivalence(spark):
     """Pointer-shortcutting CC must produce exactly the plain propagation's
     labels (min reachable id) — on the real fuzzy-match graph — and must
@@ -1142,6 +1146,7 @@ def test_unigram_viterbi_unknown_chars_and_ties(spark):
     assert got["zq"] == (1, 1, USEP + "zq")
 
 
+@pytest.mark.slow
 def test_unigram_unk_contract_long_words(spark, tmp_path):
     """Over-cap words (len > UNIGRAM_MAX_WORD_LEN) are COUNTED as UNK in
     encode stats and as not-ok in the roundtrip audit instead of being
@@ -1192,6 +1197,7 @@ def test_unigram_unk_contract_long_words(spark, tmp_path):
         _UNIGRAM_VOCAB.clear()  # tmp_path vocab must not leak to gate tests
 
 
+@pytest.mark.slow
 def test_nb_classifier_separable_vocab(spark, tmp_path):
     """The quantized NB head must recover a class split when the training
     vocabularies are disjoint, and must honor both declared drop rules:
@@ -1230,6 +1236,7 @@ def test_nb_classifier_separable_vocab(spark, tmp_path):
     assert got == con.sql(ORACLE["nb_lang_confusion"]).fetchall()
 
 
+@pytest.mark.slow
 def test_ccnet_buckets_small_source_tiles(spark, tmp_path):
     """ntile(3) over 1-, 2- and 4-doc sources: the remainder rows go to the
     FIRST tiles (SQL standard), so a 2-doc source has head+middle and no
@@ -1332,6 +1339,7 @@ def test_temperature_mix_single_source_gets_full_budget(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_temperature_mix"]).fetchall()
 
 
+@pytest.mark.slow
 def test_domain_blocklist_quality_floor_boundary(spark, tmp_path):
     """The quality arm of the block rule on a corpus with NO near-dups:
     a one-token-vocabulary doc scores 1000 bp (< the 5000 floor) and its
@@ -1363,6 +1371,7 @@ def test_domain_blocklist_quality_floor_boundary(spark, tmp_path):
     assert rows_ == sorted(con.sql(ORACLE["domain_blocklist"]).fetchall())
 
 
+@pytest.mark.slow
 def test_hard_negatives_probed_positive_out_of_probe_reach(spark):
     """The probed miner's documented recall cost: an anchor whose only
     same-label vector lives outside its nprobe nearest clusters yields NO
@@ -1556,6 +1565,7 @@ def test_exact_top_pair_requires_classic_session(spark):
     assert df.rdd.map(tuple).count() == 1  # .rdd is PySparkNotImplemented under Connect
 
 
+@pytest.mark.slow
 def test_wordpiece_unk_contract_long_and_dropped(spark, tmp_path):
     """The honest UNK contract (VERDICT r12 task 3 + ADVICE r12): words
     over WP_MAX_WORD_LEN are COUNTED as UNK occurrences (representation
@@ -1827,3 +1837,33 @@ def test_broadcast_cosine_hits_kernel(spark):
     ref = {(r["vec_id"], r["label"]): (r["hit_ct"], r["max_cos"]) for r in ref_rows}
     assert got == ref and len(got) > 0
     assert broadcast_cosine_hits(emb, [], 0.35).count() == 0
+
+
+def test_decon_exact_fallback_equals_fast(spark):
+    """queries/similarity._decon_hits_exact (the over-bound fallback the
+    take(bound+1) probe routes to — optimization r15) must produce the
+    SAME per-doc hit frame as the task-closure matmul fast path on the
+    same split: identical keys, hit counts and 6-decimal max cosines."""
+    from pyspark.sql import functions as F
+
+    from gmall_flink_spark.llm.similarity import broadcast_cosine_hits, prep
+    from gmall_flink_spark.queries.llm_pipeline import split_expr
+    from gmall_flink_spark.queries.similarity import DECON_COS, _decon_hits_exact
+    from gmall_flink_spark.sources.tables import table
+
+    b = prep(table(spark, "/root/testdata/sf0.01", "embeddings")).withColumn(
+        "split", split_expr(F.col("vec_id"))
+    )
+    train = b.where(F.col("split") == "train")
+    prot = b.where(F.col("split") != "train").select("vec")
+    fast = {
+        (r["vec_id"], r["label"]): (r["hit_ct"], r["max_cos"])
+        for r in broadcast_cosine_hits(
+            train, [r["vec"] for r in prot.collect()], DECON_COS
+        ).collect()
+    }
+    exact = {
+        (r["vec_id"], r["label"]): (r["hit_ct"], r["max_cos"])
+        for r in _decon_hits_exact(train, prot).collect()
+    }
+    assert fast == exact and len(fast) > 0
