@@ -43,6 +43,13 @@ PR_DAMP = 85
 #: rank scale: 1.0 of initial rank == PR_Q integer units
 PR_Q = 10**12
 
+#: node-count bound under which the per-round rank/contribution vectors
+#: are force-broadcast (ADVICE r14 guard): 2M (node string, bigint) rows
+#: is ~100-200 MB framed — inside the guide §3.1 comfort band even ×1
+#: per round; past it the forced hint would pressure driver + every
+#: executor 2×/round, so the joins fall back to AQE's runtime sizing.
+PR_BROADCAST_MAX_NODES = 2_000_000
+
 #: power-iteration count for the fixed-round governance report (rank
 #: ORDER stabilizes long before the values converge; 5 rounds is the
 #: report's pinned, oracle-unrollable depth)
@@ -92,7 +99,14 @@ def pagerank_from_weights(
     construction here. The per-round contribution vector is broadcast
     back onto the node universe (it is at most node-count rows, the same
     bounded class as the rank vector the round already broadcasts), so
-    one groupBy(dst) exchange per round is the only shuffle left."""
+    one groupBy(dst) exchange per round is the only shuffle left.
+
+    The broadcast hints are GUARDED by the measured node count
+    (ADVICE r14): forcing a per-round broadcast is only safe while the
+    rank/contribution vectors genuinely fit executor memory, so the one
+    count job on the checkpointed node universe decides — host graphs
+    over PR_BROADCAST_MAX_NODES leave both per-round joins to AQE, which
+    still broadcasts when the runtime sizes fit."""
     ew = ew.localCheckpoint(eager=False)
     out = ew.groupBy("src").agg(F.sum("w").alias("out_w"))
     ewo = ew.join(out, "src").localCheckpoint(eager=False)
@@ -102,12 +116,17 @@ def pagerank_from_weights(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if nodes.count() <= PR_BROADCAST_MAX_NODES:
+        hint = F.broadcast
+    else:  # leave join strategy to AQE's runtime sizing
+        def hint(df):
+            return df
     base = (100 - damp) * q // 100
     ranks = nodes.select("node", F.lit(q).cast("bigint").alias("rank_q"))
     for _ in range(iters):
         contrib = (
             ewo.join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+                hint(ranks.withColumnRenamed("node", "src")), "src"
             )
             .select(
                 F.col("dst").alias("node"),
@@ -116,7 +135,7 @@ def pagerank_from_weights(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
+        ranks = nodes.join(hint(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base).cast("bigint")
