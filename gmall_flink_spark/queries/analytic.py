@@ -264,14 +264,14 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice-run percentile before; 1 scan after)."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     med = ev.groupBy("event_type").agg(
         (2 * F.expr("percentile(c, 0.5)")).cast("bigint").alias("med2c"),
         F.count(F.lit(1)).alias("n"),
     )
     d = ev.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(2 * F.col("c") - F.col("med2c"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     mad = d.groupBy("event_type").agg(
         (2 * F.expr("percentile(d, 0.5)")).cast("bigint").alias("mad4"),
     )

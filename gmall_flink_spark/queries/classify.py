@@ -53,7 +53,7 @@ def _scored_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _NB_SCORED_MEMO)
     if key not in _NB_SCORED_MEMO:
-        toks = _toks(spark, sf_dir).localCheckpoint(eager=True)
+        toks = _toks(spark, sf_dir).localCheckpoint(eager=False)
         train = toks.where(F.pmod("doc_id", F.lit(NB_HOLDOUT_MOD)) != 0)
         holdout = toks.where(F.pmod("doc_id", F.lit(NB_HOLDOUT_MOD)) == 0)
         model = nb_train(train, label_col="lang")
@@ -162,7 +162,8 @@ def nb_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.when(ref, F.lit("ref")).otherwise(F.lit("crawl")).alias("quality"),
         F.explode(tokenize("text")).alias("t"),
-    ).localCheckpoint(eager=True)  # 3 unshared consumers: tokenize once
+    ).localCheckpoint(eager=False)  # 3 unshared consumers: tokenize once
+    # (eager=False — ADVICE r14: materialize at first action, not at plan build)
     train = toks.where(F.pmod("doc_id", F.lit(NB_QUALITY_HOLDOUT_MOD)) != 0)
     holdout = toks.where(F.pmod("doc_id", F.lit(NB_QUALITY_HOLDOUT_MOD)) == 0)
     model = nb_train(train.select("doc_id", "quality", "t"), label_col="quality")
