@@ -1247,7 +1247,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part that keeps the exact row total beyond the cap
     fp_sample = exact_fingerprint_pairs(
         None,
-        units=_doc_units(spark, sf_dir).where(
+        fp=_doc_stats(spark, sf_dir).where(
             F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
         ),
         max_group=1 << 62,
@@ -1314,7 +1314,7 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production pre-pass switches to its star encoding
     fp_sample = exact_fingerprint_pairs(
         None,
-        units=_doc_units(spark, sf_dir).where(
+        fp=_doc_stats(spark, sf_dir).where(
             F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
         ),
         max_group=1 << 62,
@@ -1356,11 +1356,14 @@ def _sample_exact_jac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = memo_key(spark, sf_dir, "documents", _SAMPLE_EXACT)
     if key not in _SAMPLE_EXACT:
-        units = _doc_units(spark, sf_dir).where(
-            F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
-        )
+        sampled = F.pmod(F.col("doc_id"), F.lit(AUDIT_MOD)) == 0
+        units = _doc_units(spark, sf_dir).where(sampled)
         cands = prefix_filter_candidates(units, 9, 10)
-        jac = jaccard_pairs(units, cands, ratio=(9, 10)).where(
+        # per-doc sizes are the map-only token-array stats (optimization
+        # r15): the sample filter only drops DOCS, so each surviving doc's
+        # distinct-unit count is unchanged — no sampled-units groupBy
+        sizes = _doc_stats(spark, sf_dir).where(sampled).select("doc_id", "n")
+        jac = jaccard_pairs(units, cands, ratio=(9, 10), sizes=sizes).where(
             10 * F.col("inter") >= 9 * F.col("uni")
         )
         _SAMPLE_EXACT[key] = jac.localCheckpoint(eager=True)
