@@ -383,6 +383,7 @@ def test_length_ratio_prune_is_lossless_at_threshold(spark):
     assert pruned.count() < full.count()
 
 
+@pytest.mark.slow
 def test_lsh_star_fallback_keeps_family_connected(spark):
     """oversize='star' on a homogeneous over-cap bucket: the star edges to
     the bucket's min doc_id verify at j>=0.9 and connected components
@@ -535,6 +536,7 @@ def _substr_edge_corpus(spark, tmp_path):
     return sf, con
 
 
+@pytest.mark.slow
 def test_substr_span_merge_semantics(spark, tmp_path):
     """ExactSubstr interval merge, pinned on a corpus with every edge the
     rule has: cross-doc shared span (overlapping gram chain -> ONE span),
@@ -569,6 +571,7 @@ def test_substr_hashed_matches_plain(spark):
     assert hashed == plain and len(hashed) > 0
 
 
+@pytest.mark.slow
 def test_substr_cut_plan_keeps_one_copy(spark, tmp_path):
     """Keep-one-copy on the same every-edge corpus: the globally first
     (doc_id, pos) occurrence of each duplicated gram survives, every
@@ -587,6 +590,7 @@ def test_substr_cut_plan_keeps_one_copy(spark, tmp_path):
     assert got == con.sql(ORACLE["substr_cut_plan"]).fetchall()
 
 
+@pytest.mark.slow
 def test_substr_randomized_corpus_matches_oracle(spark, tmp_path):
     """Seeded random corpus (shared phrase pool, so duplicated spans of
     every length/overlap shape occur by construction): engine and DuckDB
@@ -664,6 +668,7 @@ def test_lsh_sensitivity_curve_matches_theory(spark):
     assert rows[50][0] < LSH_CURVE_Q // 2 < rows[55][0]
 
 
+@pytest.mark.slow
 def test_lsh_bucket_cap_plan_accounting(spark, tmp_path):
     """lsh_bucket_cap_plan's per-cap accounting on a hand-built corpus:
     identical docs land in one bucket per band, so bucket sizes are

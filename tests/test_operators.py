@@ -455,6 +455,7 @@ def test_cms_never_underestimates(spark):
     assert all(r.cms_est >= r.exact_ct for r in got), got
 
 
+@pytest.mark.slow
 def test_bpe_merge_round_repeated_token_runs(spark, tmp_path):
     """Greedy non-overlap for a REPEATED-token top pair: 'x x x' merges
     once (floor(3/2)), 'x x x x x' merges twice — the island-run path the
@@ -488,6 +489,7 @@ def test_bpe_merge_round_repeated_token_runs(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
 
 
+@pytest.mark.slow
 def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
     """0- and 1-token documents must not crash the match-position probe
     (ANSI mode throws on out-of-bounds element_at — the sequence is
@@ -512,6 +514,7 @@ def test_bpe_merge_round_survives_short_docs(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_bpe_merge_round"]).fetchall()
 
 
+@pytest.mark.slow
 def test_bpe_compression_curve_early_stop_parity(spark, tmp_path):
     """When the BPE trainer early-stops (no bigram left before
     BPE_TRAIN_ROUNDS), the compression curve emits one point per LEARNED
@@ -540,6 +543,7 @@ def test_bpe_compression_curve_early_stop_parity(spark, tmp_path):
     assert got == con.sql(ORACLE["llm_bpe_compression_curve"]).fetchall()
 
 
+@pytest.mark.slow
 def test_decontaminate_scrub_merges_overlapping_spans(spark, tmp_path):
     """The scrub's interval-union semantics, exercised deliberately (the
     gate testdata has exactly one 5-token hit, so overlap merging is
@@ -635,6 +639,7 @@ def test_phash_media_drops_tokenless_payloads(spark):
     assert got[0].phash != 0
 
 
+@pytest.mark.slow
 def test_uv_rolling7_kmv_gap_days_stay_calendar(spark, tmp_path):
     """A day with no events must not widen the sketch window: both the
     sketch merge (calendar RANGE frame) and the exact column cover exactly
@@ -674,6 +679,7 @@ def test_uv_rolling7_kmv_gap_days_stay_calendar(spark, tmp_path):
     assert got == con.sql(ORACLE["uv_rolling7_kmv"]).fetchall()
 
 
+@pytest.mark.slow
 def test_label_drift_surfaces_single_half_labels(spark, tmp_path):
     """A label present in only one corpus half (vanished or newly
     appeared) is the strongest drift signal and must SURFACE — missing
@@ -1308,6 +1314,7 @@ def test_hard_negatives_triplet_semantics(spark):
     assert abs(got[(0, 2)][2] - (0.993884 - 0.707107)) < 1e-9
 
 
+@pytest.mark.slow
 def test_temperature_mix_single_source_gets_full_budget(spark, tmp_path):
     """Degenerate mixture: one source must absorb the ENTIRE token target
     (alloc = MIX_TOKEN_TARGET exactly, epochs = target/tok_ct) — the
@@ -1671,6 +1678,7 @@ def test_wordpiece_greedy_longest_match_and_unk(spark):
             assert path.replace(S, "") == w
 
 
+@pytest.mark.slow
 def test_three_tokenizer_families_diverge(spark):
     """The same corpus segments DIFFERENTLY under the three families —
     BPE merge-order application, WordPiece greedy longest-match, unigram
@@ -1708,6 +1716,7 @@ def test_three_tokenizer_families_diverge(spark):
     assert s == f"{S}a{S}{S}b{BPE_JOIN}c{S}{S}d{S}", repr(s)
 
 
+@pytest.mark.slow
 def test_curriculum_order_checksum_pins_permutation(spark, tmp_path):
     """llm_curriculum_order's order_checksum must distinguish two
     orderings with identical (doc_ct, token_ct) — i.e. it pins the exact

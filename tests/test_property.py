@@ -46,6 +46,7 @@ def test_keep_first_last_match_python(spark, rows):
     left=st.lists(st.tuples(_keys, _ts), min_size=0, max_size=15),
     right=st.lists(st.tuples(_keys, _ts, st.integers(0, 99)), min_size=0, max_size=15),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_asof_join_matches_python(spark, left, right):
     ldf = spark.createDataFrame(left or [(0, 0)], "k long, lts long")
@@ -73,6 +74,7 @@ def test_asof_join_matches_python(spark, left, right):
         st.tuples(st.integers(-30, 30), st.integers(0, 12)), min_size=0, max_size=8
     ),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_range_join_matches_cross_filter(spark, points, ranges):
     pdf = spark.createDataFrame([(float(p),) for p in points] or [(0.0,)], "x double")
@@ -143,6 +145,7 @@ def test_envelope_parse_split_partitions_every_row(spark, raws):
     assert ok.count() + dead.count() == len(raws)
 
 
+@pytest.mark.slow
 @given(ns=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=20))
 @_SETTINGS
 def test_chunk_spans_cover_exactly_once_per_stride_window(spark, ns):
@@ -358,6 +361,7 @@ def test_exact_fingerprint_pairs_match_python(spark, docs, max_group):
     probe=st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), max_size=12),
     m=st.sampled_from([16, 16384]),
 )
+@pytest.mark.slow
 @_SETTINGS
 def test_bloom_never_false_negative(spark, prior, probe, m):
     """The bloom membership contract over the input space, at both a

@@ -577,6 +577,7 @@ def test_rollup_sink_file_count_bounded_across_batches(spark):
     assert got == {f"k{i}": n_batches for i in range(8)}
 
 
+@pytest.mark.slow
 def test_interval_join_stream_equals_batch(spark, events_slices):
     """J5: stream-stream event-time interval join (the pay-suc join shape,
     DwdTradePayDetailSuc.java:100-127) — watermarked streaming inner join
@@ -746,6 +747,7 @@ def test_dws_window_pipeline_stream_equals_batch(spark, events_slices):
     assert rows(stream) == rows(batch)
 
 
+@pytest.mark.slow
 def test_left_outer_stream_join_null_padding(spark, events_slices):
     """J2 streaming: left-outer stream-stream join emits matched pairs
     immediately and null-padded rows once the watermark closes the join
@@ -1186,6 +1188,7 @@ def test_cross_batch_dedup_sink_equals_batch_keep_first(spark):
     assert rows(read_state(spark, state)) == rows(batch)
 
 
+@pytest.mark.slow
 def test_supervised_restart_recovers_from_transient_failure(spark, events_slices):
     """W12 fixed-delay restart: a foreachBatch sink that fails once (transient)
     is restarted from the same checkpoint and converges to the batch twin with
@@ -1271,6 +1274,7 @@ def test_upsert_rewrites_only_touched_buckets(spark):
     assert rows(read_state(spark, state)) == rows(batch)
 
 
+@pytest.mark.slow
 def test_scd2_sink_equals_batch_history(spark):
     """Incremental SCD2: replay a changelog in 3 micro-batches through the
     bucketed history sink; the final table must equal the batch
@@ -1302,6 +1306,7 @@ def test_scd2_sink_equals_batch_history(spark):
     assert rows(read_state(spark, state)) == rows(batch)
 
 
+@pytest.mark.slow
 def test_burst_alert_stream_matches_batch(spark, events_slices):
     """CEP-style burst detection: the streaming twin (last-two-event-times
     state) over replayed in-order slices must emit exactly the batch lag(2)
@@ -1344,6 +1349,7 @@ def test_kmv_sink_estimates_equal_batch_sketch(spark, events_slices):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_lsh_index_sink_equals_batch_bands_and_candidates(spark):
     """Streaming near-dup index: replay documents in 3 micro-batches through
     the LSH band-index sink; the accumulated index must equal the batch band
@@ -1374,6 +1380,7 @@ def test_lsh_index_sink_equals_batch_bands_and_candidates(spark):
     assert rows(got) == rows(want)
 
 
+@pytest.mark.slow
 def test_ivf_index_sink_equals_batch_assign(spark):
     """Streaming IVF maintenance: replay embeddings in 3 micro-batches
     through the cluster-bucketed assignment sink; the accumulated index
@@ -1759,6 +1766,7 @@ def test_cms_sketch_stream_equals_batch(spark, events_slices):
     assert rows(got) == rows(want)
 
 
+@pytest.mark.slow
 def test_boilerplate_df_stream_equals_batch(spark):
     """The boilerplate shingle-frequency dictionary is an additive rollup:
     per-batch (source, shingle) counts merged through the generic rollup
@@ -2049,6 +2057,7 @@ def test_traffic_grain_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch)
 
 
+@pytest.mark.slow
 def test_streaming_substr_gram_index_equals_batch(spark):
     """ExactSubstr's corpus gram index as a continuous aggregate: per-batch
     W-gram occurrence counts merged through the rollup sink end exactly at
@@ -2224,6 +2233,7 @@ def test_pay_detail_suc_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_link_graph_rollup_equals_batch_pagerank(spark):
     """The corpus link graph as a continuous aggregate: per-batch
     (src, dst) edge counts merged through the rollup sink, ranks
@@ -2554,6 +2564,7 @@ def test_daily_new_flags_stream_corrects_under_disorder(spark):
     )
 
 
+@pytest.mark.slow
 def test_streaming_nb_model_equals_batch_confusion(spark):
     """INCREMENTAL CLASSIFIER TRAINING: multinomial NB's sufficient
     statistic is pure counts, so the model trains as a rollup merge while
@@ -2637,6 +2648,7 @@ def test_nation_order_window_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_datasheet_card_equals_batch(spark):
     """INCREMENTAL DATASET-CARD maintenance: the card's algebraic columns
     (volume, quality mass, language spread) accumulate through the rollup
@@ -2737,6 +2749,7 @@ def test_refund_pay_suc_pipeline_end_to_end(spark):
     assert rows(got) == rows(batch) and got.count() > 0
 
 
+@pytest.mark.slow
 def test_bloom_index_sink_equals_batch_build(spark):
     """Streaming bloom maintenance: bit positions accrete through the
     rollup sink while document batches stream in (a bloom is a pure OR —
