@@ -234,7 +234,28 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(spark, sf_dir, "documents", _VERIFIED)
     if key not in _VERIFIED:
         units = _doc_units(spark, sf_dir)
-        cands = _lsh_cands(spark, sf_dir)
+        # guide §2.6 overlap (optimization r15): the candidate banding
+        # (matrix -> two-level buckets) and the exact-fingerprint
+        # pre-pass (doc stats -> fp self-join) are INDEPENDENT chains of
+        # small driver-synced jobs over DISJOINT memos once the shared
+        # token parents above exist ({_MINHASH_MX, _LSH_CANDS} vs
+        # {_DOC_STATS, _EXACT_PAIRS}) — built sequentially they leave
+        # executors idle between jobs, so a cold call warms both from a
+        # 2-thread pool (the llm_tokenizer_compare trainer-chain
+        # pattern). Warm-memo calls resolve as two dict lookups.
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            from pyspark import inheritable_thread_target as _itt
+        except ImportError:  # pragma: no cover - older Spark
+            def _itt(f):
+                return f
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cands = pool.submit(_itt(lambda: _lsh_cands(spark, sf_dir)))
+            f_exact = pool.submit(_itt(lambda: _exact_pairs(spark, sf_dir)))
+            cands = f_cands.result()
+            f_exact.result()  # surface any build error before composing
         # per-doc sizes are a MAP-ONLY projection of the token arrays
         # (optimization r15): zero shuffles for the verify join's
         # length-ratio prune AND the exact path below
@@ -457,9 +478,16 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
             mapping = connected_components(edges)
             tmp = f"{path}.__build_{_uuid.uuid4().hex[:8]}__"
-            with_bucket(mapping, ["doc_id"], COMPONENTS_N_BUCKETS).write.mode(
-                "overwrite"
-            ).partitionBy("__bucket").parquet(tmp)
+            # cluster by bucket before the partitionBy write (guide §6):
+            # without it every upstream task writes a file into every
+            # bucket directory (measured 496 files for a 1.8k-row mapping
+            # at sf0.1, 2-6 s to write, 0.4-0.8 s to read); one hash
+            # exchange on __bucket makes it one file per bucket (16),
+            # 0.6 s to write, half the read — and the compact layout is
+            # what the incremental merger and every later cold read scan.
+            with_bucket(mapping, ["doc_id"], COMPONENTS_N_BUCKETS).repartition(
+                F.col("__bucket")
+            ).write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
             if not any(n.startswith("__bucket=") for n in os.listdir(tmp)):
                 open(os.path.join(tmp, "_EMPTY"), "w").close()
             with open(os.path.join(tmp, "_N_BUCKETS"), "w") as fh:

@@ -117,7 +117,15 @@ def swap_buckets(
     tmp = state_path.rstrip("/") + ".__tmp__"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
-    merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp)
+    # cluster by bucket before the partitionBy write (guide §6): without
+    # it every task of the merged frame writes a file into every touched
+    # bucket directory, so state fragments into (tasks x buckets) small
+    # files that every later read_prior/read_state pays to open; one hash
+    # exchange on the (deterministic) bucket column makes each swap land
+    # one file per touched bucket.
+    merged.repartition(F.col(BUCKET_COL)).write.mode("overwrite").partitionBy(
+        BUCKET_COL
+    ).parquet(tmp)
     os.makedirs(state_path, exist_ok=True)
     meta = os.path.join(state_path, _META)
     if not os.path.exists(meta):

@@ -174,7 +174,14 @@ def topic_router(base_path: str, topic_col: str = "sink_table"):
             os.remove(f)
         stage = os.path.join(base_path, f"__stage_{_uuid.uuid4().hex[:8]}")
         try:
-            batch_df.write.mode("overwrite").partitionBy(topic_col).parquet(stage)
+            # cluster by topic before the partitionBy write (guide §6):
+            # without it every batch task writes a file into every topic
+            # directory it holds rows for — (tasks x topics) files per
+            # batch instead of the one-file-per-(topic, batch) growth
+            # this module documents and compact_topics assumes.
+            batch_df.repartition(F.col(topic_col)).write.mode("overwrite").partitionBy(
+                topic_col
+            ).parquet(stage)
             for tdir in sorted(os.listdir(stage)):
                 if not tdir.startswith(f"{topic_col}="):
                     continue
