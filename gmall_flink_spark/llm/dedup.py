@@ -397,10 +397,25 @@ def containment_scored_pairs(
         "shingle",
         F.row_number().over(Window.orderBy("_df", "shingle")).alias("sid"),
     )
-    iu = units.join(F.broadcast(dict_tab), "shingle").select("doc_id", "sid")
-    sets = iu.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("sid")).alias("sh")
-    ).withColumn("n", F.size("sh"))
+    # share the encoded index and the per-doc sets across their consumers
+    # (optimization r15): ``iu`` feeds the sets aggregation AND the probe
+    # side, ``sets`` is referenced FOUR times (prefix slice, the size
+    # bound, and both attach joins) — unshared, Catalyst re-plans the
+    # dictionary window + collect_set aggregation per reference (the r14
+    # plan shows the subtree 4x; 16 consumer shuffles). Lazy
+    # localCheckpoints compute each once at first action and stay
+    # jobless for plan-only consumers.
+    iu = (
+        units.join(F.broadcast(dict_tab), "shingle")
+        .select("doc_id", "sid")
+        .localCheckpoint(eager=False)
+    )
+    sets = (
+        iu.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("sid")).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .localCheckpoint(eager=False)
+    )
     p = F.col("n") - F.expr(f"(n * {q} + {scale - 1}) div {scale}") + 1
     prefix = sets.select(
         F.col("doc_id").alias("doc_a"),
@@ -504,6 +519,15 @@ def prefix_filter_candidates(
         "_n", F.count(F.lit(1)).over(wn)
     )
     p = F.col("_n") - F.expr(f"(_n * {q} + {scale - 1}) div {scale}") + 1
+    # NOTE (optimization r15, honest negative): checkpointing ``prefix``
+    # to share the ranked subtree across the self-join's two sides
+    # measured a wash at sf0.1 (3.2 vs 3.2 s over 3 alternating process
+    # pairs) — the duplication is only 2x, the rank window is per-doc
+    # (parallel, no straggler class), and the input is sample-scoped, so
+    # the materialization barrier costs what the saved recompute earns.
+    # Contrast containment_scored_pairs above, where the duplication was
+    # 4x and included a GLOBAL single-partition window — that one is
+    # checkpointed.
     prefix = ranked.where(F.col("_rn") <= p).select("doc_id", "shingle", "_rn", "_n")
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "shingle",
