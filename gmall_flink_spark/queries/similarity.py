@@ -34,8 +34,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF stage 1: nearest-centroid assignment histogram (centroids =
     vec_id < 10). The cluster id is the scale path's partition key."""
-    emb = prep(table(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    assigned = _ivf_assigned(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("member_ct"))
@@ -47,7 +46,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF stage 2: ANN top-5 per query (vec_id < 5) searching only the
     query's own cluster — the probe touches one partition, not the table."""
     emb = prep(table(spark, sf_dir, "embeddings"))
-    assigned = ivf_assign(emb, emb.where(F.col("vec_id") < N_CENTROIDS))
+    # session-memoized assignment (optimization r15): five queries used to
+    # rebuild the identical vectors x centroids scoring per call; the memo
+    # computes it once per (session, content stamp) — the first family
+    # member pays the build, the rest read the checkpoint (the production
+    # posture, where the assignment IS the persisted IVF index table)
+    assigned = _ivf_assigned(spark, sf_dir)
     queries = with_norm(emb.where(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("q_id"),
         F.col("vec").alias("q_vec"),
@@ -251,7 +255,8 @@ def sim_ivf_topk_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = prep(table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < N_CENTROIDS)
-    assigned = ivf_assign(emb, cents)
+    # session-memoized assignment (optimization r15) — see sim_ivf_topk
+    assigned = _ivf_assigned(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ivf_topk_multiprobe(assigned, queries, cents, nprobe=NPROBE, k=5).orderBy(
         "q_id", "rk"
@@ -434,11 +439,12 @@ def sim_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     triplet contract restricted to the probed set. Anchors whose probed
     union misses their label produce no rows (the recall cost of probing;
     compare row counts with sim_hard_negatives to read it)."""
-    from gmall_flink_spark.llm.similarity import hard_negatives_probed, ivf_assign
+    from gmall_flink_spark.llm.similarity import hard_negatives_probed
 
     emb = prep(table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < N_CENTROIDS)
-    assigned_l = ivf_assign(emb, cents).join(
+    # session-memoized assignment (optimization r15) — see sim_ivf_topk
+    assigned_l = _ivf_assigned(spark, sf_dir).join(
         emb.select("vec_id", "label"), "vec_id"
     )
     queries = emb.where(F.pmod(F.col("vec_id"), F.lit(KNN_QUERY_MOD)) == 0)
@@ -510,7 +516,8 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = prep(table(spark, sf_dir, "embeddings"))
     cents = emb.where(F.col("vec_id") < N_CENTROIDS)
-    assigned = ivf_assign(emb, cents)
+    # session-memoized assignment (optimization r15) — see sim_ivf_topk
+    assigned = _ivf_assigned(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     probed = ivf_topk_multiprobe(assigned, queries, cents, nprobe=NPROBE, k=5).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
